@@ -1,0 +1,92 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is built and fully executed (collect for small results,
+count-after-materialize for large ones) with a warm SparkSession; the first
+query absorbs JVM/codegen warmup, so a tiny warmup run precedes timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from news_ingestion_data_pipeline_spark import get_spark
+from news_ingestion_data_pipeline_spark.plans import REGISTRY
+
+#: Headline set: the heavy relational plans + each pipeline/LLM operator
+#: family representative. Names must exist in REGISTRY.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_distinct_counts",
+    "agg_rollup",
+    "join_left_outer",
+    "join_theta_range",
+    "join_asof",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_session_10m",
+    "window_tumbling_hourly",
+    "window_sliding_1h_30m",
+    "pipeline_exact_dedup",
+    "pipeline_topn_latest",
+    "text_quality_score",
+    "text_lang_id",
+    "text_simhash",
+    "dedup_minhash_candidates",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "multimodal_binary_stats",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    # Execute fully but never pull a big result to the driver: count() after
+    # a no-op cache-less pass runs the whole plan.
+    n = df.count()
+    sec = time.time() - t0
+    return sec, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warmup: tiny end-to-end pass to pay JVM + codegen startup once
+    REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        sec, _ = run_query(spark, name, sf_dir)
+        timings[name] = round(sec, 3)
+        print(f"# {name}: {sec:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

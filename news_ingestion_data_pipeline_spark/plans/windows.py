@@ -1,0 +1,145 @@
+"""Time-window aggregations over the events stream table — batch plans with
+exact Structured Streaming analogs (streaming/ runs the same shapes with
+readStream + withWatermark; these batch twins are the oracle-checkable
+versions, since F.window() semantics are identical in batch and streaming).
+
+Determinism notes: event values are doubles → sums go through
+decimal(20,10) (binary doubles round to 10 fractional digits identically in
+both engines, and decimal sums are order-independent); window bounds are
+projected as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.plans.registry import register, t, ts_str
+
+_VAL_DEC = "decimal(20,10)"
+_SQL_VAL_SUM = "CAST(SUM(CAST(value AS DECIMAL(20,10))) AS DOUBLE)"
+
+
+@register(
+    "window_tumbling_hourly",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_SQL_VAL_SUM} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="Tumbling 1-hour windows per event type — F.window(ts, '1 "
+    "hour'); identical shape under readStream+withWatermark. Partial agg "
+    "map-side; shuffle carries (window,type) groups only.",
+    tags=("streaming", "agg"),
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_sliding_1h_30m",
+    oracle=f"""
+WITH grid AS (
+  SELECT *,
+         to_timestamp(epoch(date_trunc('minute', ts))
+                      - (CAST(epoch(date_trunc('minute', ts)) AS BIGINT) % 1800)) AS g
+  FROM events
+), expanded AS (
+  SELECT * , g AS window_start FROM grid
+  UNION ALL
+  SELECT *, g - INTERVAL 30 MINUTE AS window_start FROM grid
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       {_SQL_VAL_SUM} AS sum_value
+FROM expanded
+GROUP BY 1
+""",
+    description="Sliding windows (1h length, 30m slide): each event lands in "
+    "two windows. Spark plans F.window with slide<length as a generator "
+    "(explode) + hash agg — shuffle is O(events × length/slide).",
+    tags=("streaming", "agg"),
+)
+def window_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_session_10m",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+), sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    description="Session windows (10-min inactivity gap) per user — "
+    "gaps-and-islands (lag + cumulative sum). One shuffle on user_id shared "
+    "by the window and the aggregate. Streaming twin: "
+    "F.session_window(ts, '10 minutes').",
+    tags=("streaming", "window", "agg"),
+)
+def window_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(w_seq)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 600_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        marked.withColumn("session_id", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            ts_str(F.min("ts")).alias("session_start"),
+            ts_str(F.max("ts")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
