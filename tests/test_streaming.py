@@ -1,0 +1,151 @@
+"""Structured Streaming tests (SURVEY.md §2.9 / §7 Phase 5).
+
+Strategy: every streaming shape is exercised with Trigger.AvailableNow over
+a tmp landing dir and compared against the batch twin on the same rows —
+F.window/groupBy semantics are identical in batch and streaming, so the
+batch result is the oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.schemas import RAW_LISTING_SCHEMA
+from news_ingestion_data_pipeline_spark.streaming import (
+    pipeline as spipe,
+    windows as swin,
+)
+
+T0 = dt.datetime(2025, 8, 1, 10, 0, 0)
+
+
+def raw_rows(spark, specs):
+    return spark.createDataFrame(
+        [
+            Row(
+                raw_title=s[0],
+                raw_href=s[1],
+                raw_author="By A",
+                raw_date=s[2],
+                source_name="Skift",
+                page_no=1,
+            )
+            for s in specs
+        ],
+        RAW_LISTING_SCHEMA,
+    )
+
+
+def events_df(spark, n=200, users=7, types=("view", "click", "buy")):
+    rows = [
+        Row(
+            event_id=i,
+            user_id=i % users,
+            event_type=types[i % len(types)],
+            ts=T0 + dt.timedelta(minutes=3 * i),
+            value=float(i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        k: os.path.join(str(tmp_path), k)
+        for k in ("landing", "table", "ckpt", "events", "ckpt2", "out")
+    }
+    os.makedirs(d["landing"], exist_ok=True)
+    return d
+
+
+def test_stream_ingest_matches_batch_and_is_idempotent(spark, dirs):
+    batch1 = [
+        ("A", "https://skift.com/a", "2025-08-01T10:00:00+00:00"),
+        ("B", "https://skift.com/b", "2025-08-01T11:00:00+00:00"),
+        ("A-dup", "https://skift.com/a", "2025-08-01T10:00:00+00:00"),
+    ]
+    raw_rows(spark, batch1).write.mode("append").parquet(dirs["landing"])
+    spipe.stream_ingest_available_now(spark, dirs["landing"], dirs["table"], dirs["ckpt"])
+    got = {r["News_link"]: r for r in spark.read.parquet(dirs["table"]).collect()}
+    assert set(got) == {"https://skift.com/a", "https://skift.com/b"}
+
+    # second drop: one new article + one replay of 'b' → merge, no dup
+    raw_rows(
+        spark, [("C", "https://skift.com/c", "2025-08-02T09:00:00+00:00"),
+                ("B", "https://skift.com/b", "2025-08-01T11:00:00+00:00")]
+    ).write.mode("append").parquet(dirs["landing"])
+    spipe.stream_ingest_available_now(spark, dirs["landing"], dirs["table"], dirs["ckpt"])
+    tbl = spark.read.parquet(dirs["table"])
+    assert tbl.count() == 3
+    assert tbl.filter(F.col("News_link") == "https://skift.com/c").count() == 1
+
+    # restart with same checkpoint and no new files → no-op
+    spipe.stream_ingest_available_now(spark, dirs["landing"], dirs["table"], dirs["ckpt"])
+    assert spark.read.parquet(dirs["table"]).count() == 3
+
+
+@pytest.mark.parametrize(
+    "fn,kwargs",
+    [
+        (swin.tumbling_counts, {}),
+        (swin.sliding_counts, {}),
+        (swin.session_windows, {"key_col": "user_id", "gap": "10 minutes"}),
+    ],
+)
+def test_windowed_aggs_stream_equals_batch(spark, dirs, fn, kwargs):
+    ev = events_df(spark)
+    ev.write.mode("overwrite").parquet(dirs["events"])
+
+    batch = {tuple(map(str, r)) for r in fn(ev, **kwargs).collect()}
+
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(dirs["events"])
+    )
+    q = (
+        fn(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName(f"win_{fn.__name__}")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["ckpt2"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(map(str, r))
+        for r in spark.sql(f"select * from win_{fn.__name__}").collect()
+    }
+    assert got == batch
+
+
+def test_stateful_running_counts(spark, dirs):
+    from news_ingestion_data_pipeline_spark.streaming.state import running_source_counts
+
+    specs = [(f"t{i}", f"https://skift.com/{i}", "2025-08-01T10:00:00+00:00") for i in range(5)]
+    raw_rows(spark, specs).write.mode("append").parquet(dirs["landing"])
+
+    from news_ingestion_data_pipeline_spark.operators import normalize
+
+    stream = spark.readStream.schema(RAW_LISTING_SCHEMA).parquet(dirs["landing"])
+    canon = normalize.finalize_articles(normalize.normalize_listing(stream))
+    q = (
+        running_source_counts(canon)
+        .writeStream.format("memory")
+        .queryName("counters")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["out"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from counters").collect()
+    assert rows and rows[-1]["Source_name"] == "Skift"
+    assert rows[-1]["total"] == 5
+    assert str(rows[-1]["max_ts"]) == "2025-08-01 10:00:00"
