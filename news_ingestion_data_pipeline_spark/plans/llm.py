@@ -435,3 +435,41 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.octet_length(payload) > 300, "large").otherwise("small").alias("size_class"),
     )
+
+
+@register(
+    "multimodal_image_features",
+    oracle=None,  # mapInPandas decode stage — not SQL-expressible (rows-only check)
+    description="Arrow-batched mapInPandas decode + per-image stats + 64-bit "
+    "phash over synthesized media rows (operators/multimodal.py). Payloads "
+    "repartitioned by media_id before the decode stage — media sizes skew "
+    "and AQE can't split one input row.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(docs).repartition(
+        spark.sparkContext.defaultParallelism, "media_id"
+    )
+    return mm.extract_image_features(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # 1:N frame explode via mapInPandas — rows-only check
+    description="Video frame sampling: one row per 500 ms frame per media "
+    "row (bounded to 200 media rows — the full fake-decode of every frame "
+    "is deliberately capped; the explode *shape* is the contract).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
+    media = mm.synthesize_media(docs, kind="video").repartition(8, "media_id")
+    frames = mm.sample_frames(media, every_ms=500)
+    return frames.select("media_id", "frame_no", "frame_ms").orderBy(
+        "media_id", "frame_no"
+    )

@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests: schemas, mapInPandas batch shapes, composition
+(resize→features), frame explode counts, determinism of the fake codec, and
+the NotImplementedError gate on the real one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.operators import multimodal as mm
+from news_ingestion_data_pipeline_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    return mm.synthesize_media(docs).repartition(4, "media_id").cache()
+
+
+def test_media_schema(media):
+    assert media.columns == ["media_id", "kind", "payload", "meta"]
+    row = media.first()
+    assert row["meta"]["channels"] == 3
+    assert isinstance(row["payload"], (bytes, bytearray))
+
+
+def test_feature_extraction_shape_and_determinism(media):
+    feats = mm.extract_image_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 40
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
+    for mid, r in rows.items():
+        assert (r["height"], r["width"]) == (meta[mid]["height"], meta[mid]["width"])
+        assert 0 <= r["mean_0"] <= 255
+    # deterministic across independent runs
+    again = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+    assert all(again[k]["phash"] == rows[k]["phash"] for k in rows)
+
+
+def test_resize_composes_with_features(media):
+    resized = mm.resize_images(media, 32, 24)
+    feats = mm.extract_image_features(resized)
+    for r in feats.collect():
+        assert (r["height"], r["width"]) == (24, 32)
+    m = resized.first()["meta"]
+    assert (m["width"], m["height"]) == (32, 24)
+
+
+def test_frame_sampling_counts(media):
+    video = media.withColumn("kind", F.lit("video"))
+    frames = mm.sample_frames(video, every_ms=500)
+    per = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    durations = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()}
+    for mid, n in per.items():
+        assert n == -(-durations[mid] // 500)  # ceil(duration/500)
+    fr = frames.filter(F.col("media_id") == min(per)).orderBy("frame_no").collect()
+    assert [f["frame_ms"] for f in fr] == [i * 500 for i in range(len(fr))]
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        mm.DECODERS["real"](b"bytes", {"height": 2, "width": 2, "channels": 3})
