@@ -53,11 +53,11 @@ BENCH_QUERIES = [
 def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
     df = REGISTRY[name].fn(spark, sf_dir)
-    # Execute fully but never pull a big result to the driver: count() after
-    # a no-op cache-less pass runs the whole plan.
-    n = df.count()
+    # noop sink materializes EVERY output column (count() would let Catalyst
+    # prune projections and under-measure) without driver collection.
+    df.write.format("noop").mode("overwrite").save()
     sec = time.time() - t0
-    return sec, n
+    return sec
 
 
 def main() -> None:
@@ -70,7 +70,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        sec, _ = run_query(spark, name, sf_dir)
+        sec = run_query(spark, name, sf_dir)
         timings[name] = round(sec, 3)
         print(f"# {name}: {sec:.2f}s", file=sys.stderr)
 

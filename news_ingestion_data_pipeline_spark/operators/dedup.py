@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.functions import text as TX
+from news_ingestion_data_pipeline_spark.tables import spread
 
 # Deterministic MinHash parameter sets: signature h_i(x) = (a_i*(x mod P) + b_i)
 # mod P over the 32-bit shingle hash x. P = 2^31-1 (Mersenne prime); operands
@@ -77,7 +78,12 @@ def exact_dedup_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """(id, shingle_hash:int32) — exploded distinct character-n-gram
-    shingles, hashed to 32-bit ints via md5-prefix (engine-portable)."""
+    shingles, hashed to 32-bit ints via md5-prefix (engine-portable).
+
+    ``spread`` first: shingling + hashing is the pipeline's heaviest
+    map-side compute and must not inherit a one-row-group scan's single
+    partition."""
+    docs = spread(docs)
     return docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(TX.char_ngrams(F.col(text_col), n))).alias("shingle"),
@@ -228,7 +234,7 @@ def simhash_fingerprints(
     map-side. Shuffle carries (id, 64 ints). Docs with zero shingles get the
     all-zeros fingerprint.
     """
-    shingled = docs.select(
+    shingled = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode_outer(
             F.array_distinct(TX.word_ngrams(F.col(text_col), ngram))

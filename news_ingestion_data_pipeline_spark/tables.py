@@ -51,6 +51,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Repartition iff the plan's scan produced fewer partitions than the
+    cluster has slots.
+
+    Parquet splits at row-group granularity: a table written as one row-group
+    scans as ONE task no matter how many cores exist, serializing any heavy
+    per-row compute placed above it (shingling, hashing, decoding). The
+    round-robin shuffle costs one pass over the rows — noise next to the
+    compute it parallelizes. On a well-laid-out table (≥ slots partitions,
+    the 100 TB case) this is a no-op, so it's safe to apply unconditionally
+    at compute-heavy operator entry points.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
