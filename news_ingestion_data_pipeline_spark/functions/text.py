@@ -44,31 +44,53 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` once per row and hand it to ``fn`` as a lambda
+    variable.
+
+    Higher-order-function lambdas re-evaluate *captured* outer expressions
+    on every element; a lambda variable is a plain attribute lookup. Binding
+    via a 1-element array turns O(len · cost(value)) into O(cost(value)) —
+    for ngrams over normalized text that is the difference between 2 regex
+    passes per document and 2 regex passes per *character*.
+    """
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Character n-gram shingles of the normalized text → array<string>
     (with duplicates; wrap in ``F.array_distinct`` for a shingle *set*).
 
     Built from ``sequence`` + ``transform`` + ``substring`` — pure JVM
-    expressions, no explode needed until the caller wants rows.
+    expressions, no explode needed until the caller wants rows. The
+    normalized string is ``_bind``-ed so it is computed once per row, not
+    once per shingle position.
     """
-    norm = normalize_text(text)
     # positions 1 .. len-n+1 (empty when text shorter than n)
-    return F.when(F.length(norm) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
-            lambda i: norm.substr(i, F.lit(n)),
-        )
+    return _bind(
+        normalize_text(text),
+        lambda s: F.when(F.length(s) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+                lambda i: s.substr(i, F.lit(n)),
+            )
+        ),
     )
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles ('a b c' style) → array<string> with duplicates."""
-    toks = tokens(normalize_text(text))
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]),
-        )
+    """Word n-gram shingles ('a b c' style) → array<string> with duplicates.
+    Token array ``_bind``-ed: split/normalize run once per row."""
+    return _bind(
+        tokens(normalize_text(text)),
+        lambda tk: F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - F.lit(n)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + F.lit(k + 1)) for k in range(n)]
+                ),
+            )
+        ),
     )
 
 

@@ -205,31 +205,42 @@ WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    d = spread(t(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.round(F.col("n_chars"), -2).cast("bigint").alias("len_bucket"),
         F.array_distinct(TX.char_ngrams(F.col("text"), 5)).alias("shingles"),
-    )
-    a, b = d.alias("a"), d.alias("b")
+    ).withColumn("sz", F.size("shingles"))
+    # Explicit broadcast: the blocked self-join compares rows only within
+    # (lang, len_bucket) blocks, but with ~30 distinct block keys a shuffle
+    # join would cap parallelism at the key count and inherit the biggest
+    # block's skew. Broadcasting one side keeps the probe side's full
+    # partitioning. At 100 TB the broadcast side is the per-block sample
+    # that fits (blocking bounds it); unbounded corpora use the
+    # MinHash-LSH path instead.
+    a, b = d.alias("a"), F.broadcast(d.alias("b"))
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = (
-        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    # jaccard >= 0.5 as integer arithmetic evaluated ONCE inside the join
+    # condition: i/(sa+sb-i) >= 1/2  <=>  3i >= sa+sb. Keeping it in the
+    # condition means non-qualifying pairs never materialize, and the
+    # expensive array_intersect runs once per candidate pair instead of
+    # again in a post-join filter. The final projection recomputes the
+    # ratio only for the few surviving pairs.
+    cand = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.lit(3) * inter >= F.col("a.sz") + F.col("b.sz")),
     )
-    jac = F.round(inter * F.lit(1.0) / union, 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+    return cand.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(
+            inter * F.lit(1.0) / (F.col("a.sz") + F.col("b.sz") - inter), 6
+        ).alias("jaccard"),
     )
 
 
