@@ -136,16 +136,31 @@ def lang_scores(text: Column) -> dict[str, Column]:
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax of per-language stopword hits;
     'und' when no stopword from any list appears. Ties break by the fixed
-    language order en > fr > es > de (deterministic)."""
-    scores = lang_scores(text)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in ["de", "es", "fr", "en"]:  # reverse priority; later wins ties
-        s = scores[lang]
-        cond = s >= F.greatest(best_score, F.lit(1))
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.greatest(best_score, s)
-    return best_lang
+    language order en > fr > es > de (deterministic).
+
+    The token array is ``_bind``-ed once: the argmax when/greatest chain
+    repeats each language's score subtree several times, and without the
+    bind every repetition would re-run the normalize+split regexes.
+    """
+
+    def argmax(tk: Column) -> Column:
+        def hit_counter(sw: list[str]):
+            return lambda tok: tok.isin(sw)
+
+        scores = {
+            lang: F.size(F.filter(tk, hit_counter(sw)))
+            for lang, sw in LANG_STOPWORDS.items()
+        }
+        best_lang = F.lit("und")
+        best_score = F.lit(0)
+        for lang in ["de", "es", "fr", "en"]:  # reverse priority; later wins ties
+            s = scores[lang]
+            cond = s >= F.greatest(best_score, F.lit(1))
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_score = F.greatest(best_score, s)
+        return best_lang
+
+    return _bind(tokens(normalize_text(text)), argmax)
 
 
 def doc_fingerprint(text: Column) -> Column:
@@ -194,20 +209,26 @@ def simhash64(text: Column, ngram: int = 3) -> Column:
     counts = F.aggregate(
         hashes, zeros, lambda acc, h: F.zip_with(acc, votes_for(h), lambda a, v: a + v)
     )
-    bits = F.transform(counts, lambda c: F.when(c > 0, 1).otherwise(0))
-    nibbles = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda i: F.lower(
-            F.conv(
-                (
-                    F.element_at(bits, (i * 4 + 1).cast("int")) * 8
-                    + F.element_at(bits, (i * 4 + 2).cast("int")) * 4
-                    + F.element_at(bits, (i * 4 + 3).cast("int")) * 2
-                    + F.element_at(bits, (i * 4 + 4).cast("int"))
-                ).cast("string"),
-                10,
-                16,
-            )
-        ),
-    )
-    return F.array_join(nibbles, "")
+
+    # _bind the vote counters: the 16-nibble transform references them 64
+    # times, and a captured (non-bound) `counts` would re-run the whole
+    # aggregate once per reference.
+    def to_hex(c: Column) -> Column:
+        def bit(i: Column, k: int) -> Column:
+            return F.when(F.element_at(c, (i * 4 + k).cast("int")) > 0, 1).otherwise(0)
+
+        nibbles = F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.lower(
+                F.conv(
+                    (bit(i, 1) * 8 + bit(i, 2) * 4 + bit(i, 3) * 2 + bit(i, 4)).cast(
+                        "string"
+                    ),
+                    10,
+                    16,
+                )
+            ),
+        )
+        return F.array_join(nibbles, "")
+
+    return _bind(counts, to_hex)
