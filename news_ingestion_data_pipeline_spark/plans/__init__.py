@@ -11,5 +11,6 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm,
     pipeline,
     relational,
+    relational_ext,
     windows,
 )

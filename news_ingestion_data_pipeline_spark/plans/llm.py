@@ -156,6 +156,137 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Polynomial rolling-hash fingerprinting (winnowing-style): base-257 hash
+# of the whole normalized document, plus the minimum over all 8-char window
+# hashes (the winnow fingerprint — stable under small edits away from the
+# minimizing window). Integer mod arithmetic both engines replicate exactly.
+_RH_B = 257
+_RH_P = (1 << 31) - 1
+_RH_K = 8
+_RH_POW = [pow(_RH_B, m, _RH_P) for m in range(_RH_K)]
+
+_SQL_RH_CODES = (
+    "list_transform(range(1, length({s}) + 1),"
+    " i -> CAST(ascii(substr({s}, CAST(i AS INT), 1)) AS BIGINT))"
+)
+
+
+def _sql_rh_window_terms() -> str:
+    return " + ".join(
+        f"codes[j + {m}] * {_RH_POW[_RH_K - 1 - m]}" for m in range(_RH_K)
+    )
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {SQL_NORM.format(col='text')} AS s FROM documents
+), coded AS (
+  SELECT doc_id, s, {_SQL_RH_CODES.format(s='s')} AS codes FROM norm
+)
+SELECT doc_id,
+       CASE WHEN length(s) = 0 THEN 0
+            ELSE list_reduce(codes, (a, b) -> (a * {_RH_B} + b) % {_RH_P}) END
+         AS full_hash,
+       CASE WHEN length(s) < {_RH_K} THEN NULL
+            ELSE list_min(list_transform(range(1, length(s) - {_RH_K - 2}),
+                 j -> ({_sql_rh_window_terms()}) % {_RH_P})) END
+         AS winnow_hash
+FROM coded
+""",
+    description="Document fingerprinting via polynomial rolling hash: "
+    "base-257 full-document hash + minimum 8-char window hash "
+    "(winnowing-style near-dup fingerprint). Pure JVM integer arithmetic "
+    "in the project stage — no shuffle, no UDF.",
+    tags=("llm", "text", "dedup"),
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+
+    def codes_of(s):
+        return F.when(
+            F.length(s) == 0, F.array().cast("array<long>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+            )
+        )
+
+    def full_hash(s):
+        return TX._bind(
+            codes_of(s),
+            lambda cs: F.aggregate(
+                cs,
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * _RH_B + c) % _RH_P,
+            ),
+        )
+
+    def winnow_hash(s):
+        def window_hashes(cs):
+            return F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(_RH_K - 1)),
+                lambda j: sum(
+                    F.element_at(cs, j + F.lit(m)) * F.lit(_RH_POW[_RH_K - 1 - m])
+                    for m in range(_RH_K)
+                )
+                % _RH_P,
+            )
+
+        return TX._bind(
+            codes_of(s),
+            lambda cs: F.array_min(
+                F.when(
+                    F.length(s) < _RH_K, F.array().cast("array<long>")
+                ).otherwise(window_hashes(cs))
+            ),
+        )
+
+    norm = TX.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX._bind(norm, full_hash).alias("full_hash"),
+        TX._bind(norm, winnow_hash).alias("winnow_hash"),
+    )
+
+
+@register(
+    "scalar_array_suite",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col=SQL_NORM.format(col='text'))} AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(list_distinct(tk)) AS n_distinct,
+       array_to_string(list_sort(list_distinct(tk))[1:3], ',') AS first3,
+       CAST(list_contains(tk, 'the') AS INT) AS has_the,
+       len(list_filter(tk, x -> length(x) > 5)) AS n_long_tokens
+FROM toks
+""",
+    description="Array-function suite over token arrays: distinct, sort, "
+    "slice, join, contains, filter — all JVM higher-order builtins.",
+    tags=("scalar", "llm", "text"),
+)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+
+    def feats(tk):
+        return F.struct(
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+            F.array_join(
+                F.slice(F.array_sort(F.array_distinct(tk)), 1, 3), ","
+            ).alias("first3"),
+            F.array_contains(tk, "the").cast("int").alias("has_the"),
+            F.size(F.filter(tk, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+        )
+
+    bound = TX._bind(TX.tokens(TX.normalize_text(F.col("text"))), feats)
+    return d.select("doc_id", bound.alias("s")).select("doc_id", "s.*")
+
+
 @register(
     "text_simhash",
     oracle=None,  # 64-bit bit-vote arithmetic is not practical in SQL
@@ -412,6 +543,38 @@ def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+#: Coarser 4-plane signature for the near-dup sweep: recall over precision
+#: (fewer planes → bigger buckets → more candidate pairs survive into the
+#: exact-cosine verify stage).
+_PLANES4 = SIM.make_hyperplanes(dim=64, n_planes=4, seed=42)
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_hyperplane_sql_bits(_PLANES4)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, q.vec_id AS id_b, {_SQL_COS} AS cos_sim
+FROM sig a JOIN sig q ON a.bucket = q.bucket AND a.vec_id < q.vec_id
+WHERE {_SQL_COS} >= 0.35
+""",
+    description="Embedding-cosine near-duplicate pairs through LSH buckets: "
+    "candidates share the 4-bit hyperplane signature (equi-join), exact "
+    "cosine >= 0.35 verifies. The 100 TB embedding-dedup path — contrast "
+    "with sim_pairs_above_threshold's full O(n^2) baseline.",
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        bucket_hyperplanes=_PLANES4,
     )
 
 
