@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "agg_distinct_counts",
     "agg_rollup",
     "join_left_outer",
@@ -37,13 +39,16 @@ BENCH_QUERIES = [
     "window_session_10m",
     "window_tumbling_hourly",
     "window_sliding_1h_30m",
+    "window_range_frame",
     "pipeline_exact_dedup",
     "pipeline_topn_latest",
     "text_quality_score",
     "text_lang_id",
     "text_simhash",
+    "text_rolling_hash",
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
+    "dedup_embedding_neardup",
     "sim_cosine_topk",
     "sim_lsh_topk",
     "multimodal_binary_stats",

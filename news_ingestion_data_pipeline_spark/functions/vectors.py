@@ -34,6 +34,15 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed norms — same arithmetic (and therefore the
+    same IEEE result) as ``cosine``, but the per-row norms are plain column
+    references instead of per-pair aggregate re-evaluation. Use in pairwise
+    joins: project ``norm(vec)`` on each side first, then only the dot
+    product runs per pair (~5x fewer interpreted HOF steps)."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -311,8 +311,16 @@ def embedding_neardup_pairs(
     Returns (id_a, id_b, cos_sim).
     """
     from news_ingestion_data_pipeline_spark.functions import vectors as V
+    from news_ingestion_data_pipeline_spark.tables import spread
 
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Norms projected once per vector (cosine in the pair stage is then just
+    # a dot product); spread so the per-pair scoring isn't serialized by a
+    # one-row-group scan.
+    base = spread(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
     if bucket_hyperplanes is not None:
         base = base.withColumn(
             "bucket", V.hyperplane_signature(F.col("vec"), bucket_hyperplanes)
@@ -320,13 +328,22 @@ def embedding_neardup_pairs(
         join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
     else:
         join_cond = F.col("a.id") < F.col("b.id")
-    a, b = base.alias("a"), base.alias("b")
+    # Broadcast one side: with 2^n_planes distinct buckets a shuffle join
+    # caps parallelism at the bucket count; broadcasting keeps the probe
+    # side's partitioning. (At true corpus scale, raise n_planes so buckets
+    # shrink, or band the signature — same LSH shape as minhash.)
+    a, b = base.alias("a"), F.broadcast(base.alias("b"))
     return (
         a.join(b, join_cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(V.cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine_from_norms(
+                    F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

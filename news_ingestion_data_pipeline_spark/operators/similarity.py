@@ -45,17 +45,28 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("query_vec"),
+            V.norm(F.col(query_vec_col)).alias("q_norm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        V.norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("vec"), F.col("query_vec")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine_from_norms(
+                    F.col("vec"), F.col("query_vec"), F.col("c_norm"), F.col("q_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -90,12 +101,14 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
+        V.norm(F.col(vec_col)).alias("c_norm"),
         V.hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("query_vec"),
+            V.norm(F.col(query_vec_col)).alias("q_norm"),
             V.hyperplane_signature(F.col(query_vec_col), planes).alias("bucket"),
         )
     )
@@ -105,7 +118,12 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("vec"), F.col("query_vec")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine_from_norms(
+                    F.col("vec"), F.col("query_vec"), F.col("c_norm"), F.col("q_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

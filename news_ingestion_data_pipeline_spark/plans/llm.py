@@ -303,9 +303,16 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-duplicate detection
 # ---------------------------------------------------------------------------
 
+# Shingles are hashed to 60-bit ints (15 hex chars of md5) with the SAME
+# hash in both engines: per-pair intersection runs over primitive long
+# arrays (no per-pair string hashing / allocation churn), and because both
+# sides hash identically, even a collision yields identical results in
+# Spark and DuckDB — parity is exact by construction.
 _SQL_SHINGLES = (
-    "list_distinct(list_transform(range(1, greatest(length({s}) - 3, 1)),"
-    " i -> substr({s}, CAST(i AS INT), 5)))"
+    "list_distinct(list_transform("
+    "list_transform(range(1, greatest(length({s}) - 3, 1)),"
+    " i -> substr({s}, CAST(i AS INT), 5)),"
+    " s2 -> CAST('0x' || substr(md5(s2), 1, 15) AS BIGINT)))"
 )
 
 
@@ -330,19 +337,26 @@ WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
       / (len(a.shingles) + len(b.shingles)
          - len(list_intersect(a.shingles, b.shingles))) >= 0.5
 """,
-    description="Exact character-5-gram Jaccard within (lang, length-bucket) "
-    "blocks — blocking bounds the pair count (mandatory at scale; without "
-    "it the shingle self-join is quadratic in boilerplate-heavy corpora).",
+    description="Exact character-5-gram Jaccard (over md5-hashed shingle "
+    "sets) within (lang, length-bucket) blocks — blocking bounds the pair "
+    "count (mandatory at scale; without it the shingle self-join is "
+    "quadratic in boilerplate-heavy corpora).",
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.tables import spread
 
+    hashed = F.array_distinct(
+        F.transform(
+            TX.char_ngrams(F.col("text"), 5),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
     d = spread(t(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.round(F.col("n_chars"), -2).cast("bigint").alias("len_bucket"),
-        F.array_distinct(TX.char_ngrams(F.col("text"), 5)).alias("shingles"),
+        hashed.alias("shingles"),
     ).withColumn("sz", F.size("shingles"))
     # Explicit broadcast: the blocked self-join compares rows only within
     # (lang, len_bucket) blocks, but with ~30 distinct block keys a shuffle
@@ -533,12 +547,24 @@ WHERE {_SQL_COS} >= 0.45
     tags=("llm", "similarity", "dedup"),
 )
 def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("embedding")
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        V.norm(F.col("embedding")).alias("na"),
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = F.round(V.cosine(F.col("va"), F.col("vb")), 6)
+    b = F.broadcast(
+        emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            V.norm(F.col("embedding")).alias("nb"),
+        )
+    )
+    cos = F.round(
+        V.cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos_sim"))
