@@ -214,19 +214,14 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def full_hash(s):
-        return TX._bind(
-            codes_of(s),
-            lambda cs: F.aggregate(
-                cs,
-                F.lit(0).cast("long"),
-                lambda acc, c: (acc * _RH_B + c) % _RH_P,
-            ),
-        )
-
-    def winnow_hash(s):
-        def window_hashes(cs):
-            return F.transform(
+    # One bind for both outputs: normalize + code extraction run once per
+    # document, not once per output column.
+    def feats(s):
+        def from_codes(cs):
+            full = F.aggregate(
+                cs, F.lit(0).cast("long"), lambda acc, c: (acc * _RH_B + c) % _RH_P
+            )
+            window_hashes = F.transform(
                 F.sequence(F.lit(1), F.length(s) - F.lit(_RH_K - 1)),
                 lambda j: sum(
                     F.element_at(cs, j + F.lit(m)) * F.lit(_RH_POW[_RH_K - 1 - m])
@@ -234,22 +229,17 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 % _RH_P,
             )
+            winnow = F.array_min(
+                F.when(F.length(s) < _RH_K, F.array().cast("array<long>")).otherwise(
+                    window_hashes
+                )
+            )
+            return F.struct(full.alias("full_hash"), winnow.alias("winnow_hash"))
 
-        return TX._bind(
-            codes_of(s),
-            lambda cs: F.array_min(
-                F.when(
-                    F.length(s) < _RH_K, F.array().cast("array<long>")
-                ).otherwise(window_hashes(cs))
-            ),
-        )
+        return TX._bind(codes_of(s), from_codes)
 
-    norm = TX.normalize_text(F.col("text"))
-    return d.select(
-        "doc_id",
-        TX._bind(norm, full_hash).alias("full_hash"),
-        TX._bind(norm, winnow_hash).alias("winnow_hash"),
-    )
+    bound = TX._bind(TX.normalize_text(F.col("text")), feats)
+    return d.select("doc_id", bound.alias("s")).select("doc_id", "s.*")
 
 
 @register(
