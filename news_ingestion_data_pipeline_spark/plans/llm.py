@@ -278,6 +278,36 @@ def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_edit_distance",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, source,
+         substr({SQL_NORM.format(col='text')}, 1, 40) AS head
+  FROM documents
+)
+SELECT doc_id, source,
+       levenshtein(head, lag(head) OVER (PARTITION BY source ORDER BY doc_id))
+         AS edit_dist_prev
+FROM norm
+""",
+    description="Levenshtein edit distance between each document's "
+    "normalized 40-char head and its predecessor within the source "
+    "(sequential near-dup screen; the built-in is JVM-side, exact integer "
+    "output). First row per source is NULL.",
+    tags=("llm", "text", "dedup", "window"),
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy("doc_id")
+    head = F.substring(TX.normalize_text(F.col("text")), 1, 40)
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", head.alias("head"))
+    return d.select(
+        "doc_id",
+        "source",
+        F.levenshtein(F.col("head"), F.lag("head").over(w)).alias("edit_dist_prev"),
+    )
+
+
+@register(
     "text_simhash",
     oracle=None,  # 64-bit bit-vote arithmetic is not practical in SQL
     description="64-bit SimHash fingerprints over word 3-grams — "

@@ -235,6 +235,114 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_stats_suite",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       sx / n_rows AS mean_qty,
+       sqrt((sxx - sx * sx / n_rows) / (n_rows - 1)) AS std_qty,
+       sqrt((syy - sy * sy / n_rows) / (n_rows - 1)) AS std_price,
+       (sxy - sx * sy / n_rows) / (n_rows - 1) AS covar_qp,
+       ((sxy - sx * sy / n_rows) / (n_rows - 1))
+         / (sqrt((sxx - sx * sx / n_rows) / (n_rows - 1))
+            * sqrt((syy - sy * sy / n_rows) / (n_rows - 1))) AS corr_qp
+FROM s
+""",
+    description="Statistical moments built deterministically from exact "
+    "decimal power sums (classic one-pass sufficient statistics): stddev, "
+    "covariance, correlation. Native stddev/corr aggregate doubles in "
+    "partition order and drift cross-engine; power sums are exact, and the "
+    "final IEEE arithmetic is identical in both engines.",
+    tags=("agg", "stats"),
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    s = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n_rows")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        (F.col("sx") / n).alias("mean_qty"),
+        F.sqrt(var_x).alias("std_qty"),
+        F.sqrt(var_y).alias("std_price"),
+        covar.alias("covar_qp"),
+        (covar / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qp"),
+    )
+
+
+@register(
+    "agg_exact_median",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+  FROM orders
+)
+SELECT o_orderstatus,
+       AVG(o_totalprice) AS median_price,
+       MAX(cnt) AS n_rows
+FROM ranked
+WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+   OR rn = CAST(floor((cnt + 2) / 2) AS BIGINT)
+GROUP BY o_orderstatus
+""",
+    description="Exact median without a percentile primitive: row_number + "
+    "partition count select the middle element(s); even-sized groups "
+    "average the two middles. Fully deterministic in both engines (native "
+    "percentile interpolation orders are engine-specific).",
+    tags=("agg", "window", "stats"),
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wo = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderstatus")
+    ranked = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    lo = F.floor((F.col("cnt") + 1) / 2).cast("bigint")
+    hi = F.floor((F.col("cnt") + 2) / 2).cast("bigint")
+    return (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.avg("o_totalprice").alias("median_price"),
+            F.max("cnt").alias("n_rows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window variants
 # ---------------------------------------------------------------------------

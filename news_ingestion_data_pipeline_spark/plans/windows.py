@@ -143,3 +143,57 @@ def window_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "stream_tumbling_availablenow",
+    oracle=None,  # executes a real streaming query — rows-only check
+    description="REAL Structured Streaming execution (not a batch twin): "
+    "readStream over the events parquet -> watermark -> tumbling 1h counts "
+    "per event type -> memory sink, Trigger.AvailableNow, awaited to "
+    "completion. Returns the sink table; row count must equal the batch "
+    "window_tumbling_hourly group count.",
+    tags=("streaming", "agg"),
+)
+def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.streaming.windows import tumbling_counts
+    from news_ingestion_data_pipeline_spark.tables import table_path
+
+    # events.ts is parquet TIMESTAMP(NANOS): the file source needs an
+    # explicit schema, so infer it with nanosAsLong (ts arrives as long)
+    # and floor-convert to micros exactly like tables.load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    # The file stream source wants a directory; glob-filter down to the
+    # events file inside the sf dir.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    res = tumbling_counts(stream, width="1 hour", delay="10 minutes")
+
+    name = "stream_tumbling_mem"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            ts_str("win_start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("win_start", "event_type")
+    )
