@@ -1,0 +1,227 @@
+"""Property-based tests (hypothesis): Spark expression trees vs tiny pure
+Python models on randomized inputs.
+
+Pattern: each hypothesis example is a whole BATCH of random strings run as
+one Spark job (one job per example keeps the suite fast; per-row jobs
+would be pathological). ASCII-printable alphabet throughout — Java and
+Python regex/casing semantics diverge on exotic unicode (\\s classes,
+dotted-I casing), and the engine's documented contract is byte-oriented
+ASCII normalization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.functions import scalars as SC
+from news_ingestion_data_pipeline_spark.functions import text as TX
+
+ASCII = string.ascii_letters + string.digits + string.punctuation + " \t\n"
+texts = st.lists(st.text(alphabet=ASCII, max_size=120), min_size=1, max_size=40)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# ---- pure-Python models (independent re-implementations, not imports) ----
+
+
+def model_normalize(s: str) -> str:
+    s = s.lower()
+    s = re.sub(r"[^a-z0-9 \t\n\r\f\v]", " ", s)
+    return re.sub(r"[ \t\n\r\f\v]+", " ", s).strip()
+
+
+def model_tokens(s: str) -> list[str]:
+    n = model_normalize(s)
+    return n.split() if n else []
+
+
+def model_char_ngrams(s: str, n: int = 5) -> list[str]:
+    t = model_normalize(s)
+    return [t[i : i + n] for i in range(len(t) - n + 1)] if len(t) >= n else []
+
+
+def model_word_ngrams(s: str, n: int = 3) -> list[str]:
+    tk = model_tokens(s)
+    return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)] if len(tk) >= n else []
+
+
+_RH_B, _RH_P, _RH_K = 257, (1 << 31) - 1, 8
+
+
+def model_full_hash(s: str) -> int:
+    h = 0
+    for ch in model_normalize(s):
+        h = (h * _RH_B + ord(ch)) % _RH_P
+    return h
+
+
+def model_winnow_hash(s: str) -> int | None:
+    t = model_normalize(s)
+    if len(t) < _RH_K:
+        return None
+    hs = []
+    for j in range(len(t) - _RH_K + 1):
+        acc = 0
+        for ch in t[j : j + _RH_K]:
+            acc = acc * _RH_B + ord(ch)
+        hs.append(acc % _RH_P)
+    return min(hs)
+
+
+def _run(spark, vals: list[str], col):
+    df = spark.createDataFrame([Row(i=i, s=v) for i, v in enumerate(vals)])
+    return [r.out for r in df.select(col(F.col("s")).alias("out")).orderBy("i").collect()]
+
+
+# ---- properties ----------------------------------------------------------
+
+
+@SETTINGS
+@given(vals=texts)
+def test_normalize_matches_model(spark, vals):
+    got = _run(spark, vals, TX.normalize_text)
+    assert got == [model_normalize(v) for v in vals]
+
+
+@SETTINGS
+@given(vals=texts)
+def test_char_ngrams_match_model(spark, vals):
+    got = _run(spark, vals, lambda c: TX.char_ngrams(c, 5))
+    assert got == [model_char_ngrams(v) for v in vals]
+
+
+@SETTINGS
+@given(vals=texts)
+def test_word_ngrams_match_model(spark, vals):
+    got = _run(spark, vals, lambda c: TX.word_ngrams(c, 3))
+    assert got == [model_word_ngrams(v) for v in vals]
+
+
+@SETTINGS
+@given(vals=texts)
+def test_md5_keying_matches_hashlib(spark, vals):
+    got = _run(spark, vals, SC.article_id)
+    assert got == [hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
+
+
+@SETTINGS
+@given(vals=texts)
+def test_rolling_hash_matches_model(spark, vals):
+    # mirror of the text_rolling_hash registered query's expression
+    from news_ingestion_data_pipeline_spark.plans.llm import (
+        _RH_B as B,
+        _RH_K as K,
+        _RH_P as P,
+        _RH_POW as POW,
+    )
+
+    assert (B, K, P) == (_RH_B, _RH_K, _RH_P)
+
+    def codes_of(s):
+        return F.when(F.length(s) == 0, F.array().cast("array<long>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+            )
+        )
+
+    def full(c):
+        return TX._bind(
+            TX.normalize_text(c),
+            lambda s: TX._bind(
+                codes_of(s),
+                lambda cs: F.aggregate(
+                    cs, F.lit(0).cast("long"), lambda a, x: (a * B + x) % P
+                ),
+            ),
+        )
+
+    def winnow(c):
+        return TX._bind(
+            TX.normalize_text(c),
+            lambda s: TX._bind(
+                codes_of(s),
+                lambda cs: F.array_min(
+                    F.when(F.length(s) < K, F.array().cast("array<long>")).otherwise(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(s) - F.lit(K - 1)),
+                            lambda j: sum(
+                                F.element_at(cs, j + F.lit(m)) * F.lit(POW[K - 1 - m])
+                                for m in range(K)
+                            )
+                            % P,
+                        )
+                    )
+                ),
+            ),
+        )
+
+    assert _run(spark, vals, full) == [model_full_hash(v) for v in vals]
+    assert _run(spark, vals, winnow) == [model_winnow_hash(v) for v in vals]
+
+
+@SETTINGS
+@given(vals=texts)
+def test_exact_dedup_fingerprint_collision_free_on_distinct_norms(spark, vals):
+    """Docs with different normalized text get different fingerprints; docs
+    with equal normalized text get equal fingerprints."""
+    got = _run(spark, vals, TX.doc_fingerprint)
+    norms = [model_normalize(v) for v in vals]
+    for (na, fa), (nb, fb) in zip(zip(norms, got), zip(norms[1:], got[1:])):
+        assert (na == nb) == (fa == fb)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_upsert_idempotent_on_random_batches(spark, tmp_path, seed):
+    """MERGE-upsert applied twice with the same batch leaves the table
+    unchanged (modulo Processed_at refresh) — the reference's re-run
+    guarantee (SURVEY.md §2.8 K1)."""
+    import datetime as dt
+    import random
+
+    from news_ingestion_data_pipeline_spark.operators import upsert as UP
+    from news_ingestion_data_pipeline_spark.schemas import ARTICLE_SCHEMA
+
+    rng = random.Random(seed)
+    ts = dt.datetime(2025, 8, 1, 12, 0, 0)
+    # key-unique batch: the operator contract (normalize_pipeline) guarantees
+    # key-uniqueness before MERGE
+    rows = [
+        Row(
+            Article_id=f"id{i:02d}",
+            News_link=f"https://x.test/{i}",
+            News_title=f"t{rng.randrange(50)}",
+            Author_name=None if i % 7 == 0 else f"a{i}",
+            News_published_time=None if i % 5 == 0 else ts,
+            Source_name="Skift",
+            Processed_at=ts,
+        )
+        for i in range(rng.randrange(10, 40))
+    ]
+    batch = spark.createDataFrame(rows, ARTICLE_SCHEMA)
+    path = str(tmp_path / f"articles_{seed}")
+    UP.upsert_articles(spark, path, batch)
+    first = {
+        r.Article_id: (r.News_link, r.News_title, r.Author_name)
+        for r in spark.read.parquet(path).collect()
+    }
+    UP.upsert_articles(spark, path, batch)
+    second = {
+        r.Article_id: (r.News_link, r.News_title, r.Author_name)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert first == second
+    # last-write-wins per key: every key present exactly once
+    assert len(first) == len({r.Article_id for r in rows})
