@@ -205,13 +205,13 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
 
     def codes_of(s):
+        # split-to-chars, not substr-per-position: substr(s, i, 1) in a
+        # lambda re-scans bytes to char offset i → O(len²)/doc; one split
+        # + ascii per element is O(len).
         return F.when(
             F.length(s) == 0, F.array().cast("array<long>")
         ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.length(s)),
-                lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
-            )
+            F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
         )
 
     # One bind for both outputs: normalize + code extraction run once per
@@ -393,11 +393,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive array_intersect runs once per candidate pair instead of
     # again in a post-join filter. The final projection recomputes the
     # ratio only for the few surviving pairs.
+    # Size-ratio prefilter BEFORE the intersect term: J >= 1/2 forces
+    # max(sz) <= 2*min(sz) (since |A∩B| <= min and 3|A∩B| >= sa+sb), so the
+    # cheap integer comparison prunes pairs without touching the arrays —
+    # codegen short-circuits the conjunction left-to-right.
+    size_ok = (
+        F.greatest(F.col("a.sz"), F.col("b.sz"))
+        <= F.lit(2) * F.least(F.col("a.sz"), F.col("b.sz"))
+    )
     cand = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_ok
         & (F.lit(3) * inter >= F.col("a.sz") + F.col("b.sz")),
     )
     return cand.select(
