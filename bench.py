@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "window_tumbling_hourly",
     "window_sliding_1h_30m",
     "window_range_frame",
+    "q9_profit_by_nation",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "events_funnel_conversion",
     "pipeline_exact_dedup",
     "pipeline_topn_latest",
     "text_quality_score",
@@ -51,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_embedding_neardup",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "multimodal_binary_stats",
 ]
 

@@ -133,3 +133,92 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer of ``n_cells``
+    centroids partitions the corpus into cells; each query probes its
+    ``n_probe`` nearest cells and re-ranks exactly within them.
+
+    The quantizer is deterministic: centroids are the corpus vectors with
+    ``id < n_cells`` (seed vectors, zero k-means iterations), so both
+    engines derive the identical partition. Assignment = argmax cosine with
+    centroid-id tie-break.
+
+    Scale shape: at 100 TB the assignment pass is a one-off materialization
+    (cell becomes a partition column of the stored table); queries then
+    touch only ``n_probe/n_cells`` of the data via partition pruning — the
+    cross join in this one-shot form exists only because the fixture isn't
+    pre-partitioned. Candidate search is an equi-join on ``cell`` exactly
+    like the LSH path.
+    """
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cvec"),
+            V.norm(F.col(vec_col)).alias("cent_norm"),
+        )
+    )
+
+    def rank_cells(df: DataFrame, idc: str, vecc: str, normc: str) -> DataFrame:
+        scored = df.crossJoin(cent).select(
+            df["*"],
+            F.col("cent_id"),
+            F.round(
+                V.cosine_from_norms(
+                    F.col(vecc), F.col("cvec"), F.col(normc), F.col("cent_norm")
+                ),
+                6,
+            ).alias("cell_sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("cell_sim").desc(), F.col("cent_id"))
+        return scored.withColumn("cell_rn", F.row_number().over(w))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        V.norm(F.col(vec_col)).alias("c_norm"),
+    )
+    assign = (
+        rank_cells(c, "neighbor_id", "vec", "c_norm")
+        .filter(F.col("cell_rn") == 1)
+        .select("neighbor_id", "vec", "c_norm", F.col("cent_id").alias("cell"))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+        V.norm(F.col(query_vec_col)).alias("q_norm"),
+    )
+    probes = F.broadcast(
+        rank_cells(q, "query_id", "query_vec", "q_norm")
+        .filter(F.col("cell_rn") <= n_probe)
+        .select("query_id", "query_vec", "q_norm", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        assign.join(probes, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                V.cosine_from_norms(
+                    F.col("vec"), F.col("query_vec"), F.col("c_norm"), F.col("q_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

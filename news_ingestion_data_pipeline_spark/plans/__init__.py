@@ -12,5 +12,6 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     pipeline,
     relational,
     relational_ext,
+    relational_ext3,
     windows,
 )

@@ -702,3 +702,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_no", "frame_ms").orderBy(
         "media_id", "frame_no"
     )
+
+
+_SQL_CELL_SIM = (
+    "round(list_dot_product(e.v, cent.cv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6)"
+)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+ranked AS (
+  SELECT vec_id, v, cent_id, cell_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cell_sim DESC, cent_id) AS rn
+  FROM (SELECT e.vec_id, e.v, cent.cent_id, {_SQL_CELL_SIM} AS cell_sim
+        FROM e CROSS JOIN cent)
+),
+a AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE rn = 1),
+q AS (SELECT vec_id, v, cent_id AS cell FROM ranked
+      WHERE vec_id < 10 AND rn <= 4)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_SQL_COS} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_SQL_COS} DESC, a.vec_id) AS rank
+  FROM a JOIN q ON a.cell = q.cell
+  WHERE a.vec_id != q.vec_id
+) WHERE rank <= 5
+""",
+    description="IVF approximate NN: 16 deterministic seed centroids "
+    "(vec_id<16, zero k-means iterations) partition the corpus into cells; "
+    "each query probes its 4 nearest cells and re-ranks exactly inside them. "
+    "At scale the cell id becomes a partition column → partition pruning "
+    "reads n_probe/n_cells of the data (see operators/similarity.py).",
+    tags=("llm", "similarity"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )

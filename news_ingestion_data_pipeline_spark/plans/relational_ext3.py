@@ -1,0 +1,582 @@
+"""Third relational wave — the remaining TPC-H query *shapes*, adapted to
+this corpus (no partsupp table; lineitem has no shipmode/commitdate), plus a
+product-analytics funnel over ``events``.
+
+Shapes covered here and why they matter at 100 TB:
+
+* q4   — EXISTS → left-semi join with a non-equi residual condition.
+* q7   — 4-way fact/dim join with two roles for one dim (nation²), year agg.
+* q9   — profit rollup: fact×2 dims, derived decimal arithmetic, (nation,year).
+* q13  — outer-join-then-histogram (distribution of counts).
+* q14  — conditional aggregate ratio (promo share) in one pass.
+* q15  — agg → global-max equality (argmax via single-row broadcast).
+* q16  — count-distinct per group after a broadcast dim join with NOT filters.
+* q17  — correlated scalar avg per part → anti-selective residual filter.
+* q18  — group-HAVING on a fact, then join back to dims, global top-K.
+* q19  — disjunction of bracket predicates (tests OR pushdown + CNF).
+* q22  — scalar subquery threshold + anti join (customers with no orders).
+* funnel — min-timestamp-per-stage conversion funnel (events), exact seconds.
+
+Determinism: money sums go through DECIMAL(18,2) (see registry docstring);
+year() is exact; timestamp diffs are whole seconds (exact bigints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.plans.registry import (
+    dec,
+    dsum,
+    register,
+    t,
+)
+
+_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _disc_price() -> F.Column:
+    return dec("l_extendedprice") * (1 - dec("l_discount", "decimal(4,2)"))
+
+
+# ---------------------------------------------------------------------------
+# q4 — order priority checking (EXISTS → semi join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    description="TPC-H Q4 shape: date-windowed orders with EXISTS(lineitem "
+    "shipped after order date) → left-semi hash join carrying a non-equi "
+    "residual; only priorities cross the final shuffle.",
+    tags=("join", "subquery"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations, by year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         {_DISC_PRICE} AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    description="TPC-H Q7 shape: lineitem⋈supplier⋈orders⋈customer with "
+    "nation joined twice under different roles. supplier/customer/nation are "
+    "broadcast; only the orders join shuffles, and AQE can flip it to "
+    "broadcast once the nation filters collapse the build side.",
+    tags=("join", "agg"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _disc_price().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — profit by nation and year (adapted: flat per-unit cost, no partsupp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_profit_by_nation",
+    oracle=f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         {_DISC_PRICE}
+           - CAST(10.00 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE p_type = 'PROMO'
+)
+GROUP BY nation, o_year
+""",
+    description="TPC-H Q9 shape (no partsupp in this corpus → flat 10.00/unit "
+    "cost): fact × part/supplier/nation broadcast dims × orders shuffle join; "
+    "derived decimal profit; (nation, year) rollup.",
+    tags=("join", "agg"),
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    amount = _disc_price() - dec(F.lit(10.00), "decimal(4,2)") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (outer join → histogram)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    description="TPC-H Q13 shape: left-outer join keeping order-less "
+    "customers (COUNT of NULL join rows = 0), then a second aggregation "
+    "producing the histogram of per-customer order counts.",
+    tags=("join", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q14 — promo revenue share (conditional aggregate ratio)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+""",
+    description="TPC-H Q14 shape: single-pass conditional aggregate ratio "
+    "(promo share of revenue) over a date-pruned scan with a broadcast part "
+    "join — two decimal sums, one deterministic double division.",
+    tags=("agg", "join"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    dp = _disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", dp).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.00)
+                * F.sum(promo).cast("double")
+                / F.sum(dp).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier by revenue (agg → global max equality)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_DISC_PRICE}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+""",
+    description="TPC-H Q15 shape: quarterly per-supplier revenue, then keep "
+    "the argmax row(s) by comparing against a broadcast single-row global max "
+    "— exact decimal comparison, so cross-engine equality is safe.",
+    tags=("agg", "subquery", "join"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("rev_dec")
+    )
+    max_rev = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier variety per part group (count-distinct after dim join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 14, 23, 45)
+GROUP BY p_brand, p_type, p_size
+""",
+    description="TPC-H Q16 shape (partsupp → lineitem as the part-supplier "
+    "relation): NOT-equal + IN-list dim filters pushed into a broadcast join, "
+    "then count-distinct suppliers per (brand, type, size) — Spark expands "
+    "it to a two-phase distinct aggregate.",
+    tags=("agg", "join"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity revenue (correlated scalar avg per part)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+            AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+    description="TPC-H Q17 shape: correlated scalar AVG per part decorrelated "
+    "into a per-part aggregate joined back to the fact (Catalyst rewrites the "
+    "subquery the same way); quantities are integers so the avg is exact.",
+    tags=("subquery", "agg", "join"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part_avg, F.col("avg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-volume customers (HAVING on fact, join back, top-K)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    description="TPC-H Q18 shape: HAVING-filtered per-order quantity sums "
+    "(semi-join back to the fact), customer/orders join, global top-100 by "
+    "price — TakeOrderedAndProject, never a full sort.",
+    tags=("agg", "join", "topk"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        li.join(big_orders, F.col("big_orderkey") == F.col("l_orderkey"), "inner")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — bracketed OR predicates (discounted revenue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_bracket_revenue",
+    oracle=f"""
+SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    description="TPC-H Q19 shape: disjunction of three (brand, size, "
+    "quantity) brackets across the join — Catalyst extracts the common "
+    "per-side conjuncts so both scans still prune before the join.",
+    tags=("join", "agg"),
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(b1 | b2 | b3).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — dormant rich customers (scalar threshold + anti join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT c_nationkey % 5 AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                            / COUNT(*)
+                     FROM customer WHERE c_acctbal > 0.00)
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+)
+GROUP BY cntrycode
+""",
+    description="TPC-H Q22 shape: scalar subquery (exact-decimal mean "
+    "acctbal) broadcast as a 1-row threshold, NOT EXISTS → left-anti join "
+    "against orders (every customer here has *some* order, so the dormancy "
+    "predicate is 'no urgent orders'), grouped by a derived country code.",
+    tags=("subquery", "join", "agg"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0.00)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    rich = (
+        cust.join(F.broadcast(threshold), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    )
+    return (
+        rich.select(
+            (F.col("c_nationkey") % 5).alias("cntrycode"), F.col("c_acctbal")
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events funnel — staged conversion with exact time-to-convert
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+SELECT COUNT(*) AS n_converted,
+       CAST(SUM(epoch_us(t_purchase) - epoch_us(t_view))
+            AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_view_to_purchase_sec
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+WHERE t_view < t_click AND t_click < t_purchase
+""",
+    description="Conversion funnel over the events stream table: first "
+    "view→click→purchase per user in strict order, one hash aggregate per "
+    "user then a global rollup; time-to-convert is exact bigint micros "
+    "summed before one double division per engine. The product-analytics "
+    "shape (sessionized funnels) a training-data pipeline runs over "
+    "interaction logs.",
+    tags=("agg", "events"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    stage = lambda name: F.min(  # noqa: E731
+        F.when(F.col("event_type") == name, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    converted = per_user.filter(
+        (F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_purchase"))
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (
+            F.sum(
+                F.unix_micros("t_purchase") - F.unix_micros("t_view")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("avg_view_to_purchase_sec"),
+    )

@@ -145,37 +145,45 @@ def window_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_tumbling_availablenow",
-    oracle=None,  # executes a real streaming query — rows-only check
-    description="REAL Structured Streaming execution (not a batch twin): "
-    "readStream over the events parquet -> watermark -> tumbling 1h counts "
-    "per event type -> memory sink, Trigger.AvailableNow, awaited to "
-    "completion. Returns the sink table; row count must equal the batch "
-    "window_tumbling_hourly group count.",
-    tags=("streaming", "agg"),
-)
-def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from news_ingestion_data_pipeline_spark.streaming.windows import tumbling_counts
+# ---------------------------------------------------------------------------
+# REAL Structured Streaming executions (not batch twins).
+#
+# Each reads the events parquet through readStream → withWatermark → windowed
+# aggregate → memory sink with Trigger.AvailableNow, awaited to completion.
+# Because F.window()/F.session_window() semantics are identical in batch and
+# streaming and complete output mode emits every group's final value, the
+# drained sink must equal the batch answer — so these carry full DuckDB
+# oracles, not just rows-only checks. (Append mode would be wrong here: the
+# final watermark never flushes the last open session/window at end-of-input
+# — verified to lose rows on this corpus.)
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet.
+
+    events.ts is parquet TIMESTAMP(NANOS): the file source needs an explicit
+    schema, so infer it with nanosAsLong (ts arrives as long) and
+    floor-convert to micros exactly like tables.load_table. The file stream
+    source wants a directory; glob-filter down to the events file inside the
+    sf dir.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from news_ingestion_data_pipeline_spark.tables import table_path
 
-    # events.ts is parquet TIMESTAMP(NANOS): the file source needs an
-    # explicit schema, so infer it with nanosAsLong (ts arrives as long)
-    # and floor-convert to micros exactly like tables.load_table.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = table_path(sf_dir, "events")
-    raw_schema = spark.read.parquet(path).schema
-    # The file stream source wants a directory; glob-filter down to the
-    # events file inside the sf dir.
-    stream = (
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    return (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
-    res = tumbling_counts(stream, width="1 hour", delay="10 minutes")
 
-    name = "stream_tumbling_mem"
+
+def _drain_to_memory(res: DataFrame, name: str) -> DataFrame:
+    """Run a streaming aggregate to a memory sink (complete mode,
+    Trigger.AvailableNow), await completion, return the sink table."""
+    spark = res.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
@@ -188,12 +196,130 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    return (
-        spark.table(name)
-        .select(
-            ts_str("win_start").alias("win_start"),
-            "event_type",
-            "n",
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_availablenow",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_SQL_VAL_SUM} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="REAL Structured Streaming execution: readStream over the "
+    "events parquet -> watermark -> tumbling 1h aggregate per event type -> "
+    "memory sink, Trigger.AvailableNow, complete mode, awaited. The drained "
+    "sink is oracle-checked against the batch answer (identical window "
+    "semantics).",
+    tags=("streaming", "agg"),
+)
+def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("sum_value"),
         )
-        .orderBy("win_start", "event_type")
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )
+    return _drain_to_memory(res, "stream_tumbling_mem")
+
+
+@register(
+    "stream_sliding_availablenow",
+    oracle=f"""
+WITH grid AS (
+  SELECT *,
+         to_timestamp(epoch(date_trunc('minute', ts))
+                      - (CAST(epoch(date_trunc('minute', ts)) AS BIGINT) % 1800)) AS g
+  FROM events
+), expanded AS (
+  SELECT * , g AS window_start FROM grid
+  UNION ALL
+  SELECT *, g - INTERVAL 30 MINUTE AS window_start FROM grid
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       {_SQL_VAL_SUM} AS sum_value
+FROM expanded
+GROUP BY 1
+""",
+    description="REAL Structured Streaming sliding windows (1h length, 30m "
+    "slide): each event feeds two windows' state. Complete-mode memory sink "
+    "drained under AvailableNow, oracle-checked against the batch "
+    "self-union expansion.",
+    tags=("streaming", "agg"),
+)
+def stream_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(res, "stream_sliding_mem")
+
+
+@register(
+    "stream_session_availablenow",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 600000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+), sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    description="REAL Structured Streaming session windows (10-min gap) per "
+    "user via F.session_window — dynamic, state-merging windows, the one "
+    "window kind with no closed-form batch F.window twin. Complete-mode "
+    "drain, oracle = the batch gaps-and-islands rewrite. Session end is "
+    "excluded from the projection: streaming session_window.end is "
+    "last_event+gap, the SQL rewrite's MAX(ts) is last_event — start and "
+    "count identify the session either way.",
+    tags=("streaming", "window", "agg"),
+)
+def stream_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+    return _drain_to_memory(res, "stream_session_mem")
