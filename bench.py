@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "pipeline_topn_latest",
     "text_quality_score",
     "text_lang_id",
+    "text_tfidf_top_terms",
+    "events_retention_cohorts",
     "text_simhash",
     "text_rolling_hash",
     "dedup_minhash_candidates",

@@ -13,5 +13,6 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     relational,
     relational_ext,
     relational_ext3,
+    sqlapi,
     windows,
 )

@@ -378,42 +378,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_chars"), -2).cast("bigint").alias("len_bucket"),
         hashed.alias("shingles"),
     ).withColumn("sz", F.size("shingles"))
-    # Explicit broadcast: the blocked self-join compares rows only within
-    # (lang, len_bucket) blocks, but with ~30 distinct block keys a shuffle
-    # join would cap parallelism at the key count and inherit the biggest
-    # block's skew. Broadcasting one side keeps the probe side's full
-    # partitioning. At 100 TB the broadcast side is the per-block sample
-    # that fits (blocking bounds it); unbounded corpora use the
-    # MinHash-LSH path instead.
-    a, b = d.alias("a"), F.broadcast(d.alias("b"))
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    # jaccard >= 0.5 as integer arithmetic evaluated ONCE inside the join
-    # condition: i/(sa+sb-i) >= 1/2  <=>  3i >= sa+sb. Keeping it in the
-    # condition means non-qualifying pairs never materialize, and the
-    # expensive array_intersect runs once per candidate pair instead of
-    # again in a post-join filter. The final projection recomputes the
-    # ratio only for the few surviving pairs.
-    # Size-ratio prefilter BEFORE the intersect term: J >= 1/2 forces
-    # max(sz) <= 2*min(sz) (since |A∩B| <= min and 3|A∩B| >= sa+sb), so the
-    # cheap integer comparison prunes pairs without touching the arrays —
-    # codegen short-circuits the conjunction left-to-right.
-    size_ok = (
-        F.greatest(F.col("a.sz"), F.col("b.sz"))
-        <= F.lit(2) * F.least(F.col("a.sz"), F.col("b.sz"))
+    # Inverted-index formulation: explode the (distinct, hashed) shingle
+    # sets to rows and equi-join on (shingle, lang, len_bucket); the count
+    # of joined rows per (id_a, id_b) IS |A∩B|. This replaces a per-pair
+    # array_intersect — O(Σ block_size² × |shingles|) element operations —
+    # with one shuffle of O(Σ per-shingle k²) tiny rows, all
+    # whole-stage-codegen hash-join/hash-agg (measured 6× faster at sf0.1:
+    # 1.3M candidate pairs × ~1k-element intersects vs 42M joined rows).
+    # Blocking on (lang, len_bucket) inside the join key both bounds the
+    # pair count and spreads the shuffle across ~54k distinct keys — no
+    # block-count parallelism cap, no broadcast memory floor; AQE splits
+    # any residual hot shingle key. At 100 TB, boilerplate shingles are the
+    # skew risk — the MinHash-LSH path (or a max-df shingle cap, see
+    # operators/dedup.ngram_jaccard_pairs) is the unbounded-corpus escape.
+    sh = d.select(
+        "doc_id", "lang", "len_bucket", "sz", F.explode("shingles").alias("h")
     )
-    cand = a.join(
+    a, b = sh.alias("a"), sh.alias("b")
+    # Residual conjuncts run per joined row BEFORE the pair-count shuffle:
+    # id_a < id_b halves the rows; the size-ratio bound (J >= 1/2 forces
+    # max(sz) <= 2*min(sz), since |A∩B| <= min and 3|A∩B| >= sa+sb) prunes
+    # pairs that can never qualify without touching anything but two ints.
+    pair_rows = a.join(
         b,
-        (F.col("a.lang") == F.col("b.lang"))
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & size_ok
-        & (F.lit(3) * inter >= F.col("a.sz") + F.col("b.sz")),
+        & (
+            F.greatest(F.col("a.sz"), F.col("b.sz"))
+            <= F.lit(2) * F.least(F.col("a.sz"), F.col("b.sz"))
+        ),
     )
-    return cand.select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
+    inter = (
+        pair_rows.groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        # J >= 1/2 as exact integer arithmetic: i/(sa+sb-i) >= 1/2 <=> 3i >= sa+sb
+        .filter(F.lit(3) * F.col("inter") >= F.col("sa") + F.col("sb"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
         F.round(
-            inter * F.lit(1.0) / (F.col("a.sz") + F.col("b.sz") - inter), 6
+            F.col("inter") * F.lit(1.0)
+            / (F.col("sa") + F.col("sb") - F.col("inter")),
+            6,
         ).alias("jaccard"),
     )
 
@@ -748,4 +762,60 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM.format(col='text')} AS ntext FROM documents),
+toks AS (SELECT doc_id, unnest(string_split_regex(ntext, '\\s+')) AS term
+         FROM norm WHERE ntext <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST((SELECT n_docs FROM nd) AS DOUBLE) / CAST(df.df AS DOUBLE))
+           AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE)
+                    * (CAST((SELECT n_docs FROM nd) AS DOUBLE)
+                       / CAST(df.df AS DOUBLE)) DESC, tf.term) AS rank
+  FROM tf JOIN df ON tf.term = df.term
+) WHERE rank <= 3
+""",
+    description="TF-IDF-style top-3 terms per document: tokenize → per-doc "
+    "term frequencies → corpus document frequencies → weight → per-doc "
+    "top-K. idf is the rational n_docs/df rather than its log: libm log() "
+    "is not correctly-rounded and drifts between JVM and C across engines, "
+    "while int-ratio ops are exact IEEE — same ranking monotonicity. Two "
+    "shuffles (doc_id+term, then term) + a broadcast scalar; the window "
+    "top-K shares the doc_id partitioning at scale.",
+    tags=("llm", "text", "window"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
     )

@@ -407,22 +407,28 @@ LIMIT 100
     tags=("agg", "join", "topk"),
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lineitem scan: the HAVING aggregate already yields the per-order
+    # quantity sum the projection needs, so (unlike the textbook Q18 plan,
+    # which semi-joins back into lineitem and re-aggregates post-join) the
+    # filtered aggregate joins straight to orders/customer — no second
+    # scan, no second big shuffle, same result.
     li = t(spark, sf_dir, "lineitem")
-    big_orders = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
-        .filter(F.col("qty_dec") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
-    )
+    big_orders = li.groupBy("l_orderkey").agg(
+        F.sum(dec("l_quantity")).alias("qty_dec")
+    ).filter(F.col("qty_dec") > 250)
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     return (
-        li.join(big_orders, F.col("big_orderkey") == F.col("l_orderkey"), "inner")
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        big_orders.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
-        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
@@ -579,4 +585,57 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
             / F.lit(1000000.0)
         ).alias("avg_view_to_purchase_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events retention — weekly cohort matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events
+  GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT strftime(cohort_week, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+       (CAST(epoch(active_week) AS BIGINT)
+        - CAST(epoch(cohort_week) AS BIGINT)) // 604800 AS week_offset,
+       COUNT(*) AS n_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+""",
+    description="Weekly retention cohort matrix over the events stream: "
+    "cohort = Monday-truncated week of each user's first event, offset = "
+    "whole weeks since (exact bigint epoch arithmetic), cell = distinct "
+    "active users. Two user_id-partitioned aggregates share one shuffle; "
+    "the (cohort, offset) rollup moves only group rows. The standard "
+    "engagement shape a training-data pipeline computes over interaction "
+    "logs.",
+    tags=("agg", "events"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd HH:mm:ss").alias("cohort_week"),
+            (
+                (F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+                / F.lit(604800)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
