@@ -202,3 +202,71 @@ def sample_frames(media: DataFrame, every_ms: int = 500, decoder: str = "fake") 
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA_DDL)
+
+
+AUDIO_WINDOW_SCHEMA_DDL = (
+    "media_id bigint, win_no int, win_start_ms int, rms double, "
+    "zero_crossings int, peak int"
+)
+
+
+def _decode_audio_fake(payload: bytes, meta: dict, n_samples: int) -> np.ndarray:
+    """Deterministic stand-in PCM decoder: payload-seeded PRNG int16
+    waveform. Same payload+meta → same samples, everywhere."""
+    seed = int.from_bytes(hashlib.md5(b"pcm" + payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(-(1 << 15), 1 << 15, size=n_samples, dtype=np.int64)
+
+
+def extract_audio_features(
+    media: DataFrame, window_ms: int = 250, decoder: str = "fake"
+) -> DataFrame:
+    """Audio rows → one row per fixed-length analysis window (1:N) with
+    RMS energy, zero-crossing count, and peak amplitude — the windowed
+    feature shape a speech/audio training pipeline computes before
+    filtering segments.
+
+    Pure-numpy DSP over the decoded PCM block; the codec boundary is the
+    same DECODERS stub contract as images (real libav decode drops in
+    without touching the Spark plumbing). Window math is integer-exact;
+    RMS is one sqrt per window.
+    """
+    if decoder == "real":
+        _decode_real(b"", {})  # raises NotImplementedError at plan-build time
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                rate, duration = int(meta["sample_rate"]), int(meta["duration_ms"])
+                samples = _decode_audio_fake(
+                    bytes(row["payload"]), meta, rate * duration // 1000
+                )
+                win = rate * window_ms // 1000
+                for i in range(0, max(len(samples) - win + 1, 1), win):
+                    seg = samples[i : i + win]
+                    if len(seg) == 0:
+                        continue
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "win_no": i // win,
+                            "win_start_ms": i * 1000 // rate,
+                            "rms": float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))),
+                            "zero_crossings": int(np.sum(np.abs(np.diff(np.sign(seg))) > 1)),
+                            "peak": int(np.max(np.abs(seg))),
+                        }
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype="int64"),
+                    "win_no": pd.Series(dtype="int32"),
+                    "win_start_ms": pd.Series(dtype="int32"),
+                    "rms": pd.Series(dtype="float64"),
+                    "zero_crossings": pd.Series(dtype="int32"),
+                    "peak": pd.Series(dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA_DDL)

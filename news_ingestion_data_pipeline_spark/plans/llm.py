@@ -819,3 +819,22 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=None,  # payload-seeded PRNG decode is Python-side — rows-only
+    description="Audio feature windows: 250 ms RMS/zero-crossing/peak rows "
+    "per media payload via Arrow-batched mapInPandas (1:N explode). Bounded "
+    "to 200 media rows like the frame sampler; the windowed-DSP shape is "
+    "the contract, the fake PCM decode is the stubbed codec boundary.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
+    media = mm.synthesize_media(docs, kind="audio").repartition(8, "media_id")
+    return mm.extract_audio_features(media, window_ms=250).select(
+        "media_id", "win_no", "win_start_ms", "rms", "zero_crossings", "peak"
+    ).orderBy("media_id", "win_no")

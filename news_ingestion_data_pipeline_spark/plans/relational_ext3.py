@@ -639,3 +639,66 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cross join + bag union (the §2.12 set/join shapes not yet named)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_cross_grid",
+    oracle="""
+SELECT r_name, n_name, r_regionkey * 100 + n_nationkey AS grid_code
+FROM region CROSS JOIN nation
+""",
+    description="Explicit Cartesian product of the two smallest dims (5×25) "
+    "— the dimension-grid shape (every region × every nation). Planned as "
+    "BroadcastNestedLoopJoin; never valid between facts at scale, which is "
+    "why every other pair-generating query here blocks or buckets first.",
+    tags=("join",),
+)
+def join_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    return region.crossJoin(F.broadcast(nation)).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("grid_code"),
+    )
+
+
+@register(
+    "set_union_all_priorities",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM (
+  SELECT o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  UNION ALL
+  SELECT o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+)
+GROUP BY o_orderpriority
+""",
+    description="Bag union (unionAll, duplicates preserved — overlapping "
+    "date slices count twice) then a counting rollup; the union is a "
+    "zero-shuffle concatenation of the two pruned scans.",
+    tags=("setop", "agg"),
+)
+def set_union_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def sl(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        ).select("o_orderpriority")
+
+    return (
+        sl("1996-01-01", "1997-01-01")
+        .unionAll(sl("1996-07-01", "1997-07-01"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -323,3 +323,69 @@ def stream_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(res, "stream_session_mem")
+
+
+@register(
+    "stream_stateful_counts",
+    oracle="""
+SELECT event_type, COUNT(*) AS total,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events
+GROUP BY event_type
+""",
+    description="REAL streaming applyInPandasWithState execution: arbitrary "
+    "per-group state (running count + max event time) evolved across "
+    "micro-batches, Arrow-batched — the custom-stateful-operator escape "
+    "hatch Spark's built-ins don't cover. Under AvailableNow the single "
+    "events file is one micro-batch, so update-mode output is each group's "
+    "final state and the drained sink oracle-checks against the batch "
+    "GROUP BY. State is O(#event types) regardless of row volume.",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        total, max_ts = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            total += len(pdf)
+            m = pdf["ts"].max()
+            if pd.notna(m):
+                max_ts = m if max_ts is None else max(max_ts, m)
+        state.update((total, max_ts))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "total": [total], "max_ts": [max_ts]}
+        )
+
+    res = (
+        _events_stream(spark, sf_dir)
+        .select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_type string, total bigint, max_ts timestamp",
+            stateStructType="total bigint, max_ts timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    spark_session = spark
+    name = "stream_stateful_mem"
+    for q in spark_session.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark_session.table(name).select(
+        "event_type", "total", ts_str("max_ts").alias("max_ts")
+    )
