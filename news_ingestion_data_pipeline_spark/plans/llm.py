@@ -549,22 +549,46 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_topk",
     oracle=f"""
-WITH sig AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_hyperplane_sql_bits(_PLANES)} AS bucket
-  FROM embeddings
-), q AS (SELECT * FROM sig WHERE vec_id < 10)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, embedding::DOUBLE[] AS v, {ti} AS tbl, "
+      f"{_hyperplane_sql_bits(SIM.make_hyperplanes(64, 4, 42 + ti))} AS bucket "
+      "FROM embeddings"
+      for ti in range(4)
+  )}
+), qsig AS (SELECT * FROM sig WHERE vec_id < 10),
+probes AS (
+  SELECT vec_id, tbl, bucket FROM qsig
+  {"".join(
+      "UNION ALL SELECT vec_id, tbl, "
+      f"substr(bucket, 1, {i}) || "
+      f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+      f"substr(bucket, {i + 2}) AS bucket FROM qsig "
+      for i in range(4)
+  )}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM sig a JOIN probes q ON a.tbl = q.tbl AND a.bucket = q.bucket
+  WHERE a.vec_id != q.vec_id
+)
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-         {_SQL_COS} AS cos_sim,
-         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+  SELECT c.query_id, c.neighbor_id, {_SQL_COS} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
                             ORDER BY {_SQL_COS} DESC, a.vec_id) AS rank
-  FROM sig a JOIN q ON a.bucket = q.bucket AND a.vec_id != q.vec_id
+  FROM cand c
+  JOIN e a ON a.vec_id = c.neighbor_id
+  JOIN e q ON q.vec_id = c.query_id
 ) WHERE rank <= 5
 """,
-    description="LSH-bucketed approximate top-5: candidates share the "
-    "8-bit hyperplane signature; exact cosine re-rank within the bucket. "
-    "The 100 TB path (equi-join, no cross join).",
+    description="LSH approximate top-5 via the AND-OR construction: 4 "
+    "independent 4-bit hyperplane tables (candidate = full-signature match "
+    "in ANY table) + hamming-1 multi-probe per table, exact cosine re-rank "
+    "over deduped candidates. One 8-bit table had recall@5 0.02; this "
+    "composition measures 0.94 at sf0.01 with the candidate generation "
+    "still a linear equi-join on (table, bucket) — the 100 TB path; the "
+    "probes multiply only the query side, the corpus index is rows × "
+    "n_tables.",
     tags=("llm", "similarity"),
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,9 +596,9 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return SIM.lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dim=64, seed=42).select(
-        "query_id", "neighbor_id", "cos_sim", "rank"
-    )
+    return SIM.lsh_bucketed_topk(
+        emb, queries, k=5, n_planes=4, n_tables=4, dim=64, seed=42, multi_probe=True
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
 @register(

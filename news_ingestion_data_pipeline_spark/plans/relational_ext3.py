@@ -702,3 +702,69 @@ def set_union_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation — salted join / salted two-phase agg (oracle = unsalted)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+    description="Salted equi-join (8 deterministic salts: lineitem side "
+    "hashed on non-key cols, orders side exploded ×8) proving the skew "
+    "rewrite is semantics-preserving — the oracle is the PLAIN join. "
+    "Shuffle key (orderkey, salt) bounds any hot key's task at 1/8 of its "
+    "rows; the tool for joins AQE can't split (operators/skew.py).",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import skew
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = skew.salted_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        salt_from=["l_linenumber", "l_partkey"], n_salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="Salted two-phase aggregation (partial per (key, salt), "
+    "final per key) for monster-group keys AQE can't split — 3 return "
+    "flags over 600k rows is exactly the cardinality regime. Oracle is the "
+    "plain GROUP BY; decimal sums make the two-phase merge exact.",
+    tags=("agg", "skew"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import skew
+
+    li = t(spark, sf_dir, "lineitem")
+    res = skew.salted_sum_count(
+        li,
+        group_keys=["l_returnflag"],
+        sum_cols={"sum_qty": dec("l_quantity")},
+        salt_from=["l_orderkey", "l_linenumber"],
+        n_salt=8,
+    )
+    return res.select(
+        "l_returnflag", F.col("sum_qty").cast("double").alias("sum_qty"), "n_rows"
+    )

@@ -65,3 +65,31 @@ def test_frame_sampling_counts(media):
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError):
         mm.DECODERS["real"](b"bytes", {"height": 2, "width": 2, "channels": 3})
+
+
+def test_audio_windows_shape_and_determinism(spark):
+    from news_ingestion_data_pipeline_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").orderBy("doc_id").limit(20)
+    media = mm.synthesize_media(docs, kind="audio")
+    out1 = mm.extract_audio_features(media, window_ms=250).collect()
+    out2 = mm.extract_audio_features(media, window_ms=250).collect()
+    assert len(out1) > 0
+    # deterministic: same payloads -> identical windows
+    key = lambda r: (r.media_id, r.win_no)  # noqa: E731
+    assert {key(r): (r.rms, r.zero_crossings, r.peak) for r in out1} == {
+        key(r): (r.rms, r.zero_crossings, r.peak) for r in out2
+    }
+    # window sequencing: contiguous win_no from 0, 250ms apart at 16kHz
+    rows = sorted((r for r in out1 if r.media_id == out1[0].media_id), key=lambda r: r.win_no)
+    assert [r.win_no for r in rows] == list(range(len(rows)))
+    assert all(b.win_start_ms - a.win_start_ms == 250 for a, b in zip(rows, rows[1:]))
+    # n windows = duration/250 for each media row (duration from meta)
+    metas = {r.media_id: r.meta["duration_ms"] for r in media.select("media_id", "meta").collect()}
+    from collections import Counter
+    counts = Counter(r.media_id for r in out1)
+    for mid, dur in metas.items():
+        assert counts[mid] == dur // 250
+    # physical sanity: rms <= peak, peak within int16 magnitude
+    assert all(0 <= r.rms <= r.peak <= (1 << 15) for r in out1)
