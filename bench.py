@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_lang_id",
     "text_tfidf_top_terms",
+    "text_zscore_by_lang",
     "events_retention_cohorts",
     "text_simhash",
     "text_rolling_hash",

@@ -862,3 +862,51 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_audio_features(media, window_ms=250).select(
         "media_id", "win_no", "win_start_ms", "rms", "zero_crossings", "peak"
     ).orderBy("media_id", "win_no")
+
+
+@register(
+    "text_zscore_by_lang",
+    oracle="""
+WITH g AS (
+  SELECT lang, COUNT(*) AS n, SUM(n_chars) AS s,
+         SUM(n_chars * n_chars) AS ss
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, lang,
+       CAST((n_chars - CAST(s AS DOUBLE) / n)
+            / sqrt((ss - CAST(s * s AS DOUBLE) / n) / (n - 1)) AS DOUBLE) AS z
+FROM documents JOIN g USING (lang)
+""",
+    description="Per-language z-score of document length via grouped-map "
+    "applyInPandas — the one Arrow grouped-map API not otherwise exercised. "
+    "Cross-engine bit-parity is engineered: group sums s=Σx and ss=Σx² are "
+    "exact int64 (lengths are ints), and both engines then apply the "
+    "identical IEEE op sequence (x − s/n) / sqrt((ss − s²/n)/(n−1)) — no "
+    "Welford/pairwise variance, which would drift. At scale this is one "
+    "shuffle on the group key with Arrow batches per group.",
+    tags=("llm", "text", "pandas"),
+)
+def text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"]
+        n = len(pdf)
+        s = int(x.sum())
+        ss = int((x.astype("int64") * x.astype("int64")).sum())
+        mean = s / n
+        std = math.sqrt((ss - (s * s) / n) / (n - 1)) if n > 1 else float("nan")
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z": (x - mean) / std,
+            }
+        )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id bigint, lang string, z double"
+    )
