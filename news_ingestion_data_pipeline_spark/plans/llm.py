@@ -910,3 +910,56 @@ def text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         zscore, schema="doc_id bigint, lang string, z double"
     )
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=None,  # candidate set depends on MinHash signatures — rows-only
+    description="The complete scalable near-dup pipeline composed end to "
+    "end: MinHash-LSH banding proposes candidate pairs (O(docs×bands) "
+    "shuffle), then exact character-5-gram Jaccard verifies ONLY those "
+    "candidates and keeps pairs ≥ 0.4. Per-pair array_intersect is the "
+    "right tool at this stage — candidates are few — whereas "
+    "dedup_ngram_jaccard's inverted index is the right tool for exhaustive "
+    "in-block search; together they bracket the design space. At 100 TB "
+    "this composition (cheap recall stage → exact precision stage over "
+    "candidates) is the only shape that works.",
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cands = DD.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+    hashed = F.array_distinct(
+        F.transform(
+            TX.char_ngrams(F.col("text"), 5),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    sh = docs.select(F.col("doc_id"), hashed.alias("shingles"), F.size(hashed).alias("sz"))
+    sa = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") * F.lit(1.0)
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("id_a", "id_b", "n_bands_matched", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

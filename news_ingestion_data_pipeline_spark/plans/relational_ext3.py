@@ -848,3 +848,71 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mkt_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q21 — sole late supplier (EXISTS + NOT EXISTS, both correlated to the fact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM li l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+""",
+    description="TPC-H Q21 shape (no receiptdate in this corpus → late = "
+    "shipped >90 days after order date): the double-correlated pattern — "
+    "EXISTS(another supplier in the order) AND NOT EXISTS(another LATE "
+    "supplier in the order) — decorrelated into a left-semi then left-anti "
+    "hash join on the same shuffle key, with non-equi supplier residuals. "
+    "Both probes reuse the orderkey partitioning; supplier is broadcast.",
+    tags=("join", "subquery", "agg"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    late = li.filter(is_late)
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("ok2") == F.col("l_orderkey")) & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("ok3") == F.col("l_orderkey")) & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -41,13 +41,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
         # read nanos as long and floor-convert to micros (identical to how
         # micro-precision engines, incl. DuckDB, surface the same file).
+        # Re-materialized events tables (e.g. tools/scale_smoke.py output)
+        # already carry micros TIMESTAMP — convert only when ts reads as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return (
-            spark.read.parquet(table_path(sf_dir, name))
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,0 +1,97 @@
+"""Scale smoke: do the headline plans scale ~linearly when the facts grow 8×?
+
+Builds /tmp/spark_graft_scale8 by unioning sf0.1's fact tables 8 times with
+key offsets (each copy joins/sessionizes within itself — same join
+selectivity, 8× the rows; dims are shared), then times a query set at 1×
+and 8× and prints the ratios. A plan that would die at 100 TB (quadratic
+pair growth, driver collect, single-partition sort) shows up here as a
+ratio far above ~8.
+
+Document/dedup ops are deliberately excluded: replicating documents 8×
+manufactures a pathological every-doc-has-8-near-dups corpus, which is a
+duplicate-EXPLOSION stress test, not a scaling measurement (the honest
+dedup scaling evidence is the sf0.01 → sf0.1 ratio in bench runs).
+
+Usage: python tools/scale_smoke.py [n_copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark import get_spark
+from news_ingestion_data_pipeline_spark.plans import REGISTRY
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/spark_graft_scale8"
+KEY_OFFSET = 1 << 33
+
+#: fact table → columns to offset per copy (keys that must stay
+#: copy-local so joins/sessions keep their selectivity)
+FACTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
+    "window_session_10m",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+]
+
+
+def build(spark, n_copies: int) -> None:
+    from news_ingestion_data_pipeline_spark.tables import load_table
+
+    for name, keys in FACTS.items():
+        df = load_table(spark, BASE, name)
+        copies = []
+        for i in range(n_copies):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionAll(c)
+        out.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+    for name in DIMS:
+        load_table(spark, BASE, name).write.mode("overwrite").parquet(
+            f"{OUT}/{name}.parquet"
+        )
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark("scale_smoke")
+    print(f"# building {n_copies}x facts at {OUT}", file=sys.stderr)
+    build(spark, n_copies)
+    print(f"{'query':34s} {'1x':>7s} {'8x':>8s} {'ratio':>6s}")
+    for name in QUERIES:
+        time_query(spark, name, "/root/testdata/sf0.001")  # warm the shape
+        t1 = time_query(spark, name, BASE)
+        t8 = time_query(spark, name, OUT)
+        print(f"{name:34s} {t1:6.2f}s {t8:7.2f}s {t8 / t1:5.1f}x")
+
+
+if __name__ == "__main__":
+    main()
