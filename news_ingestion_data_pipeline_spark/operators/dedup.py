@@ -355,3 +355,68 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (node,
+    component) with component = min node id in the component.
+
+    Iterative min-label propagation as plain DataFrame joins: each round
+    every node takes the min of its own label and its neighbors' labels;
+    convergence when no label changes (checked with a driver-side count —
+    iteration CONTROL on the driver, never data). Rounds needed = graph
+    diameter; near-dup graphs are star-shaped clusters, so 2-4 rounds in
+    practice, bounded by ``max_iter``.
+
+    This is the duplicate-CLUSTERING step after pair generation: a keep-one
+    policy needs the transitive closure (A≈B, B≈C ⇒ {A,B,C} one group),
+    not the raw pairs. At 100 TB swap the per-round full propagation for
+    the large-star/small-star alternation (same join primitives, provably
+    fewer rounds on high-degree graphs); per-round persist + unpersist
+    keeps the lineage from growing unboundedly either way.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("node") == F.col("node2"), "left_outer")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", "comp")

@@ -963,3 +963,83 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_bands_matched", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_connected_clusters",
+    oracle=f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, lang, CAST(round(n_chars, -2) AS BIGINT) AS len_bucket,
+         {SQL_NORM.format(col='text')} AS s
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang, len_bucket, {_SQL_SHINGLES.format(s='s')} AS shingles
+  FROM norm
+), edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  WHERE 4 * len(list_intersect(a.shingles, b.shingles))
+        >= len(a.shingles) + len(b.shingles)
+), sym AS (
+  SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges
+), reach(v, w) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.v, s.b FROM reach r JOIN sym s ON s.a = r.w
+)
+SELECT v AS doc_id, MIN(w) AS cluster_id FROM reach GROUP BY v
+""",
+    description="Duplicate CLUSTERS, not just pairs: near-dup edges "
+    "(blocked char-5-gram Jaccard ≥ 1/3, exact integer form 4·|A∩B| ≥ "
+    "|A|+|B|) → connected components via iterative min-label propagation "
+    "(operators/dedup.connected_components — driver controls iteration, "
+    "data never leaves executors; rounds = cluster diameter). The "
+    "transitive-closure step every keep-one dedup policy needs (A≈B, B≈C "
+    "⇒ one group). Oracle: recursive-CTE reachability + MIN.",
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    hashed = F.array_distinct(
+        F.transform(
+            TX.char_ngrams(F.col("text"), 5),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    d = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("n_chars"), -2).cast("bigint").alias("len_bucket"),
+        hashed.alias("shingles"),
+    ).withColumn("sz", F.size("shingles"))
+    sh = d.select(
+        "doc_id", "lang", "len_bucket", "sz", F.explode("shingles").alias("h")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_rows = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.greatest(F.col("a.sz"), F.col("b.sz"))
+            <= F.lit(3) * F.least(F.col("a.sz"), F.col("b.sz"))
+        ),
+    )
+    edges = (
+        pair_rows.groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.lit(4) * F.col("inter") >= F.col("sa") + F.col("sb"))
+        .select("id_a", "id_b")
+    )
+    return DD.connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )

@@ -83,3 +83,19 @@ def test_salted_agg_equals_plain(spark):
     assert {(r.l_returnflag, r.sum_qty, r.n_rows) for r in plain} == {
         (r.l_returnflag, r.sum_qty, r.n_rows) for r in salted
     }
+
+
+def test_connected_components_chain_star_pair(spark):
+    """Chain 1-2-3-4-5 (diameter forces >1 round), star 10-(11,12,13),
+    isolated pair 20-21: every node labels with its component's min id."""
+    from news_ingestion_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    want = {(n, 1) for n in [1, 2, 3, 4, 5]}
+    want |= {(n, 10) for n in [10, 11, 12, 13]}
+    want |= {(20, 20), (21, 20)}
+    assert got == want
