@@ -916,3 +916,39 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q11 — groups above a fraction of the global total
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH r AS (
+  SELECT l_partkey, SUM({_DISC_PRICE}) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT SUM(rev_dec) AS total_dec FROM r)
+SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue
+FROM r, tot
+WHERE CAST(rev_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.0008
+""",
+    description="TPC-H Q11 shape (no partsupp → per-part revenue): keep "
+    "groups whose sum exceeds a fraction of the GLOBAL total — the "
+    "same-aggregate-twice pattern where the scalar total re-aggregates the "
+    "grouped result (no second fact scan) and broadcasts as a 1-row join; "
+    "exact decimal sums make the threshold comparison engine-stable.",
+    tags=("agg", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("rev_dec"))
+    total = per_part.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        per_part.join(
+            F.broadcast(total),
+            F.col("rev_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.0008,
+        )
+        .select("l_partkey", F.col("rev_dec").cast("double").alias("revenue"))
+    )
