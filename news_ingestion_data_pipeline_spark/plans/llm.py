@@ -1043,3 +1043,32 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+_PROFILE_SPECS = [
+    ("l_orderkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+@register(
+    "profile_lineitem",
+    oracle=__import__(
+        "news_ingestion_data_pipeline_spark.operators.profile", fromlist=["x"]
+    ).profile_oracle_sql("lineitem", _PROFILE_SPECS),
+    description="Data-quality profile of lineitem: per-column row/null/"
+    "exact-distinct counts and typed-formatted min/max for 7 columns, "
+    "computed in ONE wide aggregate pass (partial map-side) then unpivoted "
+    "— the pre-training table audit. The oracle unions per-column SELECTs; "
+    "only the Spark side is required to be single-scan.",
+    tags=("llm", "profile", "agg"),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators.profile import profile_columns
+
+    return profile_columns(t(spark, sf_dir, "lineitem"), _PROFILE_SPECS)
