@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "text_simhash",
     "text_rolling_hash",
     "dedup_minhash_candidates",
+    "dedup_minhash_verified",
     "dedup_ngram_jaccard",
     "dedup_embedding_neardup",
     "sim_cosine_topk",

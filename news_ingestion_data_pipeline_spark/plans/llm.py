@@ -927,6 +927,8 @@ def text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
     docs = t(spark, sf_dir, "documents")
     cands = DD.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
     hashed = F.array_distinct(
@@ -935,7 +937,12 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
         )
     )
-    sh = docs.select(F.col("doc_id"), hashed.alias("shingles"), F.size(hashed).alias("sz"))
+    # spread + persist: shingling is the heavy map compute (16s single-
+    # partition at sf0.1) and BOTH join sides consume it — without persist
+    # each side recomputes it (measured 42s → 13s end-to-end with both).
+    sh = spread(docs).select(
+        F.col("doc_id"), hashed.alias("shingles"), F.size(hashed).alias("sz")
+    ).persist()
     sa = sh.select(
         F.col("doc_id").alias("id_a"),
         F.col("shingles").alias("sh_a"),
@@ -947,9 +954,17 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz").alias("sz_b"),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # J >= 0.4 = 2/5 forces 2*max(sz) <= 5*min(sz) (since |A∩B| <= min and
+    # 7|A∩B| >= 2(sa+sb)) — prune candidate pairs on two ints before the
+    # array intersect touches the shingle arrays.
+    size_ok = (
+        F.lit(2) * F.greatest(F.col("sz_a"), F.col("sz_b"))
+        <= F.lit(5) * F.least(F.col("sz_a"), F.col("sz_b"))
+    )
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(size_ok)
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",
