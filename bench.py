@@ -68,6 +68,12 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
+    # Each query measured independently: operators that persist
+    # intermediates (LSH band tables, shingle tables) would otherwise
+    # accumulate in storage memory across the suite, squeezing execution
+    # memory for later shuffles into spill (measured 4s → 55s on the
+    # embedding-neardup query once earlier persists piled up).
+    spark.catalog.clearCache()
     # Steady-state measurement: run the same plan shape once at the tiny SF
     # first so codegen compilation/planning is paid outside the timed window
     # (a cluster runs a query shape thousands of times; compile-once is the

@@ -40,7 +40,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 24g, not the machine's full 128g: this single local JVM is
+        # driver+executors, and a huge G1 heap filling with humongous array
+        # allocations (shingle/embedding arrays) hits multi-tens-of-seconds
+        # full-GC pauses — measured a 5s query spiking to 70s at 48g, stable
+        # at 16-24g. Right-sizing the heap IS the fix, not GC flags.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
