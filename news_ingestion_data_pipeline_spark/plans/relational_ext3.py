@@ -952,3 +952,146 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", F.col("rev_dec").cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q12 — shipping tiers × priority classes (dual conditional counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_late_shipment_tiers",
+    oracle="""
+SELECT ship_tier,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM (
+  SELECT CASE WHEN l_quantity > 25 THEN 'BULK' ELSE 'SMALL' END AS ship_tier,
+         o_orderpriority
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    AND l_shipdate < o_orderdate + INTERVAL 120 DAY
+)
+GROUP BY ship_tier
+""",
+    description="TPC-H Q12 shape (no shipmode column → quantity tiers): "
+    "late-shipped lines bucketed BULK/SMALL with dual conditional priority "
+    "counts — one pass, one two-group shuffle, the date-window residual "
+    "evaluated inside the join.",
+    tags=("join", "agg"),
+)
+def q12_late_shipment_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    joined = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.select(
+            F.when(F.col("l_quantity") > 25, "BULK").otherwise("SMALL").alias(
+                "ship_tier"
+            ),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_tier")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — dominant suppliers (hierarchical re-aggregation + ratio threshold)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, SUM(qty) AS tqty FROM ps GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS n_dominant_parts
+FROM ps JOIN tot USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE CAST(qty AS DOUBLE) > 0.15 * CAST(tqty AS DOUBLE)
+GROUP BY s_suppkey, s_name
+""",
+    description="TPC-H Q20 shape (no partsupp → lineitem as the supply "
+    "relation): suppliers who shipped >15% of a part's volume, counted per "
+    "supplier. Hierarchical re-aggregation — (part, supplier) sums roll up "
+    "to part totals WITHOUT rescanning the fact; the ratio join re-uses "
+    "the first aggregate from both sides.",
+    tags=("agg", "join", "subquery"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("qty")
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("qty").alias("tqty"))
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        ps.join(tot, "l_partkey")
+        .filter(F.col("qty").cast("double") > 0.15 * F.col("tqty").cast("double"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 — argmin per group with join-back (min-cost supplier)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_balance_supplier",
+    oracle="""
+WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal
+  FROM part
+  JOIN rel ON l_partkey = p_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE p_size = 15 AND p_type = 'SMALL'
+)
+SELECT p_partkey, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM j
+WHERE s_acctbal = (SELECT MIN(j2.s_acctbal) FROM j j2
+                   WHERE j2.p_partkey = j.p_partkey)
+""",
+    description="TPC-H Q2 shape (lineitem as the part-supplier relation): "
+    "for each qualifying part, the supplier(s) with minimum account "
+    "balance — correlated MIN decorrelated to a per-part window min with "
+    "equality join-back; ties keep all argmin rows deterministically.",
+    tags=("subquery", "join", "window"),
+)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    j = (
+        rel.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
