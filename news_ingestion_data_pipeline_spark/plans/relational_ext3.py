@@ -1095,3 +1095,96 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events time-series similarity — behavioral top-k (cf. EDBT'19/'20 papers)
+# ---------------------------------------------------------------------------
+
+_SQL_UCOS = (
+    "round(list_dot_product(a.v, q.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v))), 6)"
+)
+
+
+@register(
+    "events_similar_users",
+    oracle=f"""
+WITH vec AS (
+  SELECT user_id,
+         [{", ".join(
+             "CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = " + str(d)
+             + " THEN 1 ELSE 0 END) AS DOUBLE)"
+             for d in range(7)
+         )}] AS v
+  FROM events GROUP BY user_id
+), q AS (
+  SELECT * FROM vec ORDER BY user_id LIMIT 10
+)
+SELECT query_user, neighbor_user, cos_sim, rank FROM (
+  SELECT q.user_id AS query_user, a.user_id AS neighbor_user,
+         {_SQL_UCOS} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.user_id
+                            ORDER BY {_SQL_UCOS} DESC, a.user_id) AS rank
+  FROM vec a CROSS JOIN q
+  WHERE a.user_id != q.user_id
+) WHERE rank <= 3
+""",
+    description="Time-series similarity search over the event stream "
+    "(the distributed-similarity-search shape from the retrieved EDBT "
+    "papers): each user's behavior becomes a 7-dim day-of-week activity "
+    "vector (exact integer counts cast to double), then cosine top-3 "
+    "neighbors for the 10 lowest-id users — broadcast-query scan, "
+    "per-partition top-K, same plan family as the embedding ANN path, so "
+    "the LSH/IVF variants apply unchanged when the vector dimension grows.",
+    tags=("events", "similarity", "window"),
+)
+def events_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.functions import vectors as V
+
+    ev = t(spark, sf_dir, "events")
+    # Spark dayofweek() is 1-7 (Sunday=1); DuckDB EXTRACT(dow) is 0-6
+    # (Sunday=0) — align by indexing Spark's value minus one.
+    vec = ev.groupBy("user_id").agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(F.dayofweek("ts") == d + 1, 1).otherwise(0)
+                ).cast("double")
+                for d in range(7)
+            ]
+        ).alias("v")
+    )
+    queries = vec.orderBy("user_id").limit(10).select(
+        F.col("user_id").alias("query_user"), F.col("v").alias("qv")
+    )
+    a = vec.select(
+        F.col("user_id").alias("neighbor_user"),
+        F.col("v").alias("av"),
+        V.norm(F.col("v")).alias("a_norm"),
+    )
+    q = F.broadcast(
+        queries.select(
+            "query_user", "qv", V.norm(F.col("qv")).alias("q_norm")
+        )
+    )
+    scored = (
+        a.crossJoin(q)
+        .filter(F.col("neighbor_user") != F.col("query_user"))
+        .select(
+            "query_user",
+            "neighbor_user",
+            F.round(
+                V.cosine_from_norms(
+                    F.col("av"), F.col("qv"), F.col("a_norm"), F.col("q_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_user").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_user")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
