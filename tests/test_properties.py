@@ -225,3 +225,38 @@ def test_upsert_idempotent_on_random_batches(spark, tmp_path, seed):
     assert first == second
     # last-write-wins per key: every key present exactly once
     assert len(first) == len({r.Article_id for r in rows})
+
+
+# ---- connected components vs a pure-Python union-find ----
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def model_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    from news_ingestion_data_pipeline_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == model_components(edges)
