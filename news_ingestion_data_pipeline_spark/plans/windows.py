@@ -389,3 +389,48 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_session.table(name).select(
         "event_type", "total", ts_str("max_ts").alias("max_ts")
     )
+
+
+@register(
+    "stream_dedup_availablenow",
+    oracle="""
+SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute_ts
+FROM events
+""",
+    description="REAL streaming dropDuplicatesWithinWatermark execution — "
+    "the principled form of the reference's in-run seen-ids set "
+    "(PhocusWire/PhocusWireSource.py:155-158): first event per (user, "
+    "type, minute) key passes, later arrivals inside the watermark horizon "
+    "are suppressed, state ages out beyond it. Dedup is a stateful FILTER "
+    "(not an aggregate), so append mode emits immediately and loses "
+    "nothing at end-of-input. Only key columns are projected: which "
+    "physical row 'wins' per key depends on partition arrival order, but "
+    "the KEY SET is deterministic — hence an exact DISTINCT oracle.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = (
+        _events_stream(spark, sf_dir)
+        .withColumn("minute_ts", F.date_trunc("minute", "ts"))
+        .withWatermark("minute_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_ts"])
+        .select("user_id", "event_type", "minute_ts")
+    )
+    spark_session = spark
+    name = "stream_dedup_mem"
+    for q in spark_session.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark_session.table(name).select(
+        "user_id", "event_type", ts_str("minute_ts").alias("minute_ts")
+    )
