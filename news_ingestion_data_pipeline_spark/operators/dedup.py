@@ -420,3 +420,69 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("node", "comp")
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Banded candidate generation (pigeonhole): split the 64-bit fingerprint
+    into ``bands`` chunks — any pair within hamming ≤ max_hamming agrees
+    exactly on at least one chunk whenever max_hamming < bands... strictly,
+    a pair differing in ≤ (bands-1) chunk-disjoint bit positions must match
+    on ≥1 chunk; with 4 bands this is guaranteed for hamming ≤ 3 and
+    heuristic above (standard banded-simhash recall trade-off). Candidates
+    equi-join on (band, chunk); exact hamming via XOR + bit_count verifies.
+    Shuffle is O(docs × bands) — the same scale shape as MinHash banding.
+    """
+    rows_per_band = 16 // bands  # hex chars per band over the 16-hex hash
+    # 64-bit hash as two 32-bit halves for XOR+bit_count: conv of the full
+    # 16 hex chars can exceed 2^63 and corrupt the signed long.
+    hi = F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long")
+    fp = simhash_fingerprints(docs, id_col, text_col).select(
+        "id", "simhash", hi.alias("hi"), lo.alias("lo")
+    )
+    entries = fp.select(
+        "id",
+        "simhash",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * rows_per_band + 1, rows_per_band).alias(
+                            "chunk"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", "hi", "lo", F.col("bc.band"), F.col("bc.chunk"))
+    a, b = entries.alias("a"), entries.alias("b")
+    ham = F.bit_count(
+        F.col("a.hi").bitwiseXOR(F.col("b.hi"))
+    ) + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1087,3 +1087,20 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.operators.profile import profile_columns
 
     return profile_columns(t(spark, sf_dir, "lineitem"), _PROFILE_SPECS)
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=None,  # simhash bit-vote construction impractical as one SQL string
+    description="SimHash near-duplicate pairs: banded 64-bit fingerprints "
+    "(4 × 16-bit chunks, pigeonhole candidate generation — the same "
+    "O(docs×bands) shuffle shape as MinHash banding) verified by exact "
+    "hamming distance ≤ 6 via XOR + bit_count on two 32-bit halves. "
+    "Completes the simhash path: fingerprints (text_simhash) → pairs. "
+    "Rows-only check.",
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_hamming_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=6, bands=4
+    ).orderBy("id_a", "id_b")

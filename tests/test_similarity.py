@@ -59,3 +59,20 @@ def test_approximate_sims_match_exact_values(spark):
             key = (r.query_id, r.neighbor_id)
             if key in bf:
                 assert r.cos_sim == bf[key], (name, key)
+
+
+def test_simhash_pairs_recall_high_jaccard(spark):
+    """SimHash hamming<=6 candidates must recover most pairs the exact
+    jaccard>=0.5 search finds (measured 6/8 at sf0.001, 6/6 at sf0.01 —
+    the floor leaves room for the known banded-recall trade-off)."""
+    jac = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_simhash_hamming"].fn(spark, SF_SMOKE).collect()
+    }
+    assert jac, "fixture should contain near-duplicate pairs"
+    recall = len(jac & sim) / len(jac)
+    assert recall >= 0.6, f"simhash pair recall collapsed: {recall:.2f}"
