@@ -1188,3 +1188,49 @@ def events_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic mode — most frequent value per group (argmax of counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, qty AS modal_qty, n AS n_occurrences
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY n DESC, qty) AS rn
+  FROM c
+) WHERE rn = 1
+""",
+    description="Deterministic per-group mode: most frequent quantity per "
+    "order priority via count-then-argmax (row_number with a value "
+    "tiebreak) — the portable form of MODE(), whose tie behavior is "
+    "engine-defined. Two aggregations share one shuffle; the argmax window "
+    "runs over the already-tiny count table.",
+    tags=("agg", "window"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    counts = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority", F.col("l_quantity").cast("bigint").alias("qty"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("n"), F.asc("qty"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("qty").alias("modal_qty"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
