@@ -8,6 +8,7 @@ DuckDB. Column names/aliases match exactly between the two.
 
 from news_ingestion_data_pipeline_spark.plans.registry import REGISTRY, Query  # noqa: F401
 from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
+    curation,
     llm,
     pipeline,
     relational,
