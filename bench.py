@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "sim_lsh_topk",
     "sim_ivf_topk",
     "multimodal_binary_stats",
+    "curation_decontaminate",
+    "curation_chunk_windows",
+    "curation_token_estimate",
+    "events_gaps_islands",
 ]
 
 

@@ -14,6 +14,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     relational,
     relational_ext,
     relational_ext3,
+    relational_ext4,
     sqlapi,
     windows,
 )
