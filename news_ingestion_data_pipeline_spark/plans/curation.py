@@ -300,6 +300,105 @@ def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composite quality filter (Gopher-style rule bundle)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS_LOWER = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_STOPS = "', '".join(TX.QUALITY_STOPWORDS)
+
+
+@register(
+    "curation_quality_filter",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKS_LOWER}) AS BIGINT) AS n_tokens,
+         round(list_sum(list_transform({_SQL_TOKS_LOWER}, x -> length(x))) * 1.0
+               / greatest(len({_SQL_TOKS_LOWER}), 1), 6) AS mean_word_len,
+         round(len(list_filter({_SQL_TOKS_LOWER}, x -> x IN ('{_SQL_STOPS}'))) * 1.0
+               / greatest(len({_SQL_TOKS_LOWER}), 1), 6) AS stop_ratio,
+         round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(list_max(list_transform(list_distinct({_SQL_TOKS_LOWER}),
+                   w -> len(list_filter({_SQL_TOKS_LOWER}, x -> x = w)))) * 1.0
+               / greatest(len({_SQL_TOKS_LOWER}), 1), 6) AS top_word_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (n_tokens BETWEEN 10 AND 1000) AS ok_length,
+       (mean_word_len BETWEEN 2.0 AND 12.0) AS ok_word_len,
+       (stop_ratio >= 0.01) AS ok_stopwords,
+       (punct_ratio <= 0.1) AS ok_punct,
+       (top_word_ratio <= 0.25) AS ok_repetition,
+       ((n_tokens BETWEEN 10 AND 1000)
+        AND (mean_word_len BETWEEN 2.0 AND 12.0)
+        AND (stop_ratio >= 0.01)
+        AND (punct_ratio <= 0.1)
+        AND (top_word_ratio <= 0.25)) AS passed
+FROM feats
+""",
+    description="Composite quality filter (Gopher-style rule bundle): "
+    "length, mean word length, stopword floor, punctuation ceiling, and "
+    "top-word repetition cap, emitted as per-rule flags + the conjunction "
+    "(keep the flags — at scale you audit WHY docs drop, not just that "
+    "they do). Map-only; the repetition rule is O(distinct·len) list "
+    "arithmetic inside codegen, no shuffle anywhere.",
+    tags=("llm", "curation", "text"),
+)
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    # Each ratio binds the token array once (_bind): the repetition rule's
+    # inner F.filter would otherwise re-tokenize the document per element.
+    mean_word_len = TX._bind(
+        toks,
+        lambda tk: F.round(
+            F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x))
+            * F.lit(1.0)
+            / F.greatest(F.size(tk), F.lit(1)),
+            6,
+        ),
+    )
+    top_word_ratio = TX._bind(
+        toks,
+        lambda tk: F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(tk),
+                    lambda w: F.size(F.filter(tk, lambda x: x == w)),
+                )
+            )
+            * F.lit(1.0)
+            / F.greatest(F.size(tk), F.lit(1)),
+            6,
+        ),
+    )
+    feats = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        TX.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+        top_word_ratio.alias("top_word_ratio"),
+    )
+    ok_length = F.col("n_tokens").between(10, 1000)
+    ok_word_len = F.col("mean_word_len").between(2.0, 12.0)
+    ok_stop = F.col("stop_ratio") >= 0.01
+    ok_punct = F.col("punct_ratio") <= 0.1
+    ok_rep = F.col("top_word_ratio") <= 0.25
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_punct.alias("ok_punct"),
+        ok_rep.alias("ok_repetition"),
+        (ok_length & ok_word_len & ok_stop & ok_punct & ok_rep).alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gaps-and-islands sessionization (pure-window form)
 # ---------------------------------------------------------------------------
 
@@ -412,3 +511,45 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus dedup: pairs → clusters → one survivor per cluster
+# ---------------------------------------------------------------------------
+
+# Imported at module bottom to reuse the registered cluster query (llm.py
+# registers before this executes — plans/__init__ imports curation first,
+# which triggers the llm import here, completing llm's registrations before
+# the decorator below runs).
+from news_ingestion_data_pipeline_spark.plans.llm import (  # noqa: E402
+    dedup_connected_clusters,
+)
+from news_ingestion_data_pipeline_spark.plans.registry import REGISTRY  # noqa: E402
+
+_CLUSTERS_SQL = REGISTRY["dedup_connected_clusters"].oracle
+
+
+@register(
+    "curation_dedup_corpus",
+    oracle=f"""
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({_CLUSTERS_SQL}) c WHERE c.doc_id <> c.cluster_id
+)
+""",
+    description="The dedup pipeline's actual deliverable: the cleaned "
+    "corpus. Near-dup pairs → connected components (transitive closure) → "
+    "keep the min-id member of each cluster, drop the rest via anti-join. "
+    "Non-canonical ids are a small fraction of the corpus (the duplicate "
+    "mass), so at 100 TB the anti-join is a broadcast against the full "
+    "scan — the corpus itself never shuffles.",
+    tags=("llm", "curation", "dedup", "iterative"),
+)
+def curation_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_connected_clusters(spark, sf_dir)
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return docs.join(F.broadcast(non_canonical), "doc_id", "left_anti")

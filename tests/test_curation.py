@@ -140,6 +140,30 @@ def test_pii_redaction_removes_all_matches(spark):
     assert hits > 0  # the corpus actually exercises the redaction path
 
 
+def test_quality_filter_flags_consistent(spark):
+    rows = _run(spark, "curation_quality_filter").collect()
+    assert any(not r.passed for r in rows) and any(r.passed for r in rows)
+    for r in rows:
+        assert r.passed == (
+            r.ok_length and r.ok_word_len and r.ok_stopwords
+            and r.ok_punct and r.ok_repetition
+        )
+
+
+def test_dedup_corpus_keeps_exactly_cluster_canonicals(spark):
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["dedup_connected_clusters"].fn(spark, SF_SMOKE).collect()
+    }
+    survivors = {r.doc_id for r in _run(spark, "curation_dedup_corpus").collect()}
+    all_ids = {
+        r.doc_id for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    }
+    expect = {d for d in all_ids if d not in clusters or clusters[d] == d}
+    assert survivors == expect
+    assert len(survivors) < len(all_ids)  # the fixture does contain near-dups
+
+
 def test_gaps_islands_matches_python_model(spark):
     events = (
         load_table(spark, SF_SMOKE, "events")
