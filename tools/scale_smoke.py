@@ -50,6 +50,8 @@ QUERIES = [
     "window_session_10m",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "events_gaps_islands",
+    "agg_percentile_ranks",
 ]
 
 
