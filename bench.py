@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "curation_chunk_windows",
     "curation_token_estimate",
     "events_gaps_islands",
+    "events_first_touch",
+    "text_bigrams_top",
 ]
 
 
