@@ -434,3 +434,48 @@ def stream_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_session.table(name).select(
         "user_id", "event_type", ts_str("minute_ts").alias("minute_ts")
     )
+
+
+@register(
+    "stream_static_join_availablenow",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       {_SQL_VAL_SUM} AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+    description="REAL streaming stream-static enrichment join: the events "
+    "stream joins the static customer dimension (broadcast — the dim is "
+    "re-read per micro-batch but never shuffled, and the stream side "
+    "keeps its partitioning), then a tumbling 1h aggregate per market "
+    "segment. This is the scale pattern for enriching an event firehose "
+    "with slowly-changing dims: dim updates are picked up at micro-batch "
+    "boundaries, no stream-stream state needed. Complete-mode memory sink "
+    "drained under AvailableNow, oracle-checked against the equivalent "
+    "batch join+aggregate.",
+    tags=("streaming", "join", "agg"),
+)
+def stream_static_join_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    res = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(res, "stream_static_join_mem")
