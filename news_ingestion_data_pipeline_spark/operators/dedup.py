@@ -366,19 +366,24 @@ def connected_components(
     """Connected components over an undirected pair graph → (node,
     component) with component = min node id in the component.
 
-    Iterative min-label propagation as plain DataFrame joins: each round
-    every node takes the min of its own label and its neighbors' labels;
-    convergence when no label changes (checked with a driver-side count —
-    iteration CONTROL on the driver, never data). Rounds needed = graph
-    diameter; near-dup graphs are star-shaped clusters, so 2-4 rounds in
-    practice, bounded by ``max_iter``.
+    Iterative min-label propagation with pointer jumping, as plain
+    DataFrame joins: each round every node takes the min of its own label
+    and its neighbors' labels (one hop), then follows its label's label
+    (comp(comp), halving chain length). Convergence when no label changes
+    (checked with a driver-side count — iteration CONTROL on the driver,
+    never data). Rounds needed = O(log diameter), bounded by ``max_iter``
+    (20 covers diameters up to ~2^20; near-dup graphs are star-shaped
+    clusters that converge in 2-3).
 
     This is the duplicate-CLUSTERING step after pair generation: a keep-one
     policy needs the transitive closure (A≈B, B≈C ⇒ {A,B,C} one group),
-    not the raw pairs. At 100 TB swap the per-round full propagation for
-    the large-star/small-star alternation (same join primitives, provably
-    fewer rounds on high-degree graphs); per-round persist + unpersist
-    keeps the lineage from growing unboundedly either way.
+    not the raw pairs. At 100 TB the same two join primitives survive; the
+    large-star/small-star alternation is the further refinement if hot
+    nodes skew the neighbor-min shuffle. Each round ends in a
+    ``localCheckpoint`` — the self-join would otherwise TRIPLE the logical
+    plan per round (persist caches blocks but does not truncate lineage,
+    so the analyzer re-walks an exponentially growing tree and OOMs the
+    driver around round 15); checkpointing resets the plan to a leaf.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -390,7 +395,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -398,23 +403,37 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        hop = (
             labels.join(neighbor_min, F.col("node") == F.col("node2"), "left_outer")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "comp"
-                ),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
             )
             .persist()
         )
+        # Pointer jumping: comp ← min(comp, comp(comp)). Every comp value
+        # is itself a node (invariant holds from init and both updates), so
+        # the self-join is total. This halves label-chain length each
+        # round, turning O(diameter) rounds into O(log diameter) — a
+        # 31-node path converges in ~6 rounds, not 30.
+        new_labels = (
+            hop.alias("l1")
+            .join(hop.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
+            .select(
+                F.col("l1.node").alias("node"),
+                F.least(F.col("l1.comp"), F.col("l2.comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        hop.unpersist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
