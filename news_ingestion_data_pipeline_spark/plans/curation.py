@@ -442,7 +442,11 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Microsecond-exact gap: casting to whole seconds would truncate
     # sub-second parts and flip boundary gaps (~600.x s) across the 10-min
     # threshold relative to an exact-interval comparison.
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # cast("timestamp"): events.ts arrives as TIMESTAMP_NTZ from parquet and
+    # unix_micros requires TIMESTAMP; session tz is pinned UTC so the cast
+    # preserves the wall clock exactly.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     flagged = e.select(
         "user_id",
         "ts",

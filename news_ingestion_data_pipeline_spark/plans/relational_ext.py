@@ -394,7 +394,7 @@ FROM events
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").withColumn(
-        "epoch", F.unix_timestamp("ts")
+        "epoch", F.unix_timestamp(F.col("ts").cast("timestamp"))
     )
     w = (
         Window.partitionBy("user_id")

@@ -580,7 +580,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_converted"),
         (
             F.sum(
-                F.unix_micros("t_purchase") - F.unix_micros("t_view")
+                F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("t_view").cast("timestamp"))
             ).cast("double")
             / F.count(F.lit(1))
             / F.lit(1000000.0)
@@ -630,7 +631,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.date_format("cohort_week", "yyyy-MM-dd HH:mm:ss").alias("cohort_week"),
             (
-                (F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+                (
+                    F.unix_timestamp(F.col("active_week").cast("timestamp"))
+                    - F.unix_timestamp(F.col("cohort_week").cast("timestamp"))
+                )
                 / F.lit(604800)
             )
             .cast("long")

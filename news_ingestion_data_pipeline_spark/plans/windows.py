@@ -130,7 +130,11 @@ def window_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 600_000_000),
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                > 600_000_000
+            ),
             1,
         ).otherwise(0),
     )
@@ -162,22 +166,31 @@ def window_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet.
 
-    events.ts is parquet TIMESTAMP(NANOS): the file source needs an explicit
-    schema, so infer it with nanosAsLong (ts arrives as long) and
-    floor-convert to micros exactly like tables.load_table. The file stream
-    source wants a directory; glob-filter down to the events file inside the
-    sf dir.
+    events.ts varies by how the corpus was written: parquet TIMESTAMP(NANOS)
+    reads as long under nanosAsLong (floor-convert to micros exactly like
+    tables.load_table), while micros-precision writers surface TIMESTAMP_NTZ
+    (cast to TIMESTAMP — session tz is pinned UTC so the wall clock is
+    preserved and the watermark/window semantics match the batch twins).
+    The file stream source wants a directory; glob-filter down to the events
+    file inside the sf dir.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     from news_ingestion_data_pipeline_spark.tables import table_path
 
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    return (
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _drain_to_memory(res: DataFrame, name: str) -> DataFrame:

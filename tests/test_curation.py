@@ -167,7 +167,11 @@ def test_dedup_corpus_keeps_exactly_cluster_canonicals(spark):
 def test_gaps_islands_matches_python_model(spark):
     events = (
         load_table(spark, SF_SMOKE, "events")
-        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
         .collect()
     )
     by_user = {}
