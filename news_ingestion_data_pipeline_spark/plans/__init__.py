@@ -16,6 +16,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     relational_ext3,
     relational_ext4,
     relational_ext5,
+    relational_ext6,
     sqlapi,
     windows,
 )

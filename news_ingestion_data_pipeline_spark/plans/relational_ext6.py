@@ -1,0 +1,297 @@
+"""Sixth relational wave: URL parsing, fault-tolerant (try_*) arithmetic,
+running-distinct windows, event-transition mining, a Gopher-style
+intra-document repetition filter, and mergeable HLL cardinality sketches.
+
+Reference parity: none of these exist in the reference
+(SURVEY.md §2.12 — absent categories built Spark-native for the driver
+contract). The repetition filter and HLL sketches extend the
+LLM-training-data curation surface; the transition matrix extends the
+behavioral-event suite.
+
+Scale notes are per-query in the descriptions; the common thread is that
+every shape here is a single pruned scan plus at most one shuffle, and
+the HLL query exists precisely because COUNT(DISTINCT) does not merge
+across partitions while sketches do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+
+@register(
+    "scalar_url_suite",
+    oracle=r"""
+SELECT doc_id,
+       url,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+FROM (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || doc_id
+           || '?lang=' || lang || '&ref=search' AS url
+  FROM documents
+) WHERE doc_id % 7 = 0
+""",
+    description="URL decomposition via the JVM parse_url expression "
+    "(HOST/PATH/QUERY and per-parameter extraction) over synthesized "
+    "document URLs; the oracle re-expresses the same extraction as "
+    "regexps. parse_url stays inside WholeStageCodegen — no Python, no "
+    "UDF — so at 100 TB this is pure map-side compute on a 3-column "
+    "pruned scan.",
+    tags=("scalar", "url"),
+)
+def scalar_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref=search"),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        )
+    )
+
+
+@register(
+    "scalar_try_suite",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DOUBLE) / NULLIF(l_quantity - 25, 0)
+         AS div_by_maybe_zero,
+       CAST(l_orderkey AS DOUBLE) / NULLIF(l_linenumber - 3, 0)
+         AS key_over_line,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       TRY_CAST(l_linestatus AS DOUBLE) AS status_as_num,
+       string_split(l_returnflag || ' ' || l_linestatus, ' ')[5] AS word5
+FROM lineitem
+WHERE l_orderkey % 311 = 0
+""",
+    description="Fault-tolerant scalar suite: try_divide (NULL instead of "
+    "error on zero divisors), try_cast on non-numeric strings, "
+    "try_element_at past the end of an array — the ANSI-mode-safe "
+    "building blocks for dirty-data pipelines where one bad row must not "
+    "kill a 1000-executor stage. All JVM expressions in one codegen "
+    "project; the oracle spells the same semantics with NULLIF/TRY_CAST "
+    "and DuckDB's out-of-bounds-is-NULL list index.",
+    tags=("scalar", "try"),
+)
+def scalar_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 311 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide(
+                F.col("l_extendedprice").cast("double"),
+                F.col("l_quantity") - 25,
+            ).alias("div_by_maybe_zero"),
+            F.try_divide(
+                F.col("l_orderkey").cast("double"),
+                (F.col("l_linenumber") - 3).cast("double"),
+            ).alias("key_over_line"),
+            F.expr("try_cast(l_returnflag AS int)").alias("flag_as_int"),
+            F.expr("try_cast(l_linestatus AS double)").alias("status_as_num"),
+            F.try_element_at(
+                F.split(F.concat_ws(" ", "l_returnflag", "l_linestatus"), " "),
+                F.lit(5),
+            ).alias("word5"),
+        )
+    )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+  WHERE user_id % 50 = 0
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_id,
+       event_type,
+       CAST(SUM(is_first) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+         AS n_types_so_far
+FROM flagged
+""",
+    description="Running COUNT(DISTINCT) over an ordered window — an "
+    "aggregate neither Spark nor DuckDB supports natively in a frame — "
+    "rewritten as its standard two-window decomposition: a first-"
+    "occurrence flag (row_number over user+type) summed cumulatively "
+    "over the user's timeline. Both windows shuffle on the same user_id "
+    "key, so AQE plans ONE exchange and two in-partition sorts; at "
+    "100 TB the state per key is a running counter, never a distinct "
+    "set.",
+    tags=("window", "distinct"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .withColumn(
+            "is_first",
+            F.when(F.row_number().over(first_w) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_id",
+            "event_type",
+            F.sum("is_first").over(run_w).alias("n_types_so_far"),
+        )
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n_transitions DESC, prev_type, next_type
+LIMIT 25
+""",
+    description="First-order Markov transition matrix over per-user event "
+    "timelines: lag(event_type) within each user's time-ordered stream, "
+    "then a global (prev, next) count and top-25. One shuffle on "
+    "user_id for the window, then a partial+final hash aggregate whose "
+    "group count is |event_type|² (tiny, independent of corpus size) — "
+    "the classic shape for clickstream/session modeling at any scale.",
+    tags=("events", "window", "agg"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "prev_type", "next_type")
+        .limit(25)
+    )
+
+
+@register(
+    "curation_repetition_filter",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM toks
+)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_uniq,
+       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         AS dup_ratio
+FROM g
+WHERE len(grams) > len(list_distinct(grams))
+""",
+    description="Gopher-style intra-document repetition signal: the "
+    "fraction of duplicated word 3-grams inside each document (a high "
+    "ratio marks boilerplate/spam for exclusion from training corpora). "
+    "Entirely array-HOF built-ins — split → sequence → transform → "
+    "array_distinct — zero Python, zero shuffle: a pure map over the "
+    "documents scan, embarrassingly parallel at 100 TB. The dup_ratio "
+    "double is one IEEE division, bit-identical across engines.",
+    tags=("curation", "text"),
+)
+def curation_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.trim(F.lower("text")), r"\s+")
+    )
+    grams = F.when(
+        F.size("w") >= 3,
+        F.expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return (
+        docs.withColumn("grams", grams)
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.size(F.array_distinct("grams")).alias("n_uniq"),
+        )
+        .filter(F.col("n_uniq") < F.col("n_grams"))
+        .withColumn(
+            "dup_ratio",
+            F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_grams"),
+        )
+    )
+
+
+@register(
+    "agg_hll_cardinality",
+    oracle=None,  # sketch estimates are engine-specific; rows-only check
+    description="Mergeable HyperLogLog cardinality: per-source HLL "
+    "sketches over doc_id (hll_sketch_agg), then a second aggregation "
+    "that MERGES the per-source sketches (hll_union_agg) into a global "
+    "estimate — the pattern that makes distinct-counting tractable at "
+    "100 TB, where exact COUNT(DISTINCT) re-shuffles raw values but "
+    "sketches reduce each partition to a fixed few-KB buffer that "
+    "merges associatively (partial agg does almost all the work "
+    "map-side). Rows-only check: estimates are sketch-parameter- and "
+    "engine-specific, so no cross-engine value oracle.",
+    tags=("agg", "sketch"),
+)
+def agg_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.hll_sketch_agg("doc_id").alias("sketch"))
+    )
+    per_source_est = per_source.select(
+        "source", F.hll_sketch_estimate("sketch").alias("est_distinct_docs")
+    )
+    global_est = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    ).select(
+        F.lit("ALL").alias("source"), F.col("est").alias("est_distinct_docs")
+    )
+    return per_source_est.unionByName(global_est).orderBy("source")
