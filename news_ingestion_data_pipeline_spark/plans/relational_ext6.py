@@ -145,10 +145,11 @@ FROM flagged
     "aggregate neither Spark nor DuckDB supports natively in a frame — "
     "rewritten as its standard two-window decomposition: a first-"
     "occurrence flag (row_number over user+type) summed cumulatively "
-    "over the user's timeline. Both windows shuffle on the same user_id "
-    "key, so AQE plans ONE exchange and two in-partition sorts; at "
-    "100 TB the state per key is a running counter, never a distinct "
-    "set.",
+    "over the user's timeline. An explicit repartition on user_id "
+    "collapses the plan to ONE exchange: hash(user_id) co-locates both "
+    "windows' partitions (user_id ⊂ {user_id, event_type}), leaving two "
+    "in-partition sorts — verified in the formatted plan. At 100 TB the "
+    "state per key is a running counter, never a distinct set.",
     tags=("window", "distinct"),
 )
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +162,10 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "events")
         .filter(F.col("user_id") % 50 == 0)
+        # hash(user_id) satisfies BOTH windows' clustering (user_id is a
+        # subset of {user_id, event_type}), so pre-partitioning here leaves
+        # one exchange + two sorts instead of two full shuffles.
+        .repartition("user_id")
         .withColumn(
             "is_first",
             F.when(F.row_number().over(first_w) == 1, 1).otherwise(0),
