@@ -107,15 +107,23 @@ def minhash_signatures(
     all num_hashes minima (array of F.min columns), shuffle carries only the
     per-doc signature.
     """
-    params = _minhash_params(num_hashes)
-    sh = shingle_hashes(docs, id_col, text_col, shingle_n).withColumn(
-        "x", F.col("shingle_hash") % F.lit(_MINHASH_P)
+    return minhash_signatures_from_hashes(
+        shingle_hashes(docs, id_col, text_col, shingle_n), num_hashes
     )
+
+
+def minhash_signatures_from_hashes(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(id, shingle_hash) → (id, sig): the signature aggregate alone, for
+    callers that already hold an exploded shingle-hash table (e.g. the
+    verified pipeline, which reuses ONE shingle pass for both candidate
+    generation and exact verification)."""
+    params = _minhash_params(num_hashes)
+    x = sh.withColumn("x", F.col("shingle_hash") % F.lit(_MINHASH_P))
     mins = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
-    agg = sh.groupBy("id").agg(*mins)
+    agg = x.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -142,8 +150,14 @@ def minhash_lsh_pairs(
     same role is played by materializing signatures once (they're reused
     across dedup runs anyway).
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    return lsh_band_pairs(sigs, num_hashes, bands)
+
+
+def lsh_band_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) → candidate pairs via banding; the join stage of
+    minhash_lsh_pairs, split out for callers with precomputed signatures."""
+    rows_per_band = num_hashes // bands
     band_entries = sigs.select(
         "id",
         F.explode(

@@ -930,7 +930,6 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.tables import spread
 
     docs = t(spark, sf_dir, "documents")
-    cands = DD.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
     hashed = F.array_distinct(
         F.transform(
             TX.char_ngrams(F.col("text"), 5),
@@ -938,11 +937,23 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # spread + persist: shingling is the heavy map compute (16s single-
-    # partition at sf0.1) and BOTH join sides consume it — without persist
-    # each side recomputes it (measured 42s → 13s end-to-end with both).
+    # partition at sf0.1), and THREE consumers read it — the MinHash
+    # signature aggregate and both verify-join sides. One shingle pass,
+    # persisted, feeds all of them (previously two independent passes with
+    # different hash widths: one inside minhash_lsh_pairs, one here).
+    # Cold wall-time at sf0.1 is dominated not by shingling (~3s) but by
+    # the candidate set itself: this corpus draws from a ~30-word
+    # vocabulary, so true inter-doc Jaccard is high and banding correctly
+    # emits ~150k candidates for 256 survivors — a corpus property, not a
+    # plan defect.
     sh = spread(docs).select(
         F.col("doc_id"), hashed.alias("shingles"), F.size(hashed).alias("sz")
     ).persist()
+    exploded = sh.select(
+        F.col("doc_id").alias("id"), F.explode("shingles").alias("shingle_hash")
+    )
+    sigs = DD.minhash_signatures_from_hashes(exploded, num_hashes=32)
+    cands = DD.lsh_band_pairs(sigs, num_hashes=32, bands=8)
     sa = sh.select(
         F.col("doc_id").alias("id_a"),
         F.col("shingles").alias("sh_a"),
