@@ -272,6 +272,40 @@ def curation_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_hourly_uniques",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(DISTINCT user_id) AS n_unique_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+    description="Exact distinct users per tumbling 1-hour window — the "
+    "distinct aggregate under a time window, which Catalyst plans as the "
+    "two-phase expand: partial dedup of (window, user_id) map-side, then "
+    "a final count per window, so the shuffle carries one row per "
+    "(window, user) — never raw events. The hll sketch variant "
+    "(agg_hll_cardinality) replaces phase one with a fixed-size buffer "
+    "when exactness can be traded away at 100 TB.",
+    tags=("window", "agg", "distinct"),
+)
+def window_hourly_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_unique_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_unique_users",
+            "n_events",
+        )
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
