@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     "events_gaps_islands",
     "events_first_touch",
     "text_bigrams_top",
+    "join_range_banded",
+    "window_hourly_uniques",
+    "window_running_distinct",
+    "events_transition_matrix",
+    "curation_repetition_filter",
 ]
 
 

@@ -272,6 +272,72 @@ def curation_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_banded",
+    oracle="""
+WITH brackets AS (
+  SELECT n_nationkey AS bracket_id,
+         CAST(n_nationkey * 4000 AS DOUBLE) AS lo,
+         CAST(n_nationkey * 4000 + 2000 + (n_nationkey % 5) * 1000 AS DOUBLE)
+           AS hi
+  FROM nation
+)
+SELECT bracket_id, lo, hi,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem JOIN brackets
+  ON l_extendedprice BETWEEN lo AND hi
+GROUP BY bracket_id, lo, hi
+""",
+    description="PURE interval join (no equi key): price rows against "
+    "variable-width, possibly-overlapping brackets. Naively this is a "
+    "broadcast nested loop — O(|fact| x |intervals|) predicate "
+    "evaluations, the plan that dies when the interval side grows. The "
+    "banded rewrite makes it an EQUI-join: each interval explodes into "
+    "the fixed-width bands it overlaps (sequence(floor(lo/step), "
+    "floor(hi/step))), each fact row computes its single band "
+    "(floor(price/step)), the join keys on band, and the BETWEEN becomes "
+    "a residual filter. A fact row matches an interval in exactly one "
+    "band, so no dedup is needed. Shuffle volume is O(|fact| + "
+    "sum(interval_width/step)) and both sides hash-partition by band — "
+    "the open-source answer to the range-join optimization commercial "
+    "Spark ships built-in.",
+    tags=("join", "range"),
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    step = 2000
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("bracket_id"),
+        (F.col("n_nationkey") * 4000).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 4000 + 2000 + (F.col("n_nationkey") % 5) * 1000)
+        .cast("double")
+        .alias("hi"),
+    )
+    bands = nat.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / step), F.floor(F.col("hi") / step)
+            )
+        ),
+    )
+    fact = t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", F.floor(F.col("l_extendedprice") / step).alias("band")
+    )
+    return (
+        fact.join(bands, "band")
+        .filter(F.col("l_extendedprice").between(F.col("lo"), F.col("hi")))
+        .groupBy("bracket_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
     "window_hourly_uniques",
     oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
