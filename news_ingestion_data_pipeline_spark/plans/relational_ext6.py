@@ -249,13 +249,33 @@ WHERE len(grams) > len(list_distinct(grams))
     tags=("curation", "text"),
 )
 def curation_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "w", F.split(F.trim(F.lower("text")), r"\s+")
+    from news_ingestion_data_pipeline_spark.functions.text import _bind
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    # spread: the n-gram build + distinct is heavy per-row compute and the
+    # fixture is a single-row-group file (one scan task otherwise).
+    # _bind: project-collapse inlines a withColumn'd split() into every
+    # w[i] reference inside the transform lambda, re-splitting the full
+    # text per sequence element (O(len²) per doc — measured 16s at sf0.1);
+    # binding the token array as a lambda variable makes each w[i] an O(1)
+    # attribute lookup (2.8s).
+    docs = spread(t(spark, sf_dir, "documents"))
+    tokens = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = _bind(
+        tokens,
+        lambda w: F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
     )
-    grams = F.when(
-        F.size("w") >= 3,
-        F.expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     return (
         docs.withColumn("grams", grams)
         .select(
