@@ -392,6 +392,61 @@ def window_hourly_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_scd2_intervals",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+  WHERE user_id % 100 = 0
+), changes AS (
+  SELECT user_id, event_type, ts
+  FROM marked
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            AS BOOLEAN) AS is_current
+FROM changes
+""",
+    description="Slowly-changing-dimension type-2 history build: collapse "
+    "each user's event stream to state-change points (event_type differs "
+    "from lag), then derive [valid_from, valid_to) intervals via lead and "
+    "flag the open row — the standard warehouse pattern for turning a "
+    "change stream into a versioned dimension. Both windows cluster on "
+    "user_id, so the whole build is ONE exchange + in-partition sorts "
+    "(same single-shuffle property as window_running_distinct); the "
+    "keyed-upsert sink (pipeline_upsert_merge) is its type-1 sibling.",
+    tags=("pipeline", "window", "scd"),
+)
+def pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_changes = Window.partitionBy("user_id").orderBy("ts")
+    changes = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 100 == 0)
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    valid_to = F.lead("ts").over(w_changes)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(valid_to, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
