@@ -392,6 +392,60 @@ def window_hourly_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_mix_weights",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(n_chars) AS n_chars_total
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT SUM(n_chars_total) AS corpus_chars,
+         COUNT(*) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_chars_total,
+       CAST(n_chars_total AS DOUBLE) / corpus_chars AS actual_share,
+       (1.0 / n_sources) / (CAST(n_chars_total AS DOUBLE) / corpus_chars)
+         AS uniform_weight
+FROM per_source CROSS JOIN tot
+""",
+    description="Training-mix reweighting: per-source corpus shares (by "
+    "character mass) and the sampling weight that would equalize the mix "
+    "— the knob a data pipeline turns to hit a target domain "
+    "distribution. One partial+final aggregate over the corpus produces "
+    "per-source totals; the corpus-wide total is a second aggregate over "
+    "those FEW rows joined back broadcast-style, so nothing "
+    "corpus-sized crosses the wire twice. Shares and weights are single "
+    "IEEE divisions over exact integer sums — bit-identical to the "
+    "oracle.",
+    tags=("curation", "agg"),
+)
+def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_chars_total").alias("corpus_chars"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_chars_total").cast("double") / F.col("corpus_chars")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        share.alias("actual_share"),
+        (F.lit(1.0) / F.col("n_sources") / share).alias("uniform_weight"),
+    )
+
+
+@register(
     "pipeline_scd2_intervals",
     oracle="""
 WITH marked AS (
