@@ -619,6 +619,142 @@ def pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rolling_anomaly",
+    oracle="""
+WITH scoped AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE user_id % 50 = 0
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_id,
+       CAST(value AS DOUBLE) AS value,
+       CASE WHEN COUNT(*) OVER w > 0
+            THEN CAST(SUM(CAST(value AS DECIMAL(20,10))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w
+       END AS mean_prev20,
+       CAST(COUNT(*) OVER w > 0
+            AND CAST(value AS DOUBLE)
+                > 2.0 * (CAST(SUM(CAST(value AS DECIMAL(20,10))) OVER w
+                              AS DOUBLE) / COUNT(*) OVER w)
+            AS BOOLEAN) AS is_spike
+FROM scoped
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+""",
+    description="Rolling anomaly flag: each event compared to the mean of "
+    "the user's previous 20 values (trailing row frame, excluding the "
+    "current row) — the monitoring primitive for metric streams. Frame "
+    "sums go through exact decimals so the mean is one IEEE division and "
+    "the flag is reproducible at any partitioning; one hash(user_id) "
+    "exchange, state per row is the 20-row frame. The same shape runs "
+    "under Structured Streaming as the deviation check over "
+    "applyInPandasWithState-carried running stats.",
+    tags=("events", "window", "anomaly"),
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n_prev = F.count(F.lit(1)).over(w)
+    mean_prev = F.sum(F.col("value").cast("decimal(20,10)")).over(w).cast(
+        "double"
+    ) / n_prev
+    val = F.col("value").cast("double")
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_id",
+            val.alias("value"),
+            F.when(n_prev > 0, mean_prev).alias("mean_prev20"),
+            ((n_prev > 0) & (val > 2.0 * mean_prev)).alias("is_spike"),
+        )
+    )
+
+
+@register(
+    "text_feature_hashing",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tk
+  FROM documents
+), bucketed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 8 AS bucket
+  FROM tok
+)
+SELECT doc_id,
+       SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS f0,
+       SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS f1,
+       SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS f2,
+       SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS f3,
+       SUM(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS f4,
+       SUM(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS f5,
+       SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS f6,
+       SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS f7
+FROM bucketed
+GROUP BY doc_id
+""",
+    description="Feature hashing (the hashing trick): each document's "
+    "token stream folded into a fixed 8-bucket count vector via "
+    "md5-bucket assignment — the stateless, vocabulary-free featurizer "
+    "for ML at corpus scale (no dictionary to build, ship, or skew). One "
+    "explode + one partial+final aggregate; the shuffle carries 8 ints "
+    "per doc regardless of document length. The md5-prefix bucket hash "
+    "is engine-portable, so the oracle hashes identically.",
+    tags=("text", "ml"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    tok = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tk"),
+    )
+    bucket = F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long") % 8
+    return (
+        tok.withColumn("bucket", bucket)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("bucket") == k, 1).otherwise(0)).alias(f"f{k}")
+                for k in range(8)
+            ]
+        )
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # GK (Spark) vs t-digest (DuckDB) estimates differ; rows-only
+    description="Approximate p50/p90/p99 of extended price per return "
+    "flag via approx_percentile (Greenwald-Khanna sketch) — the bounded-"
+    "memory quantile path whose sketch, like HLL, merges associatively "
+    "across partitions (map-side partials, tiny final merge). The exact "
+    "nearest-rank twin (agg_percentile_ranks) carries the value oracle; "
+    "this one is rows-only because every engine's quantile sketch "
+    "estimates differently.",
+    tags=("agg", "sketch"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5)).alias("p50_est"),
+            F.approx_percentile("l_extendedprice", F.lit(0.9)).alias("p90_est"),
+            F.approx_percentile("l_extendedprice", F.lit(0.99)).alias("p99_est"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
