@@ -755,6 +755,80 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_pagerank_transitions",
+    oracle=None,  # fixed-iteration float recursion; rows-only (see
+    # tests/test_properties.py numpy-model parity check)
+    description="PageRank over the event-type transition digraph (edges = "
+    "lag-derived next-event transitions weighted by count, from the same "
+    "construction as events_transition_matrix): 15 fixed iterations of "
+    "the standard distributed update — ranks JOIN edges on src, "
+    "contributions SUM by dst, damping 0.85 with dangling mass "
+    "redistributed uniformly. Each iteration is one join + one "
+    "aggregate; rank state is O(#nodes), never materialized on the "
+    "driver; the edge table is computed ONCE and persisted across "
+    "iterations. The graph sibling of connected components "
+    "(dedup_connected_clusters) — together they cover the iterative-"
+    "algorithm class. Rows-only oracle; exactness is property-tested "
+    "against a numpy power-iteration model.",
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        t(spark, sf_dir, "events")
+        .withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_weight"))
+    edges = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_weight")).alias("prob"))
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    # localCheckpoint per round truncates the rank lineage (same trick as
+    # connected components): without it each iteration's plan embeds all
+    # previous iterations and the per-round dangling-mass job recomputes
+    # the whole history.
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint()
+    has_out = edges.select("src").distinct()
+    for _ in range(15):
+        dangling = (
+            ranks.join(has_out, ranks.node == has_out.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            ranks.join(edges, ranks.node == edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("prob")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n)
+                    + 0.85
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.round("rank", 8).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "node")
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "

@@ -260,3 +260,45 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r.node: r.comp for r in connected_components(df).collect()}
     assert got == model_components(edges)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The registered PageRank must equal a dense numpy power iteration
+    with the same damping, iteration count, and dangling handling."""
+    import numpy as np
+
+    from news_ingestion_data_pipeline_spark.plans import REGISTRY
+    from news_ingestion_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.node: r.pagerank for r in REGISTRY["graph_pagerank_transitions"].fn(spark, sf).collect()}
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type").collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    edges: dict = {}
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    out = np.zeros(n)
+    for (a, b), w in edges.items():
+        out[idx[a]] += w
+    for (a, b), w in edges.items():
+        P[idx[b], idx[a]] = w  # column-stochastic after normalize
+    for j in range(n):
+        if out[j] > 0:
+            P[:, j] /= out[j]
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        dangling = r[out == 0].sum()
+        r = 0.15 / n + 0.85 * (P @ r + dangling / n)
+    expect = {v: r[idx[v]] for v in nodes}
+    assert set(got) == set(expect)
+    for v in nodes:
+        assert abs(got[v] - expect[v]) < 1e-6, (v, got[v], expect[v])
