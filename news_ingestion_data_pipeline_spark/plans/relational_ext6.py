@@ -829,6 +829,138 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_cooccurrence_lift",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tk
+  FROM documents
+), uni AS (
+  SELECT tk, COUNT(*) AS n_t FROM tok GROUP BY tk
+), n_docs AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM tok
+), pairs AS (
+  SELECT a.tk AS tk_a, b.tk AS tk_b, COUNT(*) AS n_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tk < b.tk
+  GROUP BY a.tk, b.tk
+)
+SELECT tk_a, tk_b, n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+       CAST(n_ab * n AS DOUBLE) / (ua.n_t * ub.n_t) AS lift
+FROM pairs
+JOIN uni ua ON ua.tk = tk_a
+JOIN uni ub ON ub.tk = tk_b
+CROSS JOIN n_docs
+WHERE n_ab >= 5
+ORDER BY lift DESC, tk_a, tk_b
+LIMIT 30
+""",
+    description="Token co-occurrence mining: document-level lift "
+    "n_ab·N/(n_a·n_b) for every token pair sharing a document — PMI's "
+    "rational core, kept log-free so the score is one IEEE division over "
+    "exact integer counts (cross-engine bit-identical; F.log drifts "
+    "between JVM and libm). Pair generation is a doc-keyed self-join of "
+    "DISTINCT per-doc tokens, so the blow-up is bounded by "
+    "distinct-tokens-per-doc², not document length; unigram counts join "
+    "back broadcast-side and the corpus size joins as a 1-row scalar. "
+    "Top-30 under a total order.",
+    tags=("text", "mining"),
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    tok = (
+        spread(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+            ).alias("tk"),
+        )
+        .persist()  # read by the pair self-join (twice) + unigrams + N
+    )
+    uni = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n_t"))
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tk") < F.col("b.tk")),
+        )
+        .groupBy(F.col("a.tk").alias("tk_a"), F.col("b.tk").alias("tk_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ua = uni.select(F.col("tk").alias("tk_a"), F.col("n_t").alias("n_a"))
+    ub = uni.select(F.col("tk").alias("tk_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ua), "tk_a")
+        .join(F.broadcast(ub), "tk_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tk_a",
+            "tk_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "tk_a", "tk_b")
+        .limit(30)
+    )
+
+
+@register(
+    "pipeline_backfill_hours",
+    oracle="""
+WITH sparse AS (
+  SELECT date_trunc('hour', ts) AS h FROM events WHERE event_id % 199 = 0
+), bounds AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM sparse
+), expected AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+)
+SELECT strftime(e.h, '%Y-%m-%d %H:%M:%S') AS missing_hour
+FROM expected e
+LEFT JOIN (SELECT DISTINCT h FROM sparse) o ON e.h = o.h
+WHERE o.h IS NULL
+""",
+    description="Backfill-gap detection: the hours inside a sparse "
+    "series' observed [min, max] span with NO data — the operational "
+    "query every incremental pipeline runs before scheduling catch-up "
+    "loads (the calendar-complement of the reference's watermark scan). "
+    "The expected calendar comes from F.sequence over a 1-row bounds "
+    "aggregate (never materialized driver-side), anti-joined against "
+    "observed distinct hours; at 100 TB the observed side partial-"
+    "aggregates to one row per hour map-side before the tiny join.",
+    tags=("pipeline", "calendar"),
+)
+def pipeline_backfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sparse = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 199 == 0)
+        .select(F.date_trunc("hour", "ts").alias("h"))
+    )
+    observed = sparse.distinct()
+    expected = (
+        sparse.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    return (
+        expected.join(observed, "h", "left_anti")
+        .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("missing_hour"))
+        .orderBy("missing_hour")
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
