@@ -961,6 +961,122 @@ def pipeline_backfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_winsorize",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN n_chars END)
+           AS p05,
+         MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN n_chars END)
+           AS p95
+  FROM ranked GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.n_chars,
+       GREATEST(LEAST(r.n_chars, c.p95), c.p05) AS n_chars_winsorized,
+       CAST(r.n_chars < c.p05 OR r.n_chars > c.p95 AS BOOLEAN) AS clipped
+FROM ranked r JOIN cuts c ON r.lang = c.lang
+""",
+    description="Per-language winsorization: clip document lengths to the "
+    "exact nearest-rank [p5, p95] band — the robust-statistics "
+    "preprocessing step before any length-sensitive quality model. "
+    "Nearest-rank cutpoints (integer row positions, no interpolation) "
+    "keep the oracle bit-exact; the cut table is |langs| rows and joins "
+    "back broadcast-side, so the corpus is scanned twice and shuffled "
+    "once (the rank window). At 100 TB the window sort per lang is the "
+    "cost — or swap in the approx_percentile sketch when exact cuts can "
+    "be traded away.",
+    tags=("curation", "stats"),
+)
+def curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rank_w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    cnt_w = Window.partitionBy("lang")
+    ranked = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(rank_w).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("p95"),
+    )
+    return ranked.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.greatest(F.least("n_chars", F.col("p95")), F.col("p05")).alias(
+            "n_chars_winsorized"
+        ),
+        ((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95"))).alias(
+            "clipped"
+        ),
+    )
+
+
+@register(
+    "pipeline_quarantine_split",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       concat_ws(',',
+         CASE WHEN n_chars < 80 THEN 'too_short' END,
+         CASE WHEN n_chars <> length(text) THEN 'length_mismatch' END,
+         CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh')
+              THEN 'unknown_lang' END,
+         CASE WHEN trim(text) = '' THEN 'empty_text' END
+       ) AS reasons,
+       CAST((n_chars >= 80) AND (n_chars = length(text))
+            AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+            AND trim(text) <> '' AS BOOLEAN) AS is_valid
+FROM documents
+""",
+    description="Data-quality routing with reason codes — the declarative "
+    "form of the reference's per-article parse-failure tolerance "
+    "(SURVEY.md §2.10 E2: log + skip / NULL field → here every row "
+    "carries WHY it failed, and the valid/quarantine split is a "
+    "downstream filter, not a dropped log line). All checks are one "
+    "codegen projection over the scan; at 100 TB the quarantined side "
+    "writes to its own table for replay after a parser fix — the "
+    "pattern the keyed upsert makes idempotent.",
+    tags=("pipeline", "quality"),
+)
+def pipeline_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    known = ("en", "de", "fr", "es", "zh")
+    too_short = F.col("n_chars") < 80
+    mismatch = F.col("n_chars") != F.length("text")
+    bad_lang = ~F.col("lang").isin(*known)
+    empty = F.trim("text") == ""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat_ws(
+            ",",
+            F.when(too_short, "too_short"),
+            F.when(mismatch, "length_mismatch"),
+            F.when(bad_lang, "unknown_lang"),
+            F.when(empty, "empty_text"),
+        ).alias("reasons"),
+        (~too_short & ~mismatch & ~bad_lang & ~empty).alias("is_valid"),
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
