@@ -1077,6 +1077,152 @@ def pipeline_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_weighted_median",
+    oracle="""
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median_price,
+       MIN(tw) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+""",
+    description="Exact quantity-weighted median price per return flag: "
+    "running weight sum in price order, first row whose cumulative "
+    "weight reaches half the total. The crossing set is a suffix of the "
+    "price order, so MIN(price) over it IS the first crossing — no "
+    "second window needed. All-integer weight arithmetic (2·cum >= "
+    "total avoids the fractional midpoint), so the oracle is bit-exact. "
+    "One shuffle on the group key; the same nearest-rank machinery as "
+    "the unweighted percentiles, generalized to weights — the aggregate "
+    "Spark has no builtin for.",
+    tags=("agg", "stats"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    qty = F.col("l_quantity").cast("bigint")
+    cum = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(run_w).alias("cw"),
+        F.sum(qty).over(tot_w).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch_us(ts)
+                  - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                  > 600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM flagged
+), sessions AS (
+  SELECT user_id, sess, MIN(ts) AS t_start, MAX(ts) AS t_end
+  FROM numbered GROUP BY user_id, sess
+), deltas AS (
+  SELECT t_start AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT t_end AS t, -1 AS delta FROM sessions
+), swept AS (
+  SELECT t, delta,
+         SUM(delta) OVER (ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrent
+  FROM deltas
+)
+SELECT MAX(concurrent) AS peak_concurrent_sessions,
+       strftime(MIN(CASE WHEN concurrent = (SELECT MAX(concurrent) FROM swept)
+                         THEN t END), '%Y-%m-%d %H:%M:%S') AS first_peak_at
+FROM swept
+""",
+    description="Peak concurrent sessions via sweep line: sessionize "
+    "(10-minute gap rule, the same construction as window_session_10m), "
+    "emit +1/-1 boundary deltas per session interval, order globally "
+    "with ends before starts at equal timestamps (delta ascending — "
+    "touching sessions don't overlap), and take the running sum's "
+    "maximum and its first time. The global running sum is the "
+    "sweep-line trade-off: the swept relation is two rows per SESSION "
+    "(orders of magnitude smaller than events), and at 100 TB the sweep "
+    "shards by calendar day first (sessions don't cross the corpus's "
+    "day boundaries at meaningful rates) with a per-day carry-in.",
+    tags=("events", "window", "sweepline"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(F.col("ts")).over(per_user).cast("timestamp"))
+    flagged = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(prev_us.isNull() | (ts_us - prev_us > 600_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = (
+        flagged.withColumn("sess", F.sum("is_new").over(run_user))
+        .groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    deltas = sessions.select(F.col("t_start").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sessions.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep_w = (
+        Window.orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select(
+        "t", "delta", F.sum("delta").over(sweep_w).alias("concurrent")
+    )
+    peak = swept.agg(F.max("concurrent").alias("peak"))
+    return (
+        swept.join(F.broadcast(peak), swept.concurrent == peak.peak)
+        .agg(
+            F.min("peak").alias("peak_concurrent_sessions"),
+            F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias("first_peak_at"),
+        )
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
