@@ -1223,6 +1223,70 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dau_mau_stickiness",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events
+), dau AS (
+  SELECT day_num, COUNT(*) AS dau FROM du GROUP BY day_num
+), contrib AS (
+  SELECT user_id, unnest(range(day_num, day_num + 30)) AS target_day
+  FROM du
+), mau AS (
+  SELECT target_day AS day_num, COUNT(DISTINCT user_id) AS mau
+  FROM contrib GROUP BY target_day
+)
+SELECT strftime(DATE '2000-01-01' + INTERVAL (d.day_num) DAY,
+                '%Y-%m-%d') AS day,
+       d.dau, m.mau,
+       CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+FROM dau d JOIN mau m ON d.day_num = m.day_num
+""",
+    description="DAU/MAU stickiness per day — the rolling-30-day distinct "
+    "count expressed scalably: dedupe to (user, day) pairs first (the "
+    "corpus-sized aggregate, done ONCE), then each pair contributes to "
+    "its 30 trailing target days via an integer sequence explode, and "
+    "MAU is a count-distinct over the 30x-amplified PAIR table — never "
+    "over raw events. Rolling COUNT(DISTINCT) has no window form in "
+    "either engine; this explode-regroup is the standard rewrite. "
+    "Integer day arithmetic end-to-end; stickiness is one IEEE "
+    "division.",
+    tags=("events", "agg", "distinct"),
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    anchor = F.lit("2000-01-01").cast("date")
+    du = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), anchor).alias("day_num"),
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + 29)
+        ).alias("day_num"),
+    )
+    mau = contrib.groupBy("day_num").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "day_num")
+        .select(
+            F.date_format(F.date_add(anchor, F.col("day_num")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
