@@ -1287,6 +1287,115 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_cont",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="Exact linear-interpolated percentiles (percentile_cont "
+    "semantics) per return flag — F.percentile against DuckDB "
+    "quantile_cont, verified BIT-IDENTICAL under MV_STRICT (both engines "
+    "interpolate lo + (hi-lo)·frac on the same sorted neighbors). "
+    "Completes the quantile triptych: nearest-rank "
+    "(agg_percentile_ranks), interpolated (this), and sketch "
+    "(agg_approx_percentile). Exact percentiles buffer per-group values "
+    "— the sketch is the 100 TB default; this is the small-group / "
+    "final-report path.",
+    tags=("agg", "stats"),
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "scalar_string_pad_suite",
+    oracle="""
+SELECT doc_id,
+       upper(lang) AS lang_up,
+       lpad(lang, 5, '_') AS lang_lpad,
+       rpad(lang, 5, '.') AS lang_rpad,
+       reverse(source) AS src_rev,
+       repeat(lang, 3) AS lang_x3,
+       replace(source, 'src', 'corpus-') AS src_renamed,
+       substr(md5(source), 1, 6) AS src_tag,
+       length(translate(lang, 'aeiou', '')) AS lang_consonants
+FROM documents
+WHERE doc_id % 11 = 0
+""",
+    description="Second string-scalar suite: pad/reverse/repeat/replace/"
+    "translate — the formatting primitives ID-generation and display "
+    "layers lean on, all JVM codegen expressions over a 3-column pruned "
+    "scan. translate with an empty replacement deletes characters in "
+    "both engines (vowel-strip length check).",
+    tags=("scalar", "string"),
+)
+def scalar_string_pad_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select(
+            "doc_id",
+            F.upper("lang").alias("lang_up"),
+            F.lpad("lang", 5, "_").alias("lang_lpad"),
+            F.rpad("lang", 5, ".").alias("lang_rpad"),
+            F.reverse("source").alias("src_rev"),
+            F.repeat("lang", 3).alias("lang_x3"),
+            F.replace(F.col("source"), F.lit("src"), F.lit("corpus-")).alias(
+                "src_renamed"
+            ),
+            F.substring(F.md5("source"), 1, 6).alias("src_tag"),
+            F.length(F.translate("lang", "aeiou", "")).alias("lang_consonants"),
+        )
+    )
+
+
+@register(
+    "agg_bool_logic",
+    oracle="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+         AS n_over_200k,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    description="Boolean aggregate logic per priority class: bool_and / "
+    "bool_or (ANSI every/any) ride the same partial+final hash aggregate "
+    "as the counts — short-circuiting map-side (a partition that has "
+    "seen a false for bool_and carries one bit). The assertion-style "
+    "aggregate data-quality suites are built from.",
+    tags=("agg", "bool"),
+)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_over_200k"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
