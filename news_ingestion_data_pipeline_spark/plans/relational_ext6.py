@@ -1396,6 +1396,96 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_regex_suite",
+    oracle=r"""
+SELECT event_id,
+       regexp_extract(props, '"k":\s*(\d+)', 1) AS k_val,
+       length(regexp_replace(props, '[^0-9]', '', 'g')) AS n_digits,
+       regexp_extract(props, '(\d+)', 1) AS first_num,
+       regexp_matches(props, '^\{.*\}$') AS looks_json,
+       regexp_replace(props, '\d+', '#', 'g') AS masked
+FROM events
+WHERE event_id % 501 = 0
+""",
+    description="Regex scalar suite over the JSON props column: group "
+    "extraction, digit counting (expressed as strip-and-length in the "
+    "oracle — DuckDB lacks regexp_count), full-match predicate, global "
+    "masking. Patterns stay in the POSIX-common subset where Java and "
+    "RE2 semantics agree — verified bit-identical. All JVM codegen over "
+    "a 2-column pruned scan.",
+    tags=("scalar", "regex"),
+)
+def scalar_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 501 == 0)
+        .select(
+            "event_id",
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).alias("k_val"),
+            F.expr("regexp_count(props, '[0-9]')").alias("n_digits"),
+            F.regexp_extract("props", r"(\d+)", 1).alias("first_num"),
+            F.col("props").rlike(r"^\{.*\}$").alias("looks_json"),
+            F.regexp_replace("props", r"\d+", "#").alias("masked"),
+        )
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber,
+         NULLIF(l_linenumber % 3, 0) AS k
+  FROM lineitem WHERE l_orderkey % 997 = 0
+)
+SELECT a.l_orderkey AS ok_a, a.l_linenumber AS ln_a,
+       b.l_orderkey AS ok_b, b.l_linenumber AS ln_b,
+       a.k AS shared_key
+FROM keyed a JOIN keyed b
+  ON a.k IS NOT DISTINCT FROM b.k
+ AND (a.l_orderkey < b.l_orderkey
+      OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+""",
+    description="Null-safe equality join (<=> / IS NOT DISTINCT FROM): "
+    "NULL keys match each other instead of vanishing — the semantics "
+    "backfill and dimension-conformance joins need when the key itself "
+    "is legitimately absent. Spark plans eqNullSafe as an ordinary hash "
+    "join (NULL hashes to a regular bucket), so unlike an OR-based "
+    "rewrite it keeps the equi-join fast path; the pair ordering "
+    "predicate dedups the self-join.",
+    tags=("join", "null"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 997 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.nullif(F.col("l_linenumber") % 3, F.lit(0)).alias("k"),
+        )
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return a.join(
+        b,
+        F.col("a.k").eqNullSafe(F.col("b.k"))
+        & (
+            (F.col("a.l_orderkey") < F.col("b.l_orderkey"))
+            | (
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            )
+        ),
+    ).select(
+        F.col("a.l_orderkey").alias("ok_a"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_orderkey").alias("ok_b"),
+        F.col("b.l_linenumber").alias("ln_b"),
+        F.col("a.k").alias("shared_key"),
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
