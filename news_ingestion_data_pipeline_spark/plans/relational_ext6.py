@@ -1486,6 +1486,122 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_dedup_survivorship",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(text)
+           ORDER BY CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 ELSE 2 END,
+                    n_chars DESC, doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_dups
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars, n_dups
+FROM ranked WHERE rn = 1
+""",
+    description="Dedup with a SURVIVORSHIP RULE: instead of keep-min-id, "
+    "the surviving row per exact-text fingerprint is chosen by a "
+    "business priority (preferred language, then longest, then stable "
+    "id tiebreak) — the master-data-management form of exact dedup "
+    "(golden-record selection). Same single row_number window as "
+    "pipeline_exact_dedup, different ORDER BY; n_dups rides the same "
+    "partition for free.",
+    tags=("pipeline", "dedup"),
+)
+def pipeline_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    priority = (
+        F.when(F.col("lang") == "en", 0).when(F.col("lang") == "de", 1).otherwise(2)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        priority, F.desc("n_chars"), "doc_id"
+    )
+    cnt_w = Window.partitionBy(F.md5("text"))
+    return (
+        t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(cnt_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "n_dups")
+    )
+
+
+@register(
+    "window_gap_fill_locf",
+    oracle="""
+WITH scoped AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(value AS DECIMAL(20,10)) AS v
+  FROM events WHERE user_id % 200 = 0
+), hourly AS (
+  SELECT user_id, h, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_value
+  FROM scoped GROUP BY user_id, h
+), spans AS (
+  SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM spans
+)
+SELECT g.user_id,
+       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       hr.avg_value,
+       last_value(hr.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       CAST(hr.avg_value IS NULL AS BOOLEAN) AS was_gap
+FROM grid g LEFT JOIN hourly hr ON hr.user_id = g.user_id AND hr.h = g.h
+""",
+    description="Gap filling with last-observation-carried-forward: "
+    "densify each user's hourly series over its own [min, max] span "
+    "(F.sequence on a per-user bounds row — the grid is generated, "
+    "never stored), left-join real observations, and forward-fill via "
+    "last(ignoreNulls) over the user's timeline. The time-series "
+    "regularization every downstream resampler assumes; hourly means go "
+    "through decimal sums so observed values are bit-identical, and the "
+    "fill copies those exact doubles. One shuffle on user_id serves the "
+    "aggregate, the join, and the fill window.",
+    tags=("window", "timeseries"),
+)
+def window_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 200 == 0)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value")
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "avg_value",
+            F.last("avg_value", ignorenulls=True).over(fill_w).alias("value_filled"),
+            F.col("avg_value").isNull().alias("was_gap"),
+        )
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
