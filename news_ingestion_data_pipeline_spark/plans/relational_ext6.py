@@ -1602,6 +1602,153 @@ def window_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_activity_heatmap",
+    oracle="""
+SELECT EXTRACT(dow FROM ts) AS day_of_week,
+       EXTRACT(hour FROM ts) AS hour_of_day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,10))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="2-D activity heatmap: day-of-week x hour-of-day event "
+    "density — the usage-pattern grid behind load forecasting and "
+    "anomaly baselines. One partial+final aggregate into at most 168 "
+    "groups, so the shuffle is constant-size at any corpus scale. "
+    "Spark dayofweek is 1-7 Sunday-first vs DuckDB's 0-6 — aligned by "
+    "subtracting one (the cross-engine calendar trap documented in "
+    "events_similar_users).",
+    tags=("events", "agg", "calendar"),
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("day_of_week"),
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,10)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+@register(
+    "lineitem_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey,
+         CAST(part_rev AS DOUBLE) AS part_revenue,
+         CAST(SUM(part_rev) OVER (ORDER BY part_rev DESC, l_partkey)
+              AS DOUBLE)
+           / CAST(SUM(part_rev) OVER () AS DOUBLE) AS cum_share
+  FROM rev
+)
+SELECT l_partkey, part_revenue, cum_share,
+       CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+WHERE l_partkey % 17 = 0
+""",
+    description="ABC / Pareto classification: parts ranked by revenue, "
+    "cumulative revenue share, 80/95 class cuts — the inventory-"
+    "prioritization classic. Per-part revenue is an exact decimal "
+    "aggregate; the running and grand totals stay decimal to the final "
+    "double division, so cum_share is reproducible at any partitioning. "
+    "The ORDER BY in the running window is total (revenue desc, key) — "
+    "ties can't flip classes between engines. The global sort is over "
+    "the PART aggregate (|parts| rows), not lineitem.",
+    tags=("agg", "window", "pareto"),
+)
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_rev")
+        )
+    )
+    run_w = (
+        Window.orderBy(F.desc("part_rev"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy()
+    cum_share = F.sum("part_rev").over(run_w).cast("double") / F.sum("part_rev").over(
+        tot_w
+    ).cast("double")
+    return (
+        rev.select(
+            "l_partkey",
+            F.col("part_rev").cast("double").alias("part_revenue"),
+            cum_share.alias("cum_share"),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+        .filter(F.col("l_partkey") % 17 == 0)
+    )
+
+
+@register(
+    "orders_mom_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+       CASE WHEN LAG(rev) OVER (ORDER BY month) IS NOT NULL
+            THEN CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+       END AS mom_growth
+FROM monthly
+""",
+    description="Month-over-month revenue growth: monthly decimal-exact "
+    "sums, lag, and a single-division growth rate — the reporting "
+    "staple. The growth division subtracts in DECIMAL (exact) and "
+    "divides once in DOUBLE, so both engines agree to the bit. The "
+    "window is over |months| rows (a constant), not orders; the only "
+    "corpus-sized work is the monthly partial+final aggregate.",
+    tags=("agg", "window", "timeseries"),
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month"
+            )
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(),
+            (F.col("rev") - prev).cast("double") / prev.cast("double"),
+        ).alias("mom_growth"),
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
