@@ -1749,6 +1749,128 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT c_custkey,
+         strftime(last_order, '%Y-%m-%d') AS last_order,
+         frequency,
+         CAST(monetary_dec AS DOUBLE) AS monetary,
+         NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary_dec DESC, c_custkey) AS m_quartile
+  FROM per_cust
+)
+SELECT c_custkey, last_order, frequency, monetary,
+       r_quartile, f_quartile, m_quartile,
+       r_quartile || '-' || f_quartile || '-' || m_quartile AS rfm_segment
+FROM scored
+WHERE c_custkey % 13 = 0
+""",
+    description="RFM customer segmentation: recency / frequency / "
+    "monetary quartiles (ntile over total orders with custkey "
+    "tiebreaks, so quartile boundaries are engine-identical) composed "
+    "into a segment code — the marketing-analytics workhorse. Monetary "
+    "stays decimal through ranking; the three rank windows share one "
+    "pass over the |customers|-row aggregate, not orders. At 100 TB the "
+    "global ntile sorts would shard by hash-bucket quantile estimation "
+    "— or reuse the percentile sketch cuts.",
+    tags=("agg", "window", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("last_order_d"), "c_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "c_custkey")
+    m_w = Window.orderBy(F.desc("monetary_dec"), "c_custkey")
+    return (
+        per_cust.select(
+            "c_custkey",
+            F.date_format("last_order_d", "yyyy-MM-dd").alias("last_order"),
+            "frequency",
+            F.col("monetary_dec").cast("double").alias("monetary"),
+            F.ntile(4).over(r_w).alias("r_quartile"),
+            F.ntile(4).over(f_w).alias("f_quartile"),
+            F.ntile(4).over(m_w).alias("m_quartile"),
+        )
+        .withColumn(
+            "rfm_segment",
+            F.concat_ws("-", "r_quartile", "f_quartile", "m_quartile"),
+        )
+        .filter(F.col("c_custkey") % 13 == 0)
+    )
+
+
+@register(
+    "events_bot_heuristics",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS DOUBLE) / 1000000.0
+         AS span_sec,
+       CASE WHEN epoch_us(MAX(ts)) > epoch_us(MIN(ts))
+            THEN CAST(COUNT(*) AS DOUBLE)
+                 / (CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS DOUBLE)
+                    / 1000000.0) * 60.0
+       END AS events_per_min,
+       CAST(COUNT(*) >= 50 AND COUNT(DISTINCT event_type) <= 2 AS BOOLEAN)
+         AS flag_low_diversity,
+       CAST(epoch_us(MAX(ts)) > epoch_us(MIN(ts))
+            AND CAST(COUNT(*) AS DOUBLE)
+                / (CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS DOUBLE)
+                   / 1000000.0) * 60.0 > 1.0
+            AS BOOLEAN) AS flag_high_rate
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= 20
+""",
+    description="Bot/abuse heuristics per user — volume, behavioral "
+    "diversity, and sustained event rate flags, the traffic-hygiene "
+    "screen a training-data pipeline runs before trusting engagement "
+    "signals. One aggregate pass (count-distinct rides the same "
+    "shuffle); the rate is microsecond-exact span arithmetic with one "
+    "double division chain, identical in both engines. HAVING prunes "
+    "the long tail before any flag math ships.",
+    tags=("events", "agg", "quality"),
+)
+def events_bot_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = F.col("ts").cast("timestamp")
+    span_us = (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).cast("double")
+    span_sec = span_us / 1000000.0
+    n = F.count(F.lit(1))
+    rate = n.cast("double") / span_sec * 60.0
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            n.alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            span_sec.alias("span_sec"),
+            F.when(span_us > 0, rate).alias("events_per_min"),
+            ((n >= 50) & (F.countDistinct("event_type") <= 2)).alias(
+                "flag_low_diversity"
+            ),
+            ((span_us > 0) & (rate > 1.0)).alias("flag_high_rate"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
