@@ -1871,6 +1871,66 @@ def events_bot_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_inter_arrival_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts)
+              - epoch_us(LAG(ts) OVER (PARTITION BY event_type, user_id
+                                       ORDER BY ts, event_id))
+              AS DOUBLE) / 1000000.0 AS gap_sec
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap_sec) AS n_gaps,
+       CAST(SUM(CAST(gap_sec AS DECIMAL(20,6))) AS DOUBLE) / COUNT(gap_sec)
+         AS mean_gap_sec,
+       quantile_cont(gap_sec, 0.5) AS p50_gap_sec,
+       quantile_cont(gap_sec, 0.9) AS p90_gap_sec,
+       MAX(gap_sec) AS max_gap_sec
+FROM gaps
+WHERE gap_sec IS NOT NULL
+GROUP BY event_type
+""",
+    description="Inter-arrival time distribution per event type: "
+    "microsecond-exact lag gaps within each user's per-type stream, then "
+    "count/mean/median/p90/max of the gap distribution — the foundation "
+    "for rate limiting, session-timeout tuning (the 10-minute rule in "
+    "window_session_10m came from exactly this query's p90), and "
+    "synthetic-load modeling. Gap seconds are one exact-integer "
+    "subtraction and one division; the mean goes through decimal; the "
+    "interpolated quantiles ride the proven bit-exact percentile path. "
+    "One shuffle for the lag window, a second for the small group "
+    "aggregate.",
+    tags=("events", "window", "stats"),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp")
+    gap_sec = (
+        (F.unix_micros(ts) - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp")))
+        .cast("double")
+        / 1000000.0
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", gap_sec.alias("gap_sec"))
+        .filter(F.col("gap_sec").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_sec").alias("n_gaps"),
+            (
+                F.sum(F.col("gap_sec").cast("decimal(20,6)")).cast("double")
+                / F.count("gap_sec")
+            ).alias("mean_gap_sec"),
+            F.percentile("gap_sec", F.lit(0.5)).alias("p50_gap_sec"),
+            F.percentile("gap_sec", F.lit(0.9)).alias("p90_gap_sec"),
+            F.max("gap_sec").alias("max_gap_sec"),
+        )
+    )
+
+
+@register(
     "agg_hll_cardinality",
     oracle=None,  # sketch estimates are engine-specific; rows-only check
     description="Mergeable HyperLogLog cardinality: per-source HLL "
