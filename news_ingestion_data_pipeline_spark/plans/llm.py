@@ -19,6 +19,7 @@ from news_ingestion_data_pipeline_spark.functions import text as TX
 from news_ingestion_data_pipeline_spark.functions import vectors as V
 from news_ingestion_data_pipeline_spark.operators import dedup as DD
 from news_ingestion_data_pipeline_spark.operators import similarity as SIM
+from news_ingestion_data_pipeline_spark.plans import oracle_sqlgen as OSQL
 from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
@@ -309,10 +310,11 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_simhash",
-    oracle=None,  # 64-bit bit-vote arithmetic is not practical in SQL
+    oracle=OSQL.simhash_oracle(),
     description="64-bit SimHash fingerprints over word 3-grams — "
     "higher-order-function implementation (single aggregate pass, no UDF). "
-    "Rows-only oracle check.",
+    "Oracle: generated 64-column bit-vote SQL (plans/oracle_sqlgen.py) "
+    "mirroring the md5-word arithmetic term for term.",
     tags=("llm", "text", "dedup"),
 )
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,10 +436,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_candidates",
-    oracle=None,  # banded-signature arithmetic impractical as one SQL string
+    oracle=OSQL.minhash_candidates_oracle(),
     description="MinHash-LSH near-duplicate candidate pairs: 32 seeded "
     "permutations, 8 bands × 4 rows; candidates agree on a full band. "
-    "Shuffle O(docs×bands); per-band hash equi-join. Rows-only check.",
+    "Shuffle O(docs×bands); per-band hash equi-join. Oracle: generated "
+    "32-permutation SQL with the same frozen LCG constants "
+    "(plans/oracle_sqlgen.py).",
     tags=("llm", "dedup"),
 )
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,8 +918,12 @@ def text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_verified",
-    oracle=None,  # candidate set depends on MinHash signatures — rows-only
-    description="The complete scalable near-dup pipeline composed end to "
+    oracle=OSQL.minhash_verified_oracle(),
+    description="NOTE: signatures here are built from the shared 60-bit "
+    "(15-hex md5) shingle-hash pass — intentionally a different hash width "
+    "than dedup_minhash_candidates' 32-bit path, so the two queries' "
+    "candidate sets differ by design; the oracle mirrors the 60-bit math. "
+    "The complete scalable near-dup pipeline composed end to "
     "end: MinHash-LSH banding proposes candidate pairs (O(docs×bands) "
     "shuffle), then exact character-5-gram Jaccard verifies ONLY those "
     "candidates and keeps pairs ≥ 0.4. Per-pair array_intersect is the "
@@ -1102,13 +1110,14 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_hamming",
-    oracle=None,  # simhash bit-vote construction impractical as one SQL string
+    oracle=OSQL.simhash_hamming_oracle(),
     description="SimHash near-duplicate pairs: banded 64-bit fingerprints "
     "(4 × 16-bit chunks, pigeonhole candidate generation — the same "
     "O(docs×bands) shuffle shape as MinHash banding) verified by exact "
     "hamming distance ≤ 6 via XOR + bit_count on two 32-bit halves. "
     "Completes the simhash path: fingerprints (text_simhash) → pairs. "
-    "Rows-only check.",
+    "Oracle: generated fingerprint SQL + chunk-OR candidate join "
+    "(plans/oracle_sqlgen.py) — mirrors the banding recall bound exactly.",
     tags=("llm", "dedup"),
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:

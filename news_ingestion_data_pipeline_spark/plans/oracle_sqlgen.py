@@ -1,0 +1,202 @@
+"""Generated DuckDB oracle SQL for the hash-arithmetic dedup queries.
+
+text_simhash / dedup_simhash_hamming / dedup_minhash_candidates /
+dedup_minhash_verified were rows-only in round 1 ("bit-vote arithmetic is
+not practical in SQL"). It *is* practical — just verbose: 64 bit-vote sum
+columns, 32 MinHash permutation minima. This module generates those SQL
+strings with Python loops so the arithmetic mirrors the Spark expressions
+(functions/text.py simhash, operators/dedup.py minhash) term for term:
+
+  * both engines hash shingles with md5 and parse hex via
+    CAST('0x…' AS INT/BIGINT) ≡ F.conv(hex, 16, 10), so even hash
+    collisions agree — parity is exact by construction;
+  * MinHash (a_i, b_i) constants come from the SAME frozen LCG
+    (operators/dedup._minhash_params), embedded as literals;
+  * integer products stay < 2^62 — no overflow divergence.
+
+Reference parity note: the reference pipeline has no near-dup stage (it
+dedups on exact md5 keys, database_utils/database_methods.py); these
+oracles certify the LLM-pipeline extension required by the north star.
+"""
+
+from __future__ import annotations
+
+from news_ingestion_data_pipeline_spark.operators.dedup import (
+    _MINHASH_P,
+    _minhash_params,
+)
+from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
+
+_NORM_CTE = f"SELECT doc_id AS id, {SQL_NORM.format(col='text')} AS s FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit fingerprints over word 3-grams (mirrors
+# functions/text.py simhash words/votes construction used by
+# operators/dedup.simhash_fingerprints)
+# ---------------------------------------------------------------------------
+
+def _simhash_fp_ctes() -> str:
+    """CTE chain ending in ``fp(id, simhash)`` for ALL documents (docs with
+    < 3 tokens get the all-zeros fingerprint, like Spark's explode_outer)."""
+    votes = ",\n    ".join(
+        # bit b lives in 16-bit word b//16 at position 15 - b%16 (MSB first)
+        f"SUM(CASE WHEN ((w{b // 16} >> {15 - b % 16}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    nibbles = " || ".join(
+        "substr('0123456789abcdef', "
+        + " + ".join(
+            f"(CASE WHEN b{i * 4 + k} > 0 THEN {8 >> k} ELSE 0 END)"
+            for k in range(4)
+        )
+        + " + 1, 1)"
+        for i in range(16)
+    )
+    return f"""norm AS (
+  {_NORM_CTE}
+), toks AS (
+  SELECT id, CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(s, ' ') END AS tk
+  FROM norm
+), shingle_rows AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(tk) - 1),
+                i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+                     || ' ' || tk[CAST(i AS INT) + 2])
+    END)) AS shingle
+  FROM toks
+), words AS (
+  SELECT id,
+    CAST('0x' || substr(md5(shingle), 1, 4) AS INTEGER) AS w0,
+    CAST('0x' || substr(md5(shingle), 5, 4) AS INTEGER) AS w1,
+    CAST('0x' || substr(md5(shingle), 9, 4) AS INTEGER) AS w2,
+    CAST('0x' || substr(md5(shingle), 13, 4) AS INTEGER) AS w3
+  FROM shingle_rows
+), votes AS (
+  SELECT id,
+    {votes}
+  FROM words GROUP BY id
+), fp AS (
+  SELECT n.id, coalesce(v.simhash, '0000000000000000') AS simhash
+  FROM norm n LEFT JOIN (SELECT id, {nibbles} AS simhash FROM votes) v
+    ON n.id = v.id
+)"""
+
+
+def simhash_oracle() -> str:
+    return f"WITH {_simhash_fp_ctes()}\nSELECT id, simhash FROM fp"
+
+
+def simhash_hamming_oracle(max_hamming: int = 6, bands: int = 4) -> str:
+    """Banded candidates (any of the ``bands`` 4-hex chunks equal) verified
+    by exact hamming ≤ max_hamming — mirrors
+    operators/dedup.simhash_hamming_pairs including its recall bound: pairs
+    within hamming but sharing NO chunk are (correctly) absent here too."""
+    rows_per_band = 16 // bands
+    chunks = ", ".join(
+        f"substr(simhash, {b * rows_per_band + 1}, {rows_per_band}) AS c{b}"
+        for b in range(bands)
+    )
+    any_chunk = " OR ".join(f"a.c{b} = x.c{b}" for b in range(bands))
+    return f"""WITH {_simhash_fp_ctes()}, halves AS (
+  SELECT id, {chunks},
+         CAST('0x' || substr(simhash, 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(simhash, 9, 8) AS BIGINT) AS lo
+  FROM fp
+)
+SELECT a.id AS id_a, x.id AS id_b,
+       bit_count(xor(a.hi, x.hi)) + bit_count(xor(a.lo, x.lo)) AS hamming
+FROM halves a JOIN halves x ON a.id < x.id
+WHERE ({any_chunk})
+  AND bit_count(xor(a.hi, x.hi)) + bit_count(xor(a.lo, x.lo)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH: 32 seeded permutations, 8 bands × 4 rows (mirrors
+# operators/dedup.minhash_signatures_from_hashes + lsh_band_pairs)
+# ---------------------------------------------------------------------------
+
+def _sig_cols(num_hashes: int) -> str:
+    params = _minhash_params(num_hashes)
+    return ",\n    ".join(
+        f"MIN(({a} * x + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+
+def _band_union(num_hashes: int, bands: int) -> str:
+    rpb = num_hashes // bands
+    return "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"[{', '.join(f'h{b * rpb + r}' for r in range(rpb))}] AS bucket FROM sig"
+        for b in range(bands)
+    )
+
+
+_CAND_JOIN = """cand AS (
+  SELECT a.id AS id_a, x.id AS id_b, COUNT(*) AS n_bands_matched
+  FROM bands a JOIN bands x
+    ON a.band = x.band AND a.bucket = x.bucket AND a.id < x.id
+  GROUP BY a.id, x.id
+)"""
+
+
+def minhash_candidates_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """32-bit shingle hashes (md5 8-hex prefix), as in
+    operators/dedup.shingle_hashes."""
+    return f"""WITH norm AS (
+  {_NORM_CTE}
+), xrows AS (
+  SELECT id, unnest(list_distinct(list_transform(
+    range(1, greatest(length(s) - 3, 1)),
+    i -> CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+  ))) % {_MINHASH_P} AS x
+  FROM norm
+), sig AS (
+  SELECT id,
+    {_sig_cols(num_hashes)}
+  FROM xrows GROUP BY id
+), bands AS (
+  {_band_union(num_hashes, bands)}
+), {_CAND_JOIN}
+SELECT id_a, id_b, n_bands_matched FROM cand"""
+
+
+def minhash_verified_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: str = "0.4"
+) -> str:
+    """Candidates from signatures over the 60-bit (15-hex) shingle hashes —
+    the shared-shingle-pass variant dedup_minhash_verified actually runs
+    (intentionally different hash width from dedup_minhash_candidates; see
+    that query's description) — then exact Jaccard ≥ threshold on the same
+    hash sets, filtered on the 6-dp ROUNDED value exactly as Spark does."""
+    jac = (
+        "round(len(list_intersect(da.shingles, db.shingles)) * 1.0 / "
+        "(len(da.shingles) + len(db.shingles) "
+        "- len(list_intersect(da.shingles, db.shingles))), 6)"
+    )
+    return f"""WITH norm AS (
+  {_NORM_CTE}
+), doc AS (
+  SELECT id, list_distinct(list_transform(
+    range(1, greatest(length(s) - 3, 1)),
+    i -> CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15) AS BIGINT)
+  )) AS shingles
+  FROM norm
+), xrows AS (
+  SELECT id, unnest(shingles) % {_MINHASH_P} AS x FROM doc
+), sig AS (
+  SELECT id,
+    {_sig_cols(num_hashes)}
+  FROM xrows GROUP BY id
+), bands AS (
+  {_band_union(num_hashes, bands)}
+), {_CAND_JOIN}
+SELECT c.id_a, c.id_b, c.n_bands_matched, {jac} AS jaccard
+FROM cand c
+  JOIN doc da ON da.id = c.id_a
+  JOIN doc db ON db.id = c.id_b
+WHERE {jac} >= {threshold}"""
