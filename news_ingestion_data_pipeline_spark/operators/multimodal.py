@@ -15,16 +15,22 @@ Design for 100 TB of media:
     stages — media files skew wildly in size, and AQE can't split a single
     pathological input row-group.
 
-STUB BOUNDARY: this container has no image/audio/video codec libraries, so
-``DECODERS`` ships a deterministic fake (payload-seeded PRNG pixels) and a
-clearly-marked ``NotImplementedError`` real path. The Spark-side plumbing —
-schemas, UDF signatures, batch iteration, explode shapes — is real and
-tested; swapping in Pillow/ffmpeg later changes only ``_decode_real``.
+CODEC BOUNDARY: ``DECODERS["real"]`` decodes actual BMP/PPM image bytes and
+``AUDIO_DECODERS["real"]`` actual WAV/PCM-s16le bytes via the pure-numpy
+parsers in ``operators/codecs.py`` — no codec library needed. A
+deterministic fake (payload-seeded PRNG pixels) remains for plumbing tests
+and for formats the numpy parsers don't cover; Pillow/libav would slot into
+``codecs.py`` without touching any Spark plumbing here.
+
+Feature math is integer-exact where possible (integer pixel/sample sums,
+one IEEE division at the end) so results are bit-identical across engines
+and oracle-checkable — see plans/oracle_sqlgen.py for the DuckDB twins.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import numpy as np
@@ -32,6 +38,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.operators import codecs
 
 MEDIA_SCHEMA_DDL = (
     "media_id bigint, kind string, payload binary, "
@@ -71,14 +79,103 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+# Deterministic pixel/sample formulas for the REAL-payload synthetic corpus.
+# Chosen to be closed-form (doc_id + coordinate arithmetic mod 2^k) so a SQL
+# oracle can regenerate the decoded content and certify the whole
+# encode→decode→feature path end to end.
+
+def _real_image_dims(doc_id: int) -> tuple[int, int]:
+    """(h, w), both divisible by 8 (clean phash blocks) and by 4 (no BMP
+    row padding ambiguity — though the codec handles padding anyway)."""
+    return 64 + (doc_id % 3) * 8, 64 + (doc_id % 4) * 8
+
+
+def _real_image(doc_id: int, w: int, h: int, frame: int = 0) -> np.ndarray:
+    """pixel(y, x, c) = (3·doc_id + 17·frame + c + y·w + x) mod 256."""
+    p = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    base = 3 * doc_id + 17 * frame
+    return ((base + p[:, :, None] + np.arange(3, dtype=np.int64)[None, None, :]) % 256).astype(
+        np.uint8
+    )
+
+
+_REAL_AUDIO_RATE = 8000
+
+
+def _real_audio(doc_id: int, n_samples: int) -> np.ndarray:
+    """sample(i) = ((31·doc_id + 7·i) mod 65536) − 32768, int16 range."""
+    i = np.arange(n_samples, dtype=np.int64)
+    return ((31 * doc_id + 7 * i) % 65536) - 32768
+
+
+_REAL_FRAME_W = 16
+_REAL_FRAME_INTERVAL_MS = 500
+
+
+def synthesize_media_real(documents: DataFrame, kind: str = "image") -> DataFrame:
+    """documents → media rows with REAL encoded payloads (BMP / WAV /
+    framepack-of-BMPs), deterministic from doc_id via the formulas above.
+
+    Encoding runs in mapInPandas (payload construction is per-row Python by
+    nature); everything downstream — decode, features — exercises the real
+    codec path.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                if kind == "image":
+                    h, w = _real_image_dims(did)
+                    payload = codecs.encode_bmp(_real_image(did, w, h))
+                    meta = dict(width=w, height=h, channels=3, sample_rate=0,
+                                duration_ms=0, codec="bmp24")
+                elif kind == "audio":
+                    duration_ms = (did % 8) * 250 + 500
+                    n = _REAL_AUDIO_RATE * duration_ms // 1000
+                    payload = codecs.encode_wav(_real_audio(did, n), _REAL_AUDIO_RATE)
+                    meta = dict(width=0, height=0, channels=1,
+                                sample_rate=_REAL_AUDIO_RATE,
+                                duration_ms=duration_ms, codec="pcm_s16le")
+                elif kind == "video":
+                    duration_ms = (did % 6) * 500 + 1000
+                    n_frames = -(-duration_ms // _REAL_FRAME_INTERVAL_MS)
+                    frames = [
+                        codecs.encode_bmp(
+                            _real_image(did, _REAL_FRAME_W, _REAL_FRAME_W, frame=f)
+                        )
+                        for f in range(n_frames)
+                    ]
+                    payload = codecs.encode_framepack(frames, _REAL_FRAME_INTERVAL_MS)
+                    meta = dict(width=_REAL_FRAME_W, height=_REAL_FRAME_W, channels=3,
+                                sample_rate=0, duration_ms=duration_ms,
+                                codec="framepack/bmp24")
+                else:
+                    raise ValueError(f"unknown kind {kind!r}")
+                rows.append(
+                    {"media_id": did, "kind": kind, "payload": payload, "meta": meta}
+                )
+            yield pd.DataFrame(rows) if rows else pdf.iloc[0:0]
+
+    return documents.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA_DDL)
+
+
 # ---------------------------------------------------------------------------
 # codec boundary
 # ---------------------------------------------------------------------------
 
 def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
-    raise NotImplementedError(
-        "real media decoding needs codec libraries (Pillow / libav) that are "
-        "not in this runtime; wire them here — callers are codec-agnostic"
+    """Real image decode: BMP or PPM by magic bytes (pure numpy,
+    operators/codecs.py). Unknown containers raise — loudly, not a fake."""
+    if payload[:2] == b"BM":
+        return codecs.decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return codecs.decode_ppm(payload)
+    raise ValueError(
+        f"unsupported image container (magic {payload[:2]!r}); "
+        "BMP and P6 PPM decode natively — other formats need Pillow wired "
+        "into operators/codecs.py"
     )
 
 
@@ -95,15 +192,25 @@ DECODERS = {"fake": _decode_fake, "real": _decode_real}
 
 
 def _phash64(img: np.ndarray) -> int:
-    """64-bit perceptual-style hash: 8×8 block-mean grid vs its median.
-    Pure numpy — no codec dependency."""
-    gray = img.mean(axis=2)
-    h, w = gray.shape
-    blocks = gray[: h - h % 8, : w - w % 8].reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
-    bits = (blocks > np.median(blocks)).flatten()
+    """64-bit perceptual-style hash: 8×8 block-sum grid vs the middle pair
+    of its sorted values (integer-exact median comparison). Pure integer
+    numpy — no codec dependency, no float rounding, so the same arithmetic
+    is expressible in a SQL oracle.
+
+    Equivalent to comparing block MEANS against their median when blocks
+    are equal-sized (they are: the image is cropped to multiples of 8), but
+    computed on channel-summed integer block sums so ties resolve
+    identically everywhere.
+    """
+    h, w = img.shape[:2]
+    gray3 = img[: h - h % 8, : w - w % 8].sum(axis=2, dtype=np.int64)
+    hh, ww = gray3.shape
+    blocks = gray3.reshape(8, hh // 8, 8, ww // 8).sum(axis=(1, 3)).flatten()
+    mid = np.sort(blocks)
+    m2 = int(mid[31]) + int(mid[32])            # 2 × median of 64 values
     val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    for b in blocks:
+        val = (val << 1) | int(2 * int(b) > m2)
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
@@ -116,25 +223,37 @@ def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame
 
     One Arrow batch in, one out; decode cost dominates, so parallelism =
     input partitions — repartition upstream to the cluster's core count.
+
+    Means/std are integer pixel sums with one IEEE division (and one sqrt)
+    at the end — bit-identical across engines, hence oracle-checkable.
     """
     decode = DECODERS[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                img = decode(bytes(row["payload"]), row["meta"])
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode(bytes(payload), meta)
+                hgt, wid, nch = img.shape
+                npx = hgt * wid
+                chan = img.reshape(npx, nch).astype(np.int64)
+                s = chan.sum(axis=0)
+                ss0 = int((chan[:, 0] ** 2).sum())
+                s0 = int(s[0])
+                mean0 = s0 / npx
                 out.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "height": img.shape[0],
-                        "width": img.shape[1],
-                        "channels": img.shape[2],
-                        "mean_0": float(img[..., 0].mean()),
-                        "mean_1": float(img[..., 1].mean()),
-                        "mean_2": float(img[..., 2].mean()),
-                        "std_0": float(img[..., 0].std()),
+                        "media_id": media_id,
+                        "kind": kind,
+                        "height": hgt,
+                        "width": wid,
+                        "channels": nch,
+                        "mean_0": mean0,
+                        "mean_1": int(s[1]) / npx if nch > 1 else mean0,
+                        "mean_2": int(s[2]) / npx if nch > 2 else mean0,
+                        "std_0": math.sqrt(ss0 / npx - (s0 / npx) * (s0 / npx)),
                         "phash": _phash64(img),
                     }
                 )
@@ -146,26 +265,33 @@ def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int, decoder: str = "fake") -> DataFrame:
-    """Decode → nearest-neighbor resize (pure numpy) → re-emit payload bytes
-    with updated meta. Output schema == input schema, so stages compose."""
+    """Decode → nearest-neighbor resize (pure numpy) → re-emit payload with
+    updated meta. Output schema == input schema, so stages compose; with the
+    real decoder the output payload is a real BMP (re-encoded), so a second
+    real decode stage composes too.
+    """
     decode = DECODERS[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                img = decode(bytes(row["payload"]), row["meta"])
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode(bytes(payload), meta)
                 yi = (np.arange(out_h) * img.shape[0] // out_h)
                 xi = (np.arange(out_w) * img.shape[1] // out_w)
                 resized = img[yi][:, xi]
-                meta = dict(row["meta"])
-                meta.update(width=out_w, height=out_h)
+                new_meta = dict(meta)
+                new_meta.update(width=out_w, height=out_h)
                 rows.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "payload": resized.tobytes(),
-                        "meta": meta,
+                        "media_id": media_id,
+                        "kind": kind,
+                        "payload": codecs.encode_bmp(resized)
+                        if decoder == "real"
+                        else resized.tobytes(),
+                        "meta": new_meta,
                     }
                 )
             yield pd.DataFrame(rows) if rows else pdf.iloc[0:0]
@@ -176,27 +302,45 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, decoder: str = "fake
 def sample_frames(media: DataFrame, every_ms: int = 500, decoder: str = "fake") -> DataFrame:
     """Video rows → one row per sampled frame (1:N explode via mapInPandas).
 
-    Frame payloads are decoder output per timestamp; the *shape* — frame_no
-    sequencing, ms offsets, per-frame binary — is the real contract a
-    training-data pipeline consumes."""
+    Real path: the payload is a framepack container (operators/codecs.py) —
+    header parse → pick the frame covering each sample timestamp → decode
+    that one still (BMP) → emit its 8×8 top-left crop as the frame payload.
+    Fake path: decoder output seeded by payload+timestamp (plumbing tests).
+    """
     decode = DECODERS[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                duration = int(row["meta"]["duration_ms"])
-                for i, ms in enumerate(range(0, duration, every_ms)):
-                    frame_meta = dict(row["meta"])
-                    frame = decode(bytes(row["payload"]) + ms.to_bytes(4, "big"), frame_meta)
-                    rows.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_no": i,
-                            "frame_ms": ms,
-                            "frame_payload": frame[:8, :8].tobytes(),
-                        }
-                    )
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                payload = bytes(payload)
+                duration = int(meta["duration_ms"])
+                if decoder == "real":
+                    frames, interval = codecs.decode_framepack(payload)
+                    for i, ms in enumerate(range(0, duration, every_ms)):
+                        idx = min(ms // interval, len(frames) - 1)
+                        frame = decode(frames[idx], meta)
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_no": i,
+                                "frame_ms": ms,
+                                "frame_payload": frame[:8, :8].tobytes(),
+                            }
+                        )
+                else:
+                    for i, ms in enumerate(range(0, duration, every_ms)):
+                        frame = decode(payload + ms.to_bytes(4, "big"), meta)
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_no": i,
+                                "frame_ms": ms,
+                                "frame_payload": frame[:8, :8].tobytes(),
+                            }
+                        )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=["media_id", "frame_no", "frame_ms", "frame_payload"]
             )
@@ -218,6 +362,16 @@ def _decode_audio_fake(payload: bytes, meta: dict, n_samples: int) -> np.ndarray
     return rng.integers(-(1 << 15), 1 << 15, size=n_samples, dtype=np.int64)
 
 
+def _decode_audio_real(payload: bytes, meta: dict, n_samples: int) -> np.ndarray:
+    """Real WAV/PCM-s16le decode (operators/codecs.py); sample count and
+    rate come from the RIFF header, not the metadata."""
+    samples, _rate = codecs.decode_wav(payload)
+    return samples.astype(np.int64)
+
+
+AUDIO_DECODERS = {"fake": _decode_audio_fake, "real": _decode_audio_real}
+
+
 def extract_audio_features(
     media: DataFrame, window_ms: int = 250, decoder: str = "fake"
 ) -> DataFrame:
@@ -226,34 +380,32 @@ def extract_audio_features(
     feature shape a speech/audio training pipeline computes before
     filtering segments.
 
-    Pure-numpy DSP over the decoded PCM block; the codec boundary is the
-    same DECODERS stub contract as images (real libav decode drops in
-    without touching the Spark plumbing). Window math is integer-exact;
-    RMS is one sqrt per window.
+    Pure-numpy DSP over the decoded PCM block; RMS is an integer
+    sum-of-squares with one division + sqrt (oracle-exact); crossings and
+    peak are integers.
     """
-    if decoder == "real":
-        _decode_real(b"", {})  # raises NotImplementedError at plan-build time
+    decode_pcm = AUDIO_DECODERS[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
                 rate, duration = int(meta["sample_rate"]), int(meta["duration_ms"])
-                samples = _decode_audio_fake(
-                    bytes(row["payload"]), meta, rate * duration // 1000
-                )
+                samples = decode_pcm(bytes(payload), meta, rate * duration // 1000)
                 win = rate * window_ms // 1000
                 for i in range(0, max(len(samples) - win + 1, 1), win):
                     seg = samples[i : i + win]
                     if len(seg) == 0:
                         continue
+                    ss = int((seg.astype(np.int64) ** 2).sum())
                     rows.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "win_no": i // win,
                             "win_start_ms": i * 1000 // rate,
-                            "rms": float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))),
+                            "rms": math.sqrt(ss / len(seg)),
                             "zero_crossings": int(np.sum(np.abs(np.diff(np.sign(seg))) > 1)),
                             "peak": int(np.max(np.abs(seg))),
                         }

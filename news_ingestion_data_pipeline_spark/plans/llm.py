@@ -710,40 +710,48 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_features",
-    oracle=None,  # mapInPandas decode stage — not SQL-expressible (rows-only check)
-    description="Arrow-batched mapInPandas decode + per-image stats + 64-bit "
-    "phash over synthesized media rows (operators/multimodal.py). Payloads "
+    oracle=OSQL.multimodal_image_features_oracle(),
+    description="REAL-codec image pipeline: synthesize deterministic BMP "
+    "payloads (closed-form pixel formula), decode them through the "
+    "pure-numpy BMP parser (operators/codecs.py), and emit integer-exact "
+    "per-image stats + 64-bit phash via Arrow-batched mapInPandas. Payloads "
     "repartitioned by media_id before the decode stage — media sizes skew "
-    "and AQE can't split one input row.",
+    "and AQE can't split one input row. Oracle regenerates the decoded "
+    "pixels from the formula and recomputes every feature bit-identically.",
     tags=("llm", "multimodal"),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.operators import multimodal as mm
 
     docs = t(spark, sf_dir, "documents")
-    media = mm.synthesize_media(docs).repartition(
+    media = mm.synthesize_media_real(docs).repartition(
         spark.sparkContext.defaultParallelism, "media_id"
     )
-    return mm.extract_image_features(media).orderBy("media_id")
+    return mm.extract_image_features(media, decoder="real").orderBy("media_id")
 
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # 1:N frame explode via mapInPandas — rows-only check
-    description="Video frame sampling: one row per 500 ms frame per media "
-    "row (bounded to 200 media rows — the full fake-decode of every frame "
-    "is deliberately capped; the explode *shape* is the contract).",
+    oracle=OSQL.multimodal_frame_sample_oracle(),
+    description="REAL-codec video frame sampling: framepack container "
+    "(length-prefixed BMP stills at 500 ms intervals) → header parse → "
+    "decode the sampled frame → emit its 8×8 crop, one row per 500 ms "
+    "(bounded to 200 media rows). Output carries md5(lower-hex(payload)) "
+    "so the binary frame bytes themselves are oracle-verified.",
     tags=("llm", "multimodal"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.operators import multimodal as mm
 
     docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
-    media = mm.synthesize_media(docs, kind="video").repartition(8, "media_id")
-    frames = mm.sample_frames(media, every_ms=500)
-    return frames.select("media_id", "frame_no", "frame_ms").orderBy(
-        "media_id", "frame_no"
-    )
+    media = mm.synthesize_media_real(docs, kind="video").repartition(8, "media_id")
+    frames = mm.sample_frames(media, every_ms=500, decoder="real")
+    return frames.select(
+        "media_id",
+        "frame_no",
+        "frame_ms",
+        F.md5(F.lower(F.hex("frame_payload"))).alias("frame_md5"),
+    ).orderBy("media_id", "frame_no")
 
 
 _SQL_CELL_SIM = (
@@ -851,19 +859,21 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_windows",
-    oracle=None,  # payload-seeded PRNG decode is Python-side — rows-only
-    description="Audio feature windows: 250 ms RMS/zero-crossing/peak rows "
-    "per media payload via Arrow-batched mapInPandas (1:N explode). Bounded "
-    "to 200 media rows like the frame sampler; the windowed-DSP shape is "
-    "the contract, the fake PCM decode is the stubbed codec boundary.",
+    oracle=OSQL.multimodal_audio_windows_oracle(),
+    description="REAL-codec audio feature windows: deterministic PCM "
+    "waveforms encoded as actual WAV bytes, decoded back through the RIFF "
+    "chunk walker (operators/codecs.py), then 250 ms RMS/zero-crossing/peak "
+    "rows via Arrow-batched mapInPandas (1:N explode; bounded to 200 media "
+    "rows). RMS is an integer sum-of-squares + one division + sqrt — "
+    "bit-identical to the oracle's regeneration of the same samples.",
     tags=("llm", "multimodal"),
 )
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.operators import multimodal as mm
 
     docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
-    media = mm.synthesize_media(docs, kind="audio").repartition(8, "media_id")
-    return mm.extract_audio_features(media, window_ms=250).select(
+    media = mm.synthesize_media_real(docs, kind="audio").repartition(8, "media_id")
+    return mm.extract_audio_features(media, window_ms=250, decoder="real").select(
         "media_id", "win_no", "win_start_ms", "rms", "zero_crossings", "peak"
     ).orderBy("media_id", "win_no")
 

@@ -200,3 +200,111 @@ FROM cand c
   JOIN doc da ON da.id = c.id_a
   JOIN doc db ON db.id = c.id_b
 WHERE {jac} >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal REAL-decode oracles. The synthetic real corpus
+# (operators/multimodal.synthesize_media_real) generates payload content
+# from closed-form doc_id+coordinate formulas, encodes it through the real
+# codecs (BMP/WAV/framepack), and the queries decode it back through the
+# real parsers — so the oracle can regenerate the decoded content with the
+# same arithmetic and certify the whole encode→decode→feature path.
+# Feature float math is integer sums + one IEEE division (+ sqrt) on both
+# sides, hence bit-identical.
+# ---------------------------------------------------------------------------
+
+def multimodal_image_features_oracle() -> str:
+    """Mirrors _real_image + extract_image_features(decoder='real') +
+    the integer-exact _phash64 (block sums vs middle-pair-of-sorted)."""
+    return """WITH d AS (
+  SELECT doc_id, 64 + (doc_id % 3) * 8 AS h, 64 + (doc_id % 4) * 8 AS w
+  FROM documents
+), px AS (
+  SELECT doc_id, h, w, unnest(range(0, h * w)) AS p FROM d
+), vals AS (
+  SELECT doc_id, h, w,
+    (3 * doc_id + p) % 256 AS v0,
+    (3 * doc_id + 1 + p) % 256 AS v1,
+    (3 * doc_id + 2 + p) % 256 AS v2,
+    ((p // w) // (h // 8)) * 8 + ((p % w) // (w // 8)) AS block_id
+  FROM px
+), agg AS (
+  SELECT doc_id, h, w,
+    SUM(v0) AS s0, SUM(v1) AS s1, SUM(v2) AS s2, SUM(v0 * v0) AS ss0
+  FROM vals GROUP BY doc_id, h, w
+), blocks AS (
+  SELECT doc_id, block_id, SUM(v0 + v1 + v2) AS bsum
+  FROM vals GROUP BY doc_id, block_id
+), med AS (
+  SELECT doc_id, list_sort(list(bsum)) AS srt FROM blocks GROUP BY doc_id
+), ph AS (
+  SELECT b.doc_id,
+    SUM(CASE WHEN b.block_id > 0 AND 2 * b.bsum > m.srt[32] + m.srt[33]
+        THEN (CAST(1 AS BIGINT) << CAST(63 - b.block_id AS INT)) ELSE 0 END)
+    + SUM(CASE WHEN b.block_id = 0 AND 2 * b.bsum > m.srt[32] + m.srt[33]
+        THEN -9223372036854775808 ELSE 0 END) AS phash
+  FROM blocks b JOIN med m USING (doc_id) GROUP BY b.doc_id
+)
+SELECT a.doc_id AS media_id, 'image' AS kind,
+  CAST(a.h AS INT) AS height, CAST(a.w AS INT) AS width, 3 AS channels,
+  CAST(s0 AS DOUBLE) / (a.h * a.w) AS mean_0,
+  CAST(s1 AS DOUBLE) / (a.h * a.w) AS mean_1,
+  CAST(s2 AS DOUBLE) / (a.h * a.w) AS mean_2,
+  sqrt(CAST(ss0 AS DOUBLE) / (a.h * a.w)
+       - (CAST(s0 AS DOUBLE) / (a.h * a.w)) * (CAST(s0 AS DOUBLE) / (a.h * a.w)))
+    AS std_0,
+  CAST(ph.phash AS BIGINT) AS phash
+FROM agg a JOIN ph ON a.doc_id = ph.doc_id"""
+
+
+def multimodal_audio_windows_oracle() -> str:
+    """Mirrors _real_audio (8 kHz, (doc_id%8)*250+500 ms) decoded from real
+    WAV bytes + extract_audio_features(window_ms=250): win = 2000 samples,
+    all windows full by construction (durations are multiples of 250 ms)."""
+    return """WITH d AS (
+  SELECT doc_id, (doc_id % 8) * 250 + 500 AS duration_ms
+  FROM documents ORDER BY doc_id LIMIT 200
+), s AS (
+  SELECT doc_id, unnest(range(0, 8 * duration_ms)) AS i FROM d
+), v AS (
+  SELECT doc_id, i, CAST(i // 2000 AS INT) AS win_no,
+    (31 * doc_id + 7 * i) % 65536 - 32768 AS smp
+  FROM s
+), sg AS (
+  SELECT doc_id, i, win_no, smp,
+    CASE WHEN smp > 0 THEN 1 WHEN smp < 0 THEN -1 ELSE 0 END AS sgn,
+    LAG(CASE WHEN smp > 0 THEN 1 WHEN smp < 0 THEN -1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY i) AS psgn
+  FROM v
+)
+SELECT doc_id AS media_id, win_no,
+  CAST(win_no * 250 AS INT) AS win_start_ms,
+  sqrt(CAST(SUM(smp * smp) AS DOUBLE) / 2000) AS rms,
+  CAST(SUM(CASE WHEN i % 2000 > 0 AND abs(sgn - psgn) > 1 THEN 1 ELSE 0 END)
+       AS INT) AS zero_crossings,
+  MAX(abs(smp)) AS peak
+FROM sg GROUP BY doc_id, win_no"""
+
+
+def multimodal_frame_sample_oracle() -> str:
+    """Mirrors the framepack real path: frames at 500 ms intervals, each a
+    16×16 BMP from _real_image(doc_id, frame=f); the sampled frame's 8×8
+    top-left crop bytes (row-major y, x, c) hashed as md5(lower-hex)."""
+    return """WITH d AS (
+  SELECT doc_id, (doc_id % 6) * 500 + 1000 AS duration_ms
+  FROM documents ORDER BY doc_id LIMIT 200
+), fr AS (
+  SELECT doc_id, unnest(range(0, duration_ms // 500)) AS f FROM d
+), fb AS (
+  SELECT doc_id, f, unnest(range(0, 192)) AS k FROM fr
+), hx AS (
+  SELECT doc_id, f, k,
+    printf('%02x',
+      (3 * doc_id + 17 * f + (k % 3) + (k // 24) * 16 + ((k % 24) // 3)) % 256)
+      AS hex2
+  FROM fb
+)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+  CAST(f * 500 AS INT) AS frame_ms,
+  md5(string_agg(hex2, '' ORDER BY k)) AS frame_md5
+FROM hx GROUP BY doc_id, f"""

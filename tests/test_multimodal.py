@@ -62,9 +62,61 @@ def test_frame_sampling_counts(media):
     assert [f["frame_ms"] for f in fr] == [i * 500 for i in range(len(fr))]
 
 
-def test_real_decoder_is_gated():
-    with pytest.raises(NotImplementedError):
-        mm.DECODERS["real"](b"bytes", {"height": 2, "width": 2, "channels": 3})
+def test_real_decoder_roundtrips():
+    import numpy as np
+
+    from news_ingestion_data_pipeline_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    for h, w in [(64, 64), (24, 32), (10, 7)]:  # incl. BMP row padding cases
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.DECODERS["real"](codecs.encode_bmp(img), {}), img)
+        assert np.array_equal(mm.DECODERS["real"](codecs.encode_ppm(img), {}), img)
+    samples = rng.integers(-(1 << 15), 1 << 15, 4000).astype(np.int16)
+    decoded, rate = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(decoded, samples)
+    with pytest.raises(ValueError):
+        mm.DECODERS["real"](b"GIF89a...", {})
+
+
+def test_real_pipeline_end_to_end(spark):
+    """synthesize real BMPs -> real decode -> features; and resize composes
+    through a real re-encode."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(12)
+    media = mm.synthesize_media_real(docs)
+    feats = {r["media_id"]: r for r in mm.extract_image_features(media, decoder="real").collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        h, w = mm._real_image_dims(mid)
+        assert (r["height"], r["width"]) == (h, w)
+        img = mm._real_image(mid, w, h)
+        assert r["mean_0"] == int(img[..., 0].astype("int64").sum()) / (h * w)
+        assert r["phash"] == mm._phash64(img)
+    resized = mm.resize_images(media, 32, 24, decoder="real")
+    for r in mm.extract_image_features(resized, decoder="real").collect():
+        assert (r["height"], r["width"]) == (24, 32)
+
+
+def test_real_audio_and_frames(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    audio = mm.synthesize_media_real(docs, kind="audio")
+    wins = mm.extract_audio_features(audio, window_ms=250, decoder="real").collect()
+    durations = {r["media_id"]: r["meta"]["duration_ms"] for r in audio.collect()}
+    from collections import Counter
+
+    counts = Counter(r["media_id"] for r in wins)
+    assert all(counts[mid] == dur // 250 for mid, dur in durations.items())
+    video = mm.synthesize_media_real(docs, kind="video")
+    frames = mm.sample_frames(video, every_ms=500, decoder="real").collect()
+    vdur = {r["media_id"]: r["meta"]["duration_ms"] for r in video.collect()}
+    fcounts = Counter(r["media_id"] for r in frames)
+    assert all(fcounts[mid] == -(-dur // 500) for mid, dur in vdur.items())
+    # frame payload is the decoded 8x8 crop of the right per-frame image
+    import numpy as np
+
+    f0 = next(r for r in frames if r["frame_no"] == 1)
+    expect = mm._real_image(f0["media_id"], 16, 16, frame=1)[:8, :8].tobytes()
+    assert bytes(f0["frame_payload"]) == expect
 
 
 def test_audio_windows_shape_and_determinism(spark):
