@@ -308,3 +308,67 @@ SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
   CAST(f * 500 AS INT) AS frame_ms,
   md5(string_agg(hex2, '' ORDER BY k)) AS frame_md5
 FROM hx GROUP BY doc_id, f"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank: 15 fixed iterations unrolled as a CTE chain (mirrors
+# plans/relational_ext6.graph_pagerank_transitions). Recursive CTEs are
+# avoided on purpose: the update needs the previous iteration THREE times
+# (contrib join, dangling-mass scan, full node relist), which the standard
+# single-reference recursive form can't express — unrolling the fixed
+# iteration count into r0..r15 CTEs keeps every reference legal and the
+# arithmetic term-for-term identical to the Spark loop (same IEEE double
+# divisions, damping 0.85, uniform dangling redistribution, round(.,8)).
+# ---------------------------------------------------------------------------
+
+def pagerank_oracle(iters: int = 15, damping: float = 0.85) -> str:
+    base = """WITH raw AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src
+  FROM events
+), e0 AS (
+  SELECT src, event_type AS dst, COUNT(*) AS weight
+  FROM raw WHERE src IS NOT NULL GROUP BY src, event_type
+), outw AS (
+  SELECT src, SUM(weight) AS out_weight FROM e0 GROUP BY src
+), edges AS MATERIALIZED (
+  SELECT e0.src, e0.dst,
+         CAST(e0.weight AS DOUBLE) / CAST(outw.out_weight AS DOUBLE) AS prob
+  FROM e0 JOIN outw USING (src)
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), has_out AS MATERIALIZED (
+  SELECT DISTINCT src FROM edges
+), r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        steps.append(f""", dang{k} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS d
+  FROM {prev} r LEFT JOIN has_out h ON r.node = h.src
+  WHERE h.src IS NULL
+), r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         {1 - damping} / (SELECT n FROM nn)
+         + {damping} * (COALESCE(c.contrib, 0.0)
+                        + (SELECT d FROM dang{k}) / (SELECT n FROM nn))
+           AS rank
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank * e.prob) AS contrib
+    FROM {prev} r JOIN edges e ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON nd.node = c.node
+)""")
+    final = (
+        f"\nSELECT node, round(rank, 8) AS pagerank FROM r{iters} "
+        "ORDER BY pagerank DESC, node"
+    )
+    return base + "".join(steps) + final

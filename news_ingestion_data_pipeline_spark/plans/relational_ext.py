@@ -215,15 +215,32 @@ def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketch values are engine-specific — rows-only check
+    # Epsilon-bound oracle: the sketch estimate itself is engine-specific,
+    # so the VERIFIED output is the exact count plus a boolean asserting the
+    # HLL++ estimate landed within its advertised error band (default
+    # rsd=0.05 → we check |est-exact|/exact <= 4*rsd, a ~4-sigma bound that
+    # is deterministic-tight in practice). The oracle emits TRUE, so a
+    # hash match PROVES the sketch was within epsilon of exact.
+    oracle="""
+SELECT o_orderpriority,
+       TRUE AS approx_within_eps,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
     description="approx_count_distinct (HyperLogLog++) next to the exact "
     "count per group: the 100 TB cardinality-estimation path (no "
-    "expand+two-phase shuffle, fixed-size sketch). Rows-only check because "
-    "sketch estimates are engine-specific by construction.",
+    "expand+two-phase shuffle, fixed-size sketch). The oracle verifies an "
+    "epsilon bound: output carries |approx-exact|/exact <= 0.20 (4x the "
+    "default rsd) as a boolean the DuckDB side asserts TRUE, so the hash "
+    "match certifies the estimate quality without requiring bit-identical "
+    "engine-specific sketch values.",
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agged = (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
@@ -231,8 +248,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("exact_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("o_orderpriority")
     )
+    return agged.select(
+        "o_orderpriority",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= F.lit(0.20)
+        ).alias("approx_within_eps"),
+        "exact_customers",
+        "n_orders",
+    ).orderBy("o_orderpriority")
 
 
 @register(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.plans import oracle_sqlgen as OSQL
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 
@@ -730,34 +731,80 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # GK (Spark) vs t-digest (DuckDB) estimates differ; rows-only
+    # Epsilon-bound oracle: GK (Spark) vs t-digest (DuckDB) estimates can
+    # never be bit-compared, so the VERIFIED output is the exact
+    # interpolated quantiles plus booleans asserting each sketch estimate
+    # lies inside the exact [q(p-0.01), q(p+0.01)] band. approx_percentile's
+    # default accuracy (10000) bounds rank error at 1e-4*n — two orders of
+    # magnitude inside the 0.01 rank band — so the booleans are
+    # deterministically TRUE when the sketch honors its contract, and the
+    # oracle asserts exactly that.
+    oracle="""
+SELECT l_returnflag,
+       TRUE AS p50_within_band,
+       TRUE AS p90_within_band,
+       TRUE AS p99_within_band,
+       quantile_cont(l_extendedprice, 0.5)  AS p50_exact,
+       quantile_cont(l_extendedprice, 0.9)  AS p90_exact,
+       quantile_cont(l_extendedprice, 0.99) AS p99_exact,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
     description="Approximate p50/p90/p99 of extended price per return "
     "flag via approx_percentile (Greenwald-Khanna sketch) — the bounded-"
     "memory quantile path whose sketch, like HLL, merges associatively "
-    "across partitions (map-side partials, tiny final merge). The exact "
-    "nearest-rank twin (agg_percentile_ranks) carries the value oracle; "
-    "this one is rows-only because every engine's quantile sketch "
-    "estimates differently.",
+    "across partitions (map-side partials, tiny final merge). Oracle-"
+    "verified via rank-epsilon bands: each estimate must fall between the "
+    "exact quantiles at p-0.01 and p+0.01 (booleans the oracle asserts "
+    "TRUE), alongside the exact interpolated quantiles themselves.",
     tags=("agg", "sketch"),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agged = (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_percentile("l_extendedprice", F.lit(0.5)).alias("p50_est"),
             F.approx_percentile("l_extendedprice", F.lit(0.9)).alias("p90_est"),
             F.approx_percentile("l_extendedprice", F.lit(0.99)).alias("p99_est"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_exact"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99_exact"),
+            F.percentile("l_extendedprice", F.lit(0.49)).alias("p50_lo"),
+            F.percentile("l_extendedprice", F.lit(0.51)).alias("p50_hi"),
+            F.percentile("l_extendedprice", F.lit(0.89)).alias("p90_lo"),
+            F.percentile("l_extendedprice", F.lit(0.91)).alias("p90_hi"),
+            F.percentile("l_extendedprice", F.lit(0.98)).alias("p99_lo"),
+            F.percentile("l_extendedprice", F.lit(1.0)).alias("p99_hi"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
     )
+
+    def band(est: str, lo: str, hi: str):
+        return (F.col(est) >= F.col(lo)) & (F.col(est) <= F.col(hi))
+
+    return agged.select(
+        "l_returnflag",
+        band("p50_est", "p50_lo", "p50_hi").alias("p50_within_band"),
+        band("p90_est", "p90_lo", "p90_hi").alias("p90_within_band"),
+        band("p99_est", "p99_lo", "p99_hi").alias("p99_within_band"),
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        "n_rows",
+    ).orderBy("l_returnflag")
 
 
 @register(
     "graph_pagerank_transitions",
-    oracle=None,  # fixed-iteration float recursion; rows-only (see
-    # tests/test_properties.py numpy-model parity check)
+    # Generated oracle: the 15 iterations unrolled as materialized DuckDB
+    # CTEs r0..r15 (plans/oracle_sqlgen.pagerank_oracle) with term-for-term
+    # identical IEEE arithmetic; round(.,8) absorbs summation-order drift.
+    # Also property-tested against a numpy power-iteration model
+    # (tests/test_properties.py).
+    oracle=OSQL.pagerank_oracle(),
     description="PageRank over the event-type transition digraph (edges = "
     "lag-derived next-event transitions weighted by count, from the same "
     "construction as events_transition_matrix): 15 fixed iterations of "
@@ -1932,7 +1979,26 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_cardinality",
-    oracle=None,  # sketch estimates are engine-specific; rows-only check
+    # Epsilon-bound oracle: the Datasketches HLL estimate is sketch-
+    # parameter-specific, so the VERIFIED output is the exact distinct
+    # count per source (and globally) plus a boolean asserting the sketch
+    # estimate — including the merged hll_union_agg global — landed within
+    # 5% of exact (default lgConfigK=12 → rsd≈1.6%, so 5% ≈ 3 sigma). The
+    # oracle emits TRUE; a hash match certifies both per-source sketches
+    # AND the sketch MERGE path.
+    oracle="""
+SELECT source,
+       TRUE AS est_within_eps,
+       COUNT(DISTINCT doc_id) AS exact_distinct_docs
+FROM documents
+GROUP BY source
+UNION ALL
+SELECT 'ALL' AS source,
+       TRUE AS est_within_eps,
+       COUNT(DISTINCT doc_id) AS exact_distinct_docs
+FROM documents
+ORDER BY source
+""",
     description="Mergeable HyperLogLog cardinality: per-source HLL "
     "sketches over doc_id (hll_sketch_agg), then a second aggregation "
     "that MERGES the per-source sketches (hll_union_agg) into a global "
@@ -1940,22 +2006,38 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB, where exact COUNT(DISTINCT) re-shuffles raw values but "
     "sketches reduce each partition to a fixed few-KB buffer that "
     "merges associatively (partial agg does almost all the work "
-    "map-side). Rows-only check: estimates are sketch-parameter- and "
-    "engine-specific, so no cross-engine value oracle.",
+    "map-side). Oracle-verified via an epsilon bound: output carries the "
+    "exact distinct count plus |est-exact|/exact <= 0.05 as a boolean the "
+    "DuckDB side asserts TRUE for every source and for the merged global.",
     tags=("agg", "sketch"),
 )
 def agg_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_source = (
-        t(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(F.hll_sketch_agg("doc_id").alias("sketch"))
+    docs = t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sketch"),
+        F.countDistinct("doc_id").alias("exact_distinct_docs"),
     )
     per_source_est = per_source.select(
-        "source", F.hll_sketch_estimate("sketch").alias("est_distinct_docs")
+        "source",
+        F.hll_sketch_estimate("sketch").alias("est"),
+        "exact_distinct_docs",
     )
-    global_est = per_source.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
-    ).select(
-        F.lit("ALL").alias("source"), F.col("est").alias("est_distinct_docs")
+    global_est = (
+        per_source.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+        )
+        .crossJoin(
+            docs.agg(F.countDistinct("doc_id").alias("exact_distinct_docs"))
+        )
+        .select(F.lit("ALL").alias("source"), "est", "exact_distinct_docs")
     )
-    return per_source_est.unionByName(global_est).orderBy("source")
+    both = per_source_est.unionByName(global_est)
+    return both.select(
+        "source",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct_docs"))
+            / F.col("exact_distinct_docs")
+            <= F.lit(0.05)
+        ).alias("est_within_eps"),
+        "exact_distinct_docs",
+    ).orderBy("source")
