@@ -31,34 +31,70 @@ SELECT l_returnflag,
 FROM ranked
 GROUP BY l_returnflag
 """,
-    description="Exact p50/p90/p99 per group via nearest-rank selection "
-    "(row_number + partition count), pivoted to columns in one conditional "
-    "aggregate — native percentile primitives interpolate differently per "
-    "engine, nearest-rank is engine-portable. Equal values at the cut rank "
-    "make the row_number tie order irrelevant to the selected value. One "
-    "shuffle on the group key serves the window and the aggregate.",
-    tags=("agg", "window", "stats"),
+    description="Exact p50/p90/p99 per group via nearest-rank selection, "
+    "computed with a two-pass histogram rank lookup instead of a per-group "
+    "full sort: pass 1 hash-aggregates per-(group, range-bucket) counts "
+    "(fully parallel, map-side partials — parallelism is NOT capped at "
+    "#groups the way a partitionBy-window sort is), a tiny cumulative scan "
+    "over the ~4k-bucket histogram locates the bucket holding each target "
+    "rank, then pass 2 sorts ONLY the candidate buckets (~n/4096 rows "
+    "each) to pick the exact k-th element. Nearest-rank semantics are "
+    "engine-portable (native percentile primitives interpolate "
+    "differently); equal values at the cut rank make in-bucket tie order "
+    "irrelevant. At larger n the bucket count scales (or the lookup "
+    "recurses into sub-histograms) so no task ever holds a full group.",
+    tags=("agg", "stats"),
 )
 def agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wc = Window.partitionBy("l_returnflag")
-    ranked = t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    B = 4096
+    g, v = "l_returnflag", "l_extendedprice"
+    li = t(spark, sf_dir, "lineitem").select(g, v)
+    stats = li.groupBy(g).agg(
+        F.min(v).alias("mn"), F.max(v).alias("mx"), F.count(F.lit(1)).alias("cnt")
     )
-
-    def at(p: float):
-        cut = F.ceil(F.lit(p) * F.col("cnt")).cast("bigint")
-        return F.max(F.when(F.col("rn") == cut, F.col("l_extendedprice")))
-
-    return ranked.groupBy("l_returnflag").agg(
-        at(0.50).alias("p50"),
-        at(0.90).alias("p90"),
-        at(0.99).alias("p99"),
-        F.max("cnt").alias("n_rows"),
+    li2 = li.join(F.broadcast(stats), g)
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(v) - F.col("mn")) / ((F.col("mx") - F.col("mn")) / B)),
+                F.lit(B - 1),
+            )
+        )
+        .cast("int")
     )
+    hist = li2.groupBy(g, bucket.alias("b")).agg(F.count(F.lit(1)).alias("bc"))
+    wcum = Window.partitionBy(g).orderBy("b")
+    hist2 = (
+        hist.withColumn("cum_end", F.sum("bc").over(wcum))
+        .withColumn("cum_before", F.col("cum_end") - F.col("bc"))
+    )
+    targets = (
+        stats.select(
+            g,
+            "cnt",
+            F.explode(F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99))).alias("p"),
+        )
+        .withColumn("k", F.ceil(F.col("p") * F.col("cnt")).cast("bigint"))
+    )
+    cand = (
+        targets.join(hist2, g)
+        .filter((F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum_end")))
+        .select(g, "p", "k", "b", "cum_before")
+    )
+    rows = li2.withColumn("b", bucket).join(F.broadcast(cand), [g, "b"])
+    wrn = Window.partitionBy(g, "b", "p").orderBy(v)
+    sel = (
+        rows.withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") == F.col("k") - F.col("cum_before"))
+        .select(g, "p", v)
+    )
+    out = sel.groupBy(g).agg(
+        F.max(F.when(F.col("p") == 0.50, F.col(v))).alias("p50"),
+        F.max(F.when(F.col("p") == 0.90, F.col(v))).alias("p90"),
+        F.max(F.when(F.col("p") == 0.99, F.col(v))).alias("p99"),
+    )
+    return out.join(stats.select(g, F.col("cnt").alias("n_rows")), g)
 
 
 @register(
