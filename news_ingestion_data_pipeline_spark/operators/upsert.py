@@ -22,17 +22,39 @@ Delta/Iceberg does exactly that file-level pruning. The join side is a
 broadcast when the batch is small (an incremental scrape always is), so the
 plan is scan-target + broadcast-anti-join + union + write: one pass over the
 target, zero shuffles.
+
+Commit protocol (miniature of Delta's log / Iceberg's metadata pointer):
+the table directory holds immutable snapshot dirs plus a ``_MANIFEST``
+file naming the current one. A writer materializes the full new snapshot,
+fsyncs a temp manifest, and commits with ONE atomic ``os.rename`` — there
+is no instant at which a reader (who resolves through the manifest) can
+observe a missing or half-written table, and a crash at any step leaves
+the previous snapshot live (the orphan snapshot is GC'd by the next
+successful commit, which also retains the immediately-previous snapshot
+so in-flight readers holding the old pointer never lose their files).
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_MANIFEST = "_MANIFEST"
+
+
+def _current_snapshot(table_path: str) -> str | None:
+    """Name of the committed snapshot dir, or None (missing table or a
+    pre-manifest legacy flat-parquet layout)."""
+    mf = os.path.join(table_path, _MANIFEST)
+    if not os.path.exists(mf):
+        return None
+    with open(mf, encoding="utf-8") as f:
+        snap = f.read().strip()
+    return snap or None
 
 
 def merge_upsert_frames(target: DataFrame | None, updates: DataFrame) -> DataFrame:
@@ -58,33 +80,62 @@ def upsert_articles(
 ) -> None:
     """MERGE ``updates`` into the parquet table at ``table_path``.
 
-    Write-temp-then-atomic-swap so a failed run never leaves a half-written
-    table (the reference gets this from SQLite's transaction; we get it from
-    a directory rename).
+    Snapshot-then-manifest commit (the reference gets atomicity from
+    SQLite's transaction; we get it from one atomic manifest rename):
+
+      1. write the merged result to a fresh immutable ``snap-*`` dir;
+      2. fsync a temp manifest naming it;
+      3. ``os.rename`` the temp manifest over ``_MANIFEST`` — the commit
+         point. A crash before (2-3) leaves the old manifest (and table)
+         intact; there is no two-rename window in which the table pointer
+         does not exist.
+      4. GC snapshots other than the new one and its immediate
+         predecessor (kept for readers that already resolved the old
+         pointer).
     """
     target = read_articles(spark, table_path)
+    prev_snap = _current_snapshot(table_path)
     merged = merge_upsert_frames(target, updates)
-    parent = os.path.dirname(os.path.abspath(table_path)) or "."
-    os.makedirs(parent, exist_ok=True)
-    tmp_path = os.path.join(
-        tempfile.mkdtemp(dir=parent, prefix="._upsert_"), "data"
-    )
-    merged.write.mode("overwrite").parquet(tmp_path)
-    # atomic-ish swap: move old aside, move new in, drop old
-    old_path = os.path.join(parent, f"._old_{uuid.uuid4().hex}")
-    if os.path.exists(table_path):
-        os.rename(table_path, old_path)
-    os.rename(tmp_path, table_path)
-    shutil.rmtree(os.path.dirname(tmp_path), ignore_errors=True)
-    shutil.rmtree(old_path, ignore_errors=True)
+    os.makedirs(table_path, exist_ok=True)
+    snap = f"snap-{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(os.path.join(table_path, snap))
+    tmp_mf = os.path.join(table_path, f"._manifest_{uuid.uuid4().hex}")
+    with open(tmp_mf, "w", encoding="utf-8") as f:
+        f.write(snap + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp_mf, os.path.join(table_path, _MANIFEST))  # commit point
+    _gc_snapshots(table_path, keep={snap} | ({prev_snap} if prev_snap else set()))
+
+
+def _gc_snapshots(table_path: str, keep: set[str]) -> None:
+    """Drop superseded snapshot dirs, orphaned temp manifests, and any
+    legacy flat-layout parquet files; best-effort (a failed GC only leaks
+    space, never correctness)."""
+    for name in os.listdir(table_path):
+        if name == _MANIFEST or name in keep:
+            continue
+        p = os.path.join(table_path, name)
+        try:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.remove(p)
+        except OSError:
+            pass
 
 
 def read_articles(spark: SparkSession, table_path: str) -> DataFrame | None:
     """Read the articles table; None when it doesn't exist yet (the
     create-if-not-exists analog, reference
-    database_utils/database_methods.py:132-155)."""
+    database_utils/database_methods.py:132-155). Resolves through the
+    ``_MANIFEST`` pointer; falls back to reading ``table_path`` directly
+    for pre-manifest flat-parquet layouts."""
     if not os.path.exists(table_path):
         return None
+    snap = _current_snapshot(table_path)
+    if snap is not None:
+        return spark.read.parquet(os.path.join(table_path, snap))
     return spark.read.parquet(table_path)
 
 

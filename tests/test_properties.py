@@ -215,12 +215,12 @@ def test_upsert_idempotent_on_random_batches(spark, tmp_path, seed):
     UP.upsert_articles(spark, path, batch)
     first = {
         r.Article_id: (r.News_link, r.News_title, r.Author_name)
-        for r in spark.read.parquet(path).collect()
+        for r in UP.read_articles(spark, path).collect()
     }
     UP.upsert_articles(spark, path, batch)
     second = {
         r.Article_id: (r.News_link, r.News_title, r.Author_name)
-        for r in spark.read.parquet(path).collect()
+        for r in UP.read_articles(spark, path).collect()
     }
     assert first == second
     # last-write-wins per key: every key present exactly once

@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import upsert
 from news_ingestion_data_pipeline_spark.schemas import RAW_LISTING_SCHEMA
 from news_ingestion_data_pipeline_spark.streaming import (
     pipeline as spipe,
@@ -73,7 +74,7 @@ def test_stream_ingest_matches_batch_and_is_idempotent(spark, dirs):
     ]
     raw_rows(spark, batch1).write.mode("append").parquet(dirs["landing"])
     spipe.stream_ingest_available_now(spark, dirs["landing"], dirs["table"], dirs["ckpt"])
-    got = {r["News_link"]: r for r in spark.read.parquet(dirs["table"]).collect()}
+    got = {r["News_link"]: r for r in upsert.read_articles(spark, dirs["table"]).collect()}
     assert set(got) == {"https://skift.com/a", "https://skift.com/b"}
 
     # second drop: one new article + one replay of 'b' → merge, no dup
@@ -82,13 +83,13 @@ def test_stream_ingest_matches_batch_and_is_idempotent(spark, dirs):
                 ("B", "https://skift.com/b", "2025-08-01T11:00:00+00:00")]
     ).write.mode("append").parquet(dirs["landing"])
     spipe.stream_ingest_available_now(spark, dirs["landing"], dirs["table"], dirs["ckpt"])
-    tbl = spark.read.parquet(dirs["table"])
+    tbl = upsert.read_articles(spark, dirs["table"])
     assert tbl.count() == 3
     assert tbl.filter(F.col("News_link") == "https://skift.com/c").count() == 1
 
     # restart with same checkpoint and no new files → no-op
     spipe.stream_ingest_available_now(spark, dirs["landing"], dirs["table"], dirs["ckpt"])
-    assert spark.read.parquet(dirs["table"]).count() == 3
+    assert upsert.read_articles(spark, dirs["table"]).count() == 3
 
 
 @pytest.mark.parametrize(

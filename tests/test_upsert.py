@@ -59,20 +59,20 @@ def test_upsert_roundtrip_and_idempotence(spark, tmp_path):
     path = os.path.join(str(tmp_path), "articles_tbl")
     batch = art(spark, [("a", "t-a", TS, TS), ("b", "t-b", TS, TS)])
     upsert.upsert_articles(spark, path, batch)
-    first = {r["Article_id"]: r for r in spark.read.parquet(path).collect()}
+    first = {r["Article_id"]: r for r in upsert.read_articles(spark, path).collect()}
     assert set(first) == {"a", "b"}
 
     # re-run the identical batch → table unchanged (same Processed_at since
     # the batch carries it; the reference refreshes it via CURRENT_TIMESTAMP
     # which our finalize_articles stamps before the merge)
     upsert.upsert_articles(spark, path, batch)
-    second = {r["Article_id"]: r for r in spark.read.parquet(path).collect()}
+    second = {r["Article_id"]: r for r in upsert.read_articles(spark, path).collect()}
     assert first == second
 
     # boundary-day re-ingest: same key, newer Processed_at → refreshed
     newer = art(spark, [("a", "t-a", TS, TS + dt.timedelta(days=1))])
     upsert.upsert_articles(spark, path, newer)
-    third = {r["Article_id"]: r for r in spark.read.parquet(path).collect()}
+    third = {r["Article_id"]: r for r in upsert.read_articles(spark, path).collect()}
     assert third["a"]["Processed_at"] == TS + dt.timedelta(days=1)
     assert third["b"] == second["b"]
 
@@ -81,6 +81,92 @@ def test_upsert_creates_table_when_missing(spark, tmp_path):
     path = os.path.join(str(tmp_path), "fresh_tbl")
     assert upsert.read_articles(spark, path) is None
     upsert.upsert_articles(spark, path, art(spark, [("z", "t", TS, TS)]))
-    assert spark.read.parquet(path).count() == 1
+    assert upsert.read_articles(spark, path).count() == 1
     upsert.drop_table(path)
     assert upsert.read_articles(spark, path) is None
+
+
+def _rows(spark, path):
+    return {
+        r["Article_id"]: (r["News_title"], r["Processed_at"])
+        for r in upsert.read_articles(spark, path).collect()
+    }
+
+
+def test_crash_before_manifest_commit_preserves_table(spark, tmp_path, monkeypatch):
+    """Kill the writer after the snapshot is fully written but BEFORE the
+    manifest rename (the window that lost the table pointer under the old
+    double-rename swap): the committed table must be untouched, and a
+    clean re-run must land the update."""
+    path = os.path.join(str(tmp_path), "crash_tbl")
+    upsert.upsert_articles(spark, path, art(spark, [("a", "v1", TS, TS)]))
+    before = _rows(spark, path)
+
+    real_rename = os.rename
+
+    def exploding_rename(src, dst):
+        if os.path.basename(dst) == upsert._MANIFEST:
+            raise OSError("simulated crash at commit point")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    try:
+        upsert.upsert_articles(
+            spark, path, art(spark, [("a", "v2", TS, TS + dt.timedelta(hours=1))])
+        )
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # old snapshot still committed and readable
+    assert _rows(spark, path) == before
+    # recovery: rerun commits normally and GCs the orphan snapshot
+    upsert.upsert_articles(
+        spark, path, art(spark, [("a", "v2", TS, TS + dt.timedelta(hours=1))])
+    )
+    assert _rows(spark, path)["a"][0] == "v2"
+
+
+def test_crash_during_snapshot_write_preserves_table(spark, tmp_path):
+    """A half-written snapshot dir (no manifest update) must be invisible
+    to readers and swept by the next successful commit."""
+    path = os.path.join(str(tmp_path), "halfsnap_tbl")
+    upsert.upsert_articles(spark, path, art(spark, [("a", "v1", TS, TS)]))
+    before = _rows(spark, path)
+    # simulate a writer that died mid-snapshot: orphan dir, no manifest change
+    orphan = os.path.join(path, "snap-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert _rows(spark, path) == before
+    upsert.upsert_articles(spark, path, art(spark, [("b", "v1", TS, TS)]))
+    assert set(_rows(spark, path)) == {"a", "b"}
+    assert not os.path.exists(orphan)
+
+
+def test_manifest_commit_is_single_atomic_rename(spark, tmp_path, monkeypatch):
+    """Exactly one rename lands on the manifest per upsert — the commit is
+    a single atomic operation, not a multi-step swap."""
+    path = os.path.join(str(tmp_path), "atomic_tbl")
+    real_rename = os.rename
+    manifest_renames = []
+
+    def counting_rename(src, dst):
+        if os.path.basename(dst) == upsert._MANIFEST:
+            manifest_renames.append((src, dst))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", counting_rename)
+    upsert.upsert_articles(spark, path, art(spark, [("a", "v1", TS, TS)]))
+    assert len(manifest_renames) == 1
+
+
+def test_legacy_flat_layout_still_readable_and_upgradable(spark, tmp_path):
+    """Tables written before the manifest protocol (parquet files directly
+    at table_path) read fine and are upgraded in place by the next upsert."""
+    path = os.path.join(str(tmp_path), "legacy_tbl")
+    art(spark, [("a", "v1", TS, TS)]).write.parquet(path)
+    assert _rows(spark, path)["a"][0] == "v1"
+    upsert.upsert_articles(spark, path, art(spark, [("b", "v1", TS, TS)]))
+    assert set(_rows(spark, path)) == {"a", "b"}
+    assert os.path.exists(os.path.join(path, upsert._MANIFEST))
