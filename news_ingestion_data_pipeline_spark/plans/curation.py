@@ -156,7 +156,10 @@ WHERE g.doc_id % 41 <> 0
     "sharing a word-3-gram with the held-out benchmark slice (doc_id%41=0 "
     "stands in for the eval set). Benchmark grams are tiny relative to the "
     "corpus → broadcast anti-join against exploded training grams: the "
-    "100 TB side streams map-side, never shuffles.",
+    "100 TB side streams map-side, never shuffles. The contaminated-id set "
+    "is NOT broadcast-hinted: it is corpus-proportional in the adversarial "
+    "high-overlap case, so AQE picks the anti-join strategy from its "
+    "runtime size.",
     tags=("llm", "curation", "dedup"),
 )
 def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,9 +181,14 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    return train.join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
-    ).select("doc_id", "lang")
+    # No broadcast hint here: |contaminated| is bounded by |train| (a
+    # high-overlap corpus can mark nearly everything), so forcing a
+    # broadcast would OOM the executors exactly when decontamination
+    # matters most. AQE sees the runtime size and still broadcasts when
+    # it genuinely fits.
+    return train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ is transport-agnostic and fully testable offline.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import random
@@ -43,9 +44,18 @@ class HttpPageFetcher:
     parallelism comes from running many hosts' partitions concurrently.
     """
 
-    def __init__(self, url_template: str, policy: RetryPolicy = RetryPolicy()):
+    def __init__(
+        self,
+        url_template: str,
+        policy: RetryPolicy = RetryPolicy(),
+        headers: dict[str, str] | None = None,
+    ):
         self.url_template = url_template  # e.g. '.../Latest-News?pg={page}'
         self.policy = policy
+        # per-source header overlay on the defaults (reference parity:
+        # each source passes its own headers dict to fetch_url_with_retries,
+        # PhocusWire/PhocusWireSource.py:58-82)
+        self.headers = {**DEFAULT_HEADERS, **(headers or {})}
         self._first = True
 
     def fetch(self, page_no: int) -> str | None:
@@ -56,7 +66,7 @@ class HttpPageFetcher:
         url = self.url_template.format(page=page_no)
         for attempt in range(self.policy.max_retries):
             try:
-                req = urllib.request.Request(url, headers=DEFAULT_HEADERS)
+                req = urllib.request.Request(url, headers=self.headers)
                 with urllib.request.urlopen(req, timeout=self.policy.timeout_s) as resp:
                     if resp.status == 200:
                         return resp.read().decode("utf-8", errors="replace")
@@ -89,10 +99,16 @@ class FixturePageFetcher:
 
 def make_fetcher(options: dict) -> HttpPageFetcher | FixturePageFetcher:
     """Build a fetcher from data-source options: ``pages_dir`` selects the
-    offline fixture transport, ``url_template`` the polite HTTP one."""
+    offline fixture transport, ``url_template`` the polite HTTP one.
+    ``headers`` (a dict, or a JSON object string as Spark option values
+    are) overlays the default request headers per source; the politeness
+    and retry knobs round-trip the same way."""
     if options.get("pages_dir"):
         return FixturePageFetcher(options["pages_dir"])
     if options.get("url_template"):
+        headers = options.get("headers") or {}
+        if isinstance(headers, str):
+            headers = json.loads(headers)
         return HttpPageFetcher(
             options["url_template"],
             RetryPolicy(
@@ -102,5 +118,6 @@ def make_fetcher(options: dict) -> HttpPageFetcher | FixturePageFetcher:
                 min_delay_s=float(options.get("min_delay_s", 1.0)),
                 max_delay_s=float(options.get("max_delay_s", 3.0)),
             ),
+            headers=headers,
         )
     raise ValueError("listing source needs 'pages_dir' or 'url_template'")

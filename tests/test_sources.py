@@ -10,6 +10,7 @@ import os
 import pytest
 
 from news_ingestion_data_pipeline_spark import ingest
+from news_ingestion_data_pipeline_spark.operators import upsert
 from news_ingestion_data_pipeline_spark.sources import html_extract, listing
 from news_ingestion_data_pipeline_spark.schemas import RAW_LISTING_SCHEMA
 from tests.conftest import FIXTURES
@@ -119,7 +120,7 @@ def test_ingestion_full_then_incremental(spark, tmp_path, two_sources):
     # run 1: empty sink → full load from the default watermark (2025-07-25)
     r1 = ingest.run_ingestion(spark, two_sources, table)
     assert r1.is_incremental is False
-    tbl = spark.read.parquet(table)
+    tbl = upsert.read_articles(spark, table)
     links = {r["News_link"] for r in tbl.collect()}
     # malformed rows dropped (F1/F2), duplicate deduped (F4), sub-watermark
     # rows pruned at the source (Jul 19/20 < Jul 25)
@@ -138,7 +139,7 @@ def test_ingestion_full_then_incremental(spark, tmp_path, two_sources):
     r2 = ingest.run_ingestion(spark, two_sources, table)
     assert r2.is_incremental is True
     assert r2.watermark == "2025-08-02T00:00:00"
-    tbl2 = spark.read.parquet(table)
+    tbl2 = upsert.read_articles(spark, table)
     assert tbl2.count() == n_after_first
     assert r2.rows_upserted >= 1  # Aug-2 boundary rows re-upserted
 
@@ -156,3 +157,47 @@ def test_top_articles_presented_format(spark, tmp_path, two_sources):
         if r["News_published_time"] is not None:
             assert "T" in r["News_published_time"]
         assert "T" not in r["Processed_at"]
+
+
+def test_fetch_options_round_trip_headers_and_politeness():
+    """Per-source headers + retry/politeness knobs plumb through the
+    data-source options dict exactly as given (reference parity: each
+    source passes its own headers/delays,
+    PhocusWire/PhocusWireSource.py:58-82, 206-209)."""
+    import json
+
+    from news_ingestion_data_pipeline_spark.sources.fetch import (
+        DEFAULT_HEADERS,
+        make_fetcher,
+    )
+
+    opts = {
+        "url_template": "https://x.test/news?pg={page}",
+        "headers": json.dumps(
+            {"User-Agent": "custom-agent/2.0", "Accept-Language": "en-GB"}
+        ),
+        "max_retries": "5",
+        "backoff_factor": "0.5",
+        "timeout_s": "7",
+        "min_delay_s": "0.2",
+        "max_delay_s": "0.4",
+    }
+    f = make_fetcher(opts)
+    assert f.headers["User-Agent"] == "custom-agent/2.0"  # override wins
+    assert f.headers["Accept-Language"] == "en-GB"  # new key added
+    for k in DEFAULT_HEADERS:
+        assert k in f.headers  # defaults survive under the overlay
+    assert f.policy.max_retries == 5
+    assert f.policy.backoff_factor == 0.5
+    assert f.policy.timeout_s == 7.0
+    assert (f.policy.min_delay_s, f.policy.max_delay_s) == (0.2, 0.4)
+
+
+def test_fetch_default_headers_without_option():
+    from news_ingestion_data_pipeline_spark.sources.fetch import (
+        DEFAULT_HEADERS,
+        make_fetcher,
+    )
+
+    f = make_fetcher({"url_template": "https://x.test/?pg={page}"})
+    assert f.headers == DEFAULT_HEADERS
