@@ -44,9 +44,9 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
-def _bind(value: Column, fn) -> Column:
+def bind_once(value: Column, fn) -> Column:
     """Evaluate ``value`` once per row and hand it to ``fn`` as a lambda
-    variable.
+    variable (public: plan modules use this for the same reason).
 
     Higher-order-function lambdas re-evaluate *captured* outer expressions
     on every element; a lambda variable is a plain attribute lookup. Binding
@@ -55,6 +55,10 @@ def _bind(value: Column, fn) -> Column:
     passes per document and 2 regex passes per *character*.
     """
     return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+# internal shorthand predating the public name
+_bind = bind_once
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:

@@ -237,9 +237,9 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return F.struct(full.alias("full_hash"), winnow.alias("winnow_hash"))
 
-        return TX._bind(codes_of(s), from_codes)
+        return TX.bind_once(codes_of(s), from_codes)
 
-    bound = TX._bind(TX.normalize_text(F.col("text")), feats)
+    bound = TX.bind_once(TX.normalize_text(F.col("text")), feats)
     return d.select("doc_id", bound.alias("s")).select("doc_id", "s.*")
 
 
@@ -274,7 +274,7 @@ def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(tk, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
         )
 
-    bound = TX._bind(TX.tokens(TX.normalize_text(F.col("text"))), feats)
+    bound = TX.bind_once(TX.tokens(TX.normalize_text(F.col("text"))), feats)
     return d.select("doc_id", bound.alias("s")).select("doc_id", "s.*")
 
 

@@ -250,7 +250,7 @@ WHERE len(grams) > len(list_distinct(grams))
     tags=("curation", "text"),
 )
 def curation_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from news_ingestion_data_pipeline_spark.functions.text import _bind
+    from news_ingestion_data_pipeline_spark.functions.text import bind_once
     from news_ingestion_data_pipeline_spark.tables import spread
 
     # spread: the n-gram build + distinct is heavy per-row compute and the
@@ -262,7 +262,7 @@ def curation_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # attribute lookup (2.8s).
     docs = spread(t(spark, sf_dir, "documents"))
     tokens = F.split(F.trim(F.lower("text")), r"\s+")
-    grams = _bind(
+    grams = bind_once(
         tokens,
         lambda w: F.when(
             F.size(w) >= 3,
@@ -1182,7 +1182,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_peak_concurrency",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
                OR epoch_us(ts)
@@ -1193,7 +1193,7 @@ WITH flagged AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS sess
   FROM flagged
@@ -1230,9 +1230,12 @@ FROM swept
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # (ts, event_id) total order: duplicate timestamps within a user must
+    # number sessions identically in both engines, so the running-sum window
+    # uses the same tiebreak as the lag window above.
     run_user = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1240,6 +1243,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = t(spark, sf_dir, "events").select(
         "user_id",
         "ts",
+        "event_id",
         F.when(prev_us.isNull() | (ts_us - prev_us > 600_000_000), 1)
         .otherwise(0)
         .alias("is_new"),

@@ -270,7 +270,7 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     from news_ingestion_data_pipeline_spark.plans import REGISTRY
     from news_ingestion_data_pipeline_spark.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE as sf
     got = {r.node: r.pagerank for r in REGISTRY["graph_pagerank_transitions"].fn(spark, sf).collect()}
 
     ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type").collect()

@@ -41,14 +41,14 @@ PY_MARKERS = (
 )
 
 
-def audit_one(spark, name: str, sf_dir: str) -> dict | None:
+def audit_one(spark, name: str, sf_dir: str) -> dict:
     df = REGISTRY[name].fn(spark, sf_dir)
     s = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     exch = len(re.findall(r"^\s*(?:\+-|:-|\||\s)*\s*Exchange\b", s, re.M))
     reused = s.count("ReusedExchange")
-    sorts = len(re.findall(r"\bSort\b(?! *merge)", s.split("\n\n")[0]))
+    sorts = len(re.findall(r"\bSort\b", s.split("\n\n")[0]))
     bnlj = ("BroadcastNestedLoopJoin" in s) or ("CartesianProduct" in s)
     py = any(m in s for m in PY_MARKERS)
     scan_widths = [
