@@ -10,6 +10,7 @@ from news_ingestion_data_pipeline_spark.plans.registry import REGISTRY, Query  #
 from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     curation,
     llm,
+    llm2,
     pipeline,
     relational,
     relational_ext,

@@ -1,0 +1,235 @@
+"""Second LLM-pipeline wave: BPE-ish tokenization, k-means assignment
+(the IVF training primitive), session path mining, and the composed
+multimodal resize pipeline — each with a bit-exact DuckDB oracle.
+
+Reference parity note: the reference (a 645-LoC scraper) has none of
+these; they extend the engine along the training-data-pipeline axis the
+north star requires (tokenizer-aware counting, ANN index training,
+behavioral paths, image preprocessing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.plans import oracle_sqlgen as OSQL
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+# GPT-2-style pretokenizer, simplified to the subset whose semantics are
+# identical in Java regex (Spark) and RE2 (DuckDB): contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs, whitespace runs. No lookarounds (RE2 has none).
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(
+         lower(text) || ' #' || CAST(doc_id AS VARCHAR) || '''s done.',
+         '{_BPE_RE_SQL}')) AS n_bpe,
+       len(regexp_extract_all(
+         lower(text) || ' #' || CAST(doc_id AS VARCHAR) || '''s done.',
+         '[^\\s]+')) AS n_ws,
+       CAST(n_chars AS DOUBLE)
+         / len(regexp_extract_all(
+             lower(text) || ' #' || CAST(doc_id AS VARCHAR) || '''s done.',
+             '{_BPE_RE_SQL}')) AS chars_per_bpe
+FROM documents
+""",
+    description="BPE-ish token counting: a GPT-2-style pretokenizer regex "
+    "(contraction suffixes, space-prefixed letter/digit/punctuation runs) "
+    "next to whitespace tokenization — the budget-estimation pass every "
+    "training-data pipeline runs before the real tokenizer. The text is "
+    "suffixed with a doc_id marker + contraction so the digit/punct/"
+    "contraction branches all fire on the plain-word fixture corpus. Pure "
+    "JVM regexp_extract_all — one codegen'd map stage, no shuffle, no "
+    "Python; the regex subset is chosen to mean the same thing in Java "
+    "regex and RE2 (no lookarounds).",
+    tags=("llm", "text"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.concat(
+        F.lower(F.col("text")),
+        F.lit(" #"),
+        F.col("doc_id").cast("string"),
+        F.lit("'s done."),
+    )
+    n_bpe = F.size(F.regexp_extract_all(s, F.lit(_BPE_RE), F.lit(0)))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        F.size(F.regexp_extract_all(s, F.lit(r"[^\s]+"), F.lit(0))).alias("n_ws"),
+        (F.col("n_chars").cast("double") / n_bpe).alias("chars_per_bpe"),
+    )
+
+
+def _sqdist_sql(a: str, b: str, dim: int) -> str:
+    # left-associative sum, same evaluation order as Spark's aggregate fold
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, dim + 1)
+    )
+
+
+@register(
+    "sim_kmeans_assign",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+dists AS (
+  SELECT e.vec_id, cent.cent_id,
+         {_sqdist_sql('e.v', 'cent.cv', 64)} AS d
+  FROM e CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+  FROM dists
+)
+SELECT cent_id, COUNT(*) AS n_assigned, SUM(vec_id) AS sum_vec_id
+FROM assigned WHERE rn = 1
+GROUP BY cent_id ORDER BY cent_id
+""",
+    description="One Lloyd assignment step of k-means — the training "
+    "primitive behind the IVF index (sim_ivf_topk's cells): 8 seeded "
+    "centroids (vec_id < 8, deterministic — RNG-free like every sampling "
+    "op here) broadcast against all vectors, squared-L2 via a sequential "
+    "fold with engine-identical IEEE evaluation order, nearest centroid "
+    "by total (distance, id) order so ties are deterministic. Output is "
+    "the exact partition of the vector set (count + id-sum per cell) — "
+    "integer-exact, so the oracle certifies every single assignment. At "
+    "scale this is the per-iteration shape: broadcast k centroids, one "
+    "map-side argmin pass, one k-row aggregate; no shuffle of vectors.",
+    tags=("llm", "similarity", "iterative"),
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    d = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", d.alias("d")
+    )
+    best = dists.groupBy("vec_id").agg(
+        F.min(F.struct("d", "cent_id")).alias("m")
+    )
+    return (
+        best.select("vec_id", F.col("m.cent_id").alias("cent_id"))
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM flagged
+), paths AS (
+  SELECT event_type || ' > ' || LEAD(event_type, 1) OVER s
+           || ' > ' || LEAD(event_type, 2) OVER s AS path,
+         LEAD(event_type, 2) OVER s AS e3
+  FROM numbered
+  WINDOW s AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+)
+SELECT path, COUNT(*) AS n_paths
+FROM paths WHERE e3 IS NOT NULL
+GROUP BY path
+ORDER BY n_paths DESC, path
+LIMIT 20
+""",
+    description="Behavioral path mining: sessionize (10-minute gap rule, "
+    "the shared construction), then count event-type TRIGRAMS within each "
+    "session via two leads over the (ts, event_id)-totally-ordered session "
+    "window, top-20 with full tiebreak. The windows and the final count "
+    "share one (user) shuffle; the trigram space is tiny so the count "
+    "aggregate is map-side-partial dominated. The funnel/transition "
+    "sibling queries look at single steps; this is the n-gram "
+    "generalization marketing/product analytics actually asks for.",
+    tags=("events", "window", "paths"),
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(F.col("ts")).over(per_user).cast("timestamp"))
+    numbered = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(prev_us.isNull() | (ts_us - prev_us > 600_000_000), 1)
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        .withColumn("sess", F.sum("is_new").over(run_user))
+    )
+    sess_w = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    e2 = F.lead("event_type", 1).over(sess_w)
+    e3 = F.lead("event_type", 2).over(sess_w)
+    return (
+        numbered.select(
+            F.concat_ws(" > ", F.col("event_type"), e2, e3).alias("path"),
+            e3.alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=OSQL.multimodal_image_resize_oracle(32),
+    description="Composed REAL-codec preprocessing pipeline: synthesize "
+    "BMP payloads -> pure-numpy BMP decode -> nearest-neighbor resize to "
+    "32x32 -> BMP re-encode -> SECOND real decode -> feature extraction. "
+    "Exercises that resize_images' output schema equals its input schema "
+    "(stages compose arbitrarily, the property a preprocessing DAG "
+    "needs). All three mapInPandas stages are Arrow-batched and "
+    "partition-parallel; the oracle regenerates the resized pixels from "
+    "the closed-form source formula (resized(y,x,c) = src(y*h//32, "
+    "x*w//32, c)) and recomputes every stat and the phash bit-exactly.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents")
+    media = mm.synthesize_media_real(docs).repartition(
+        spark.sparkContext.defaultParallelism, "media_id"
+    )
+    resized = mm.resize_images(media, 32, 32, decoder="real")
+    return mm.extract_image_features(resized, decoder="real").orderBy("media_id")

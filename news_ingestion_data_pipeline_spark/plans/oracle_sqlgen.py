@@ -372,3 +372,51 @@ def pagerank_oracle(iters: int = 15, damping: float = 0.85) -> str:
         "ORDER BY pagerank DESC, node"
     )
     return base + "".join(steps) + final
+
+
+def multimodal_image_resize_oracle(out: int = 32) -> str:
+    """Mirrors decode -> nearest-neighbor resize (yi = y*h//out) ->
+    re-encode -> second decode -> extract_image_features: the resized
+    pixel (y, x, c) is the source pixel ((y*h)//out, (x*w)//out, c), so the
+    whole composed pipeline is regenerable from the _real_image formula."""
+    bs = out // 8
+    n = out * out
+    op = f"((p // {out}) * h // {out}) * w + ((p % {out}) * w // {out})"
+    return f"""WITH d AS (
+  SELECT doc_id, 64 + (doc_id % 3) * 8 AS h, 64 + (doc_id % 4) * 8 AS w
+  FROM documents
+), px AS (
+  SELECT doc_id, h, w, unnest(range(0, {n})) AS p FROM d
+), vals AS (
+  SELECT doc_id,
+    (3 * doc_id + {op}) % 256 AS v0,
+    (3 * doc_id + 1 + {op}) % 256 AS v1,
+    (3 * doc_id + 2 + {op}) % 256 AS v2,
+    ((p // {out}) // {bs}) * 8 + ((p % {out}) // {bs}) AS block_id
+  FROM px
+), agg AS (
+  SELECT doc_id, SUM(v0) AS s0, SUM(v1) AS s1, SUM(v2) AS s2,
+         SUM(v0 * v0) AS ss0
+  FROM vals GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, block_id, SUM(v0 + v1 + v2) AS bsum
+  FROM vals GROUP BY doc_id, block_id
+), med AS (
+  SELECT doc_id, list_sort(list(bsum)) AS srt FROM blocks GROUP BY doc_id
+), ph AS (
+  SELECT b.doc_id,
+    SUM(CASE WHEN b.block_id > 0 AND 2 * b.bsum > m.srt[32] + m.srt[33]
+        THEN (CAST(1 AS BIGINT) << CAST(63 - b.block_id AS INT)) ELSE 0 END)
+    + SUM(CASE WHEN b.block_id = 0 AND 2 * b.bsum > m.srt[32] + m.srt[33]
+        THEN -9223372036854775808 ELSE 0 END) AS phash
+  FROM blocks b JOIN med m USING (doc_id) GROUP BY b.doc_id
+)
+SELECT a.doc_id AS media_id, 'image' AS kind,
+  CAST({out} AS INT) AS height, CAST({out} AS INT) AS width, 3 AS channels,
+  CAST(s0 AS DOUBLE) / {n} AS mean_0,
+  CAST(s1 AS DOUBLE) / {n} AS mean_1,
+  CAST(s2 AS DOUBLE) / {n} AS mean_2,
+  sqrt(CAST(ss0 AS DOUBLE) / {n}
+       - (CAST(s0 AS DOUBLE) / {n}) * (CAST(s0 AS DOUBLE) / {n})) AS std_0,
+  CAST(ph.phash AS BIGINT) AS phash
+FROM agg a JOIN ph ON a.doc_id = ph.doc_id"""
