@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "window_running_distinct",
     "events_transition_matrix",
     "curation_repetition_filter",
+    "text_bpe_token_count",
+    "sim_kmeans_assign",
+    "events_path_trigrams",
+    "agg_percentile_ranks",
 ]
 
 
