@@ -964,9 +964,15 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary, so true inter-doc Jaccard is high and banding correctly
     # emits ~150k candidates for 256 survivors — a corpus property, not a
     # plan defect.
+    # localCheckpoint (eager) instead of lazy persist: the three consumer
+    # stages are submitted CONCURRENTLY inside one job, and a lazy cache
+    # is populated only by whichever stage computes first — the others
+    # race past the empty cache and recompute the shingling in parallel
+    # (measured 47s -> 12s on the jaccard-prefix twin when materialized
+    # eagerly). Eager checkpoint pays the pass exactly once, up front.
     sh = spread(docs).select(
         F.col("doc_id"), hashed.alias("shingles"), F.size(hashed).alias("sz")
-    ).persist()
+    ).localCheckpoint()
     exploded = sh.select(
         F.col("doc_id").alias("id"), F.explode("shingles").alias("shingle_hash")
     )

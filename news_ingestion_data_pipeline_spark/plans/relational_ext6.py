@@ -456,17 +456,52 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(hashed).alias("shingles"),
         )
         .withColumn("sz", F.size("shingles"))
-        .persist()  # consumed by the prefix explode AND both verify sides
+        # eager localCheckpoint, not lazy persist: the prefix explode and
+        # both verify sides are scheduled concurrently in one job and a
+        # lazy cache loses the race (all three recompute the shingling:
+        # measured 47s vs 12s at 4k synthetic docs)
+        .localCheckpoint()
     )
     prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(0.5)) + 1).cast("int")
-    pre = d.select(
+    # PPJoin's load-bearing detail: the global order the prefixes are taken
+    # under is ASCENDING DOCUMENT FREQUENCY (rarest shingle first), not
+    # hash value. Prefixes then hold each doc's rarest shingles, so the
+    # candidate join's per-key fan-out is bounded by the df of RARE keys —
+    # with a hash (i.e. random) order, boilerplate shingles land in
+    # prefixes and contribute df^2 pairs (measured: 169s vs 23s at 16k
+    # docs, and the gap widens quadratically with corpus size). One extra
+    # hash-agg + equi-join + per-doc window pays for itself immediately.
+    ex = d.select(
         "doc_id",
         "lang",
         "len_bucket",
         "sz",
-        F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("h"),
+        F.explode("shingles").alias("h"),
     )
-    a, b = pre.alias("a"), pre.alias("b")
+    # df >= 2 only: shingles unique to one doc (the majority in a real
+    # corpus) sort equivalently at df=1 via the coalesce, and the left
+    # join's build side shrinks several-fold. shuffle_hash hint for the
+    # same no-stats reason as below — this table is corpus-proportional,
+    # never broadcastable at scale.
+    dfreq = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_raw"))
+        .filter(F.col("df_raw") >= 2)
+    )
+    rn_w = Window.partitionBy("doc_id").orderBy("df", "h")
+    pre = (
+        ex.hint("shuffle_hash")
+        .join(dfreq, "h", "left")
+        .withColumn("df", F.coalesce(F.col("df_raw"), F.lit(1)))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "lang", "len_bucket", "sz", "h")
+    )
+    # shuffle_hash hint: the checkpointed RDD scan carries no size stats,
+    # so the planner happily BROADCASTS the multi-million-row exploded
+    # prefix table (measured 50s at 4k docs; 7s once shuffled). A posting
+    # self-join must shuffle on its key at any real scale.
+    a, b = pre.alias("a").hint("shuffle_hash"), pre.alias("b")
     cand = (
         a.join(
             b,
