@@ -553,9 +553,11 @@ WHERE d.doc_id NOT IN (
     description="The dedup pipeline's actual deliverable: the cleaned "
     "corpus. Near-dup pairs → connected components (transitive closure) → "
     "keep the min-id member of each cluster, drop the rest via anti-join. "
-    "Non-canonical ids are a small fraction of the corpus (the duplicate "
-    "mass), so at 100 TB the anti-join is a broadcast against the full "
-    "scan — the corpus itself never shuffles.",
+    "Non-canonical ids are usually a small fraction of the corpus (the "
+    "duplicate mass), so the anti-join typically broadcasts — but the "
+    "fraction is corpus-dependent (a crawl of mirrored sites can mark "
+    "most of it), so the choice is left to AQE's runtime size rather "
+    "than forced.",
     tags=("llm", "curation", "dedup", "iterative"),
 )
 def curation_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,4 +566,6 @@ def curation_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return docs.join(F.broadcast(non_canonical), "doc_id", "left_anti")
+    # no forced broadcast: |non_canonical| is bounded only by |corpus|;
+    # AQE still broadcasts when the runtime size genuinely fits
+    return docs.join(non_canonical, "doc_id", "left_anti")
