@@ -19,5 +19,6 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     relational_ext5,
     relational_ext6,
     sqlapi,
+    storage,
     windows,
 )

@@ -1,0 +1,63 @@
+"""Physical-design queries: bucketed co-located joins must not shuffle
+their inputs, and partition-pruned scans must prune at planning time
+(SURVEY.md §2.12 storage rows; the 100 TB shuffle/IO-elimination axis)."""
+
+from __future__ import annotations
+
+import os
+
+from news_ingestion_data_pipeline_spark.plans import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_bucketed_join_has_no_exchange_on_join_inputs(spark):
+    plan = _formatted_plan(spark, "join_bucketed_colocated")
+    smj = plan.find("SortMergeJoin")
+    assert smj != -1, plan
+    # The join subtree (everything the SMJ consumes, i.e. the plan text
+    # after the join node up to the first aggregate over it) must contain
+    # no shuffle: bucket-to-bucket reads feed the merge directly. The only
+    # Exchange allowed in the whole plan is the one on the 5-row aggregate
+    # ABOVE the join.
+    tree = plan.split("\n\n")[0]
+    join_line = [ln for ln in tree.splitlines() if "SortMergeJoin" in ln][0]
+    join_depth = len(join_line) - len(join_line.lstrip())
+    below = tree.splitlines()[tree.splitlines().index(join_line) + 1 :]
+    for ln in below:
+        depth = len(ln) - len(ln.lstrip())
+        if ln.strip() and depth <= join_depth:
+            break
+        assert "Exchange" not in ln, f"shuffle under bucketed join:\n{tree}"
+
+
+def test_partition_pruned_scan_reads_single_partition(spark):
+    plan = _formatted_plan(spark, "scan_partition_pruned")
+    assert "PartitionFilters" in plan
+    # the predicate must appear as a partition filter on the scan
+    assert any(
+        "PartitionFilters" in ln and "purchase" in ln for ln in plan.splitlines()
+    ), plan
+    # and the layout on disk is one directory per event_type
+    from news_ingestion_data_pipeline_spark.plans.storage import _ROOT, _sfx
+
+    path = f"{_ROOT}/events_by_type_{_sfx(SF_SMOKE)}"
+    parts = [d for d in os.listdir(path) if d.startswith("event_type=")]
+    assert len(parts) >= 2 and "event_type=purchase" in parts
+
+
+def test_bucketed_tables_have_bucket_files(spark):
+    REGISTRY["join_bucketed_colocated"].fn(spark, SF_SMOKE).collect()
+    from news_ingestion_data_pipeline_spark.plans.storage import _ROOT, _sfx
+
+    d = f"{_ROOT}/bkt_orders_{_sfx(SF_SMOKE)}"
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    # 8 buckets -> bucket ids 00000..00007 in file names
+    buckets = {f.split("_")[1][:5] for f in files if "_" in f}
+    assert len(buckets) == 8, sorted(files)[:10]
