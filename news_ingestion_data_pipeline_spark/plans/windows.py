@@ -193,9 +193,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain_to_memory(res: DataFrame, name: str) -> DataFrame:
-    """Run a streaming aggregate to a memory sink (complete mode,
-    Trigger.AvailableNow), await completion, return the sink table."""
+def _drain_to_memory(res: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Run a streaming query to a memory sink (Trigger.AvailableNow),
+    await completion, return the sink table. Aggregates drain in complete
+    mode; stream-stream joins (no aggregate) must drain in append mode."""
     spark = res.sparkSession
     for q in spark.streams.active:
         if q.name == name:
@@ -203,7 +204,7 @@ def _drain_to_memory(res: DataFrame, name: str) -> DataFrame:
     q = (
         res.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -492,3 +493,72 @@ def stream_static_join_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return _drain_to_memory(res, "stream_static_join_mem")
+
+
+@register(
+    "stream_stream_join_availablenow",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_sec
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+    description="REAL streaming stream-stream interval join: the view and "
+    "purchase streams (two readers over the same firehose) join per user "
+    "with a [0, 1h] event-time band. Both sides carry watermarks, so the "
+    "join state is BOUNDED: a buffered view row is evicted once the "
+    "purchase-side watermark passes view.ts + 1h — the property that "
+    "makes an infinite-stream join runnable at all (unbounded state is "
+    "the classic stream-join failure). Append-mode memory sink drained "
+    "under AvailableNow; the oracle is the equivalent batch interval "
+    "self-join. The attribution shape (conversion within an hour of a "
+    "view) is the canonical use.",
+    tags=("streaming", "join"),
+)
+def stream_stream_join_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    res = joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        ts_str(F.col("v_ts")).alias("view_ts"),
+        ts_str(F.col("p_ts")).alias("purchase_ts"),
+        (
+            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_sec"),
+    )
+    return _drain_to_memory(res, "stream_stream_join_mem", mode="append")
