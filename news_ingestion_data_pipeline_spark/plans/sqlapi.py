@@ -64,3 +64,118 @@ def sql_frontend_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_frontend_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_SQL_TOP_ORDERS_PER_CUSTOMER)
+
+
+_SQL_LATERAL_TOPN = """
+SELECT n_name, t.c_custkey, t.acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "sql_lateral_topn",
+    oracle=_SQL_LATERAL_TOPN,
+    description="LATERAL correlated subquery with ORDER BY + LIMIT (top-2 "
+    "customers per nation): the SQL-standard per-row-subquery shape "
+    "Catalyst decorrelates into a join + per-group limit rather than "
+    "executing N subqueries — the rewrite that makes lateral usable at "
+    "scale. Same literal text on both engines (sqlapi pattern: parity by "
+    "construction); total (acctbal DESC, custkey) order makes the top-2 "
+    "deterministic.",
+    tags=("sql", "subquery", "lateral"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPN)
+
+
+_SQL_RECURSIVE_CALENDAR = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '2001-08-01'
+), o AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, o_totalprice FROM orders
+)
+SELECT months.m AS month, COUNT(o.m) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM months LEFT JOIN o ON o.m = months.m
+GROUP BY months.m
+"""
+
+
+@register(
+    "sql_recursive_calendar",
+    oracle=_SQL_RECURSIVE_CALENDAR,
+    description="Recursive CTE (WITH RECURSIVE, Spark 4) generating a "
+    "monthly calendar spine, left-joined to orders so ZERO-order months "
+    "surface as rows — the gaps a plain GROUP BY over facts silently "
+    "drops, and the canonical recursive-SQL use in reporting. The spine "
+    "is 80 rows regardless of fact volume, so the recursion is "
+    "driver-trivial while the probe side stays a normal distributed "
+    "aggregate. Same literal text runs on both engines.",
+    tags=("sql", "recursive", "agg"),
+)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE_CALENDAR)
+
+
+# Variant (semi-structured) surface: the Spark query parses JSON into the
+# VARIANT type and extracts typed paths (shredding-friendly binary format
+# — the 100 TB semi-structured story); the oracle mirrors the same paths
+# with DuckDB's JSON functions over the identical generated document, so
+# the text differs but the arithmetic is term-for-term equal.
+_SQL_VARIANT_SPARK = """
+SELECT o_orderkey,
+       variant_get(v, '$.pri', 'string')  AS pri,
+       variant_get(v, '$.tags[0]', 'int') AS tag0,
+       variant_get(v, '$.tags[1]', 'int') AS tag1,
+       variant_get(v, '$.k', 'bigint') + variant_get(v, '$.tags[0]', 'bigint') AS ksum
+FROM (
+  SELECT o_orderkey,
+         parse_json('{"k":' || o_orderkey || ',"pri":"' || o_orderpriority
+                    || '","tags":[' || (o_orderkey % 7) || ','
+                    || (o_orderkey % 11) || ']}') AS v
+  FROM orders
+)
+"""
+
+_SQL_VARIANT_DUCK = """
+SELECT o_orderkey,
+       json_extract_string(v, '$.pri') AS pri,
+       CAST(json_extract(v, '$.tags[0]') AS INT) AS tag0,
+       CAST(json_extract(v, '$.tags[1]') AS INT) AS tag1,
+       CAST(json_extract(v, '$.k') AS BIGINT)
+         + CAST(json_extract(v, '$.tags[0]') AS BIGINT) AS ksum
+FROM (
+  SELECT o_orderkey,
+         '{"k":' || o_orderkey || ',"pri":"' || o_orderpriority
+         || '","tags":[' || (o_orderkey % 7) || ',' || (o_orderkey % 11) || ']}' AS v
+  FROM orders
+)
+"""
+
+
+@register(
+    "sql_variant_extract",
+    oracle=_SQL_VARIANT_DUCK,
+    description="VARIANT semi-structured extraction: parse_json into "
+    "Spark 4's binary variant type, then typed path extraction "
+    "(variant_get with string/int/bigint targets) including array "
+    "indexing and cross-path arithmetic. Variant's binary encoding is "
+    "what makes schemaless columns scan-efficient at 100 TB (no "
+    "per-row JSON re-parse after ingest; shredding pushes paths into "
+    "columnar storage). Oracle mirrors the identical generated document "
+    "through DuckDB's JSON functions.",
+    tags=("sql", "variant", "semistructured"),
+)
+def sql_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_VARIANT_SPARK)
