@@ -569,3 +569,71 @@ def curation_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no forced broadcast: |non_canonical| is bounded only by |corpus|;
     # AQE still broadcasts when the runtime size genuinely fits
     return docs.join(non_canonical, "doc_id", "left_anti")
+
+
+@register(
+    "curation_pack_sequences",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM tok
+)
+SELECT doc_id, n_tokens, cum_tokens,
+       (cum_tokens - 1) // 4096 AS shard_id
+FROM packed
+""",
+    description="Sequence packing: assign docs (in deterministic doc_id "
+    "order) to fixed 4096-token shards by cumulative token count — the "
+    "shard/sample assignment pass every LLM training pipeline runs before "
+    "writing tfrecord/arrow shards. The global running sum is computed "
+    "with a two-pass distributed prefix sum (per-range partial sums -> "
+    "tiny cumulative offset table broadcast back -> in-range cumsum), the "
+    "same decomposition as the percentile rank lookup: no single task "
+    "ever sees the whole corpus, unlike a naive global-ORDER-BY window "
+    "(one partition). Oracle uses the naive global window, proving the "
+    "decomposition exact.",
+    tags=("llm", "curation", "packing"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget, rng = 4096, 64  # docs per cumsum range
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") / rng).cast("bigint").alias("rng"),
+    )
+    # pass 1: per-range sums (tiny: |corpus|/rng rows), then the exclusive
+    # cumulative offset per range — a window over the RANGE table, whose
+    # size is negligible at any corpus scale
+    per_range = tok.groupBy("rng").agg(F.sum("n_tokens").alias("range_sum"))
+    w_rng = Window.orderBy("rng").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_range.withColumn(
+        "range_offset", F.sum("range_sum").over(w_rng) - F.col("range_sum")
+    ).select("rng", "range_offset")
+    # pass 2: in-range cumsum (partitioned window — parallel across
+    # ranges) plus the broadcast offset
+    w_in = Window.partitionBy("rng").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tok.join(F.broadcast(offsets), "rng")
+        .withColumn(
+            "cum_tokens",
+            F.col("range_offset") + F.sum("n_tokens").over(w_in),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "cum_tokens",
+            ((F.col("cum_tokens") - 1) / budget).cast("bigint").alias("shard_id"),
+        )
+    )
