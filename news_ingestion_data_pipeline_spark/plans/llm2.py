@@ -233,3 +233,162 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = mm.resize_images(media, 32, 32, decoder="real")
     return mm.extract_image_features(resized, decoder="real").orderBy("media_id")
+
+
+@register(
+    "events_sequence_patterns",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END, '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       length(s) AS seq_len,
+       CAST(len(regexp_extract_all(s, 'v[cse]*p')) AS INT) AS n_view_to_purchase,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS INT) AS n_error_runs,
+       CAST(len(regexp_extract_all(s, 'sv')) AS INT) AS n_signup_then_view
+FROM seq
+""",
+    description="Complex-event pattern matching (MATCH_RECOGNIZE-style) "
+    "via symbolization: each user's event history becomes a one-char-per-"
+    "event string in total (ts, event_id) order, and sequence patterns — "
+    "view-to-purchase conversions with intervening activity, error "
+    "bursts, signup-then-view — are counted with ordinary regexes "
+    "(restricted to the dialect subset Java regex and RE2 scan "
+    "identically: no lookarounds, no laziness). Per-user state is one "
+    "bounded string; the groupBy is one shuffle; the regex scan is "
+    "codegen'd. This is the batch shape of CEP that engines ship "
+    "MATCH_RECOGNIZE for — symbolization covers the overwhelmingly "
+    "common fixed-pattern cases with zero new machinery.",
+    tags=("events", "paths", "regex"),
+)
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    # collect_list is partition-order-dependent; sorting structs of
+    # (ts, event_id, sym) restores the total order without a window
+    seq = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.struct("ts", "event_id", sym.alias("sym")).alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("x")), lambda x: x["sym"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+
+    def n(pat: str):
+        return F.size(F.regexp_extract_all(F.col("s"), F.lit(pat), F.lit(0))).cast(
+            "int"
+        )
+
+    return seq.select(
+        "user_id",
+        F.length("s").alias("seq_len"),
+        n("v[cse]*p").alias("n_view_to_purchase"),
+        n("ee+").alias("n_error_runs"),
+        n("sv").alias("n_signup_then_view"),
+    )
+
+
+@register(
+    "dedup_containment_anchored",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           list_transform(range(1, greatest(length(s) - 3, 1)),
+             i -> substr(s, CAST(i AS INT), 5)),
+           s2 -> CAST('0x' || substr(md5(s2), 1, 15) AS BIGINT))) AS shingles
+  FROM norm
+), ex AS (
+  SELECT doc_id, lang, unnest(shingles) AS h FROM sh
+), rare AS (
+  SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 5
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN rare r ON a.h = r.h
+  JOIN ex b ON b.h = r.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / least(len(sa.shingles), len(sb.shingles)), 6) AS containment
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+      / least(len(sa.shingles), len(sb.shingles)) >= 0.8
+""",
+    description="Containment near-dup detection (|A intersect B| / "
+    "min(|A|,|B|) >= 0.8): catches a document EMBEDDED inside a larger "
+    "one, which symmetric Jaccard misses entirely (a 200-token doc "
+    "pasted into a 2000-token doc has J ~ 0.1 but containment 1.0) — "
+    "the quote/boilerplate/aggregation-page duplication mode in web "
+    "corpora. Candidates come from RARE-shingle anchors (2 <= df <= 5): "
+    "a contained copy necessarily shares its source's rare shingles, "
+    "while df-capping keeps the anchor join's fan-out bounded — no df^2 "
+    "blowup from boilerplate shingles, by construction. The anchor rule "
+    "is part of the operator's contract and the oracle mirrors it "
+    "exactly.",
+    tags=("llm", "dedup"),
+)
+def dedup_containment_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.functions import text as TX
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    hashed = F.array_distinct(
+        F.transform(
+            TX.char_ngrams(F.col("text"), 5),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    sh = (
+        spread(t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", hashed.alias("shingles"))
+        .localCheckpoint()  # three consumers; lazy persist would race
+    )
+    ex = sh.select("doc_id", "lang", F.explode("shingles").alias("h"))
+    rare = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 5))
+        .select("h")
+    )
+    a = ex.alias("a").hint("shuffle_hash")
+    b = ex.alias("b")
+    cand = (
+        a.join(rare, "h")
+        .join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(cont >= 0.8)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
