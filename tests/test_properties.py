@@ -302,3 +302,60 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert set(got) == set(expect)
     for v in nodes:
         assert abs(got[v] - expect[v]) < 1e-6, (v, got[v], expect[v])
+
+
+# ---- k-means assignment vs a dense numpy model ----
+
+def test_kmeans_assign_matches_numpy(spark):
+    """The registered Lloyd assignment must equal a dense numpy argmin
+    with the same (distance, centroid-id) tie order."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from news_ingestion_data_pipeline_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.cent_id: (r.n_assigned, r.sum_vec_id)
+        for r in REGISTRY["sim_kmeans_assign"].fn(spark, SF_SMOKE).collect()
+    }
+
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    ids = tbl["vec_id"].to_pylist()
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, vecs = np.array(ids)[order], vecs[order]
+    cents = vecs[ids < 8]
+    # squared L2 to each centroid; ties broken by centroid id via argmin
+    # (numpy argmin returns the FIRST minimal index = lowest cent_id)
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    want: dict = {}
+    for vid, c in zip(ids, assign):
+        n, s = want.get(int(c), (0, 0))
+        want[int(c)] = (n + 1, s + int(vid))
+    assert got == want
+
+
+# ---- sequence packing vs a pure-python prefix sum ----
+
+def test_pack_sequences_matches_python_model(spark):
+    """The two-pass distributed prefix sum must equal a single-threaded
+    running sum in doc_id order."""
+    import pyarrow.parquet as pq
+
+    from news_ingestion_data_pipeline_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens, r.shard_id)
+        for r in REGISTRY["curation_pack_sequences"].fn(spark, SF_SMOKE).collect()
+    }
+    tbl = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    cum = 0
+    for doc_id, text in rows:
+        n = len(text.split())
+        cum += n
+        assert got[doc_id] == (n, cum, (cum - 1) // 4096), doc_id
+    assert len(got) == len(rows)
