@@ -142,13 +142,15 @@ def minhash_lsh_pairs(
     Shuffle is O(docs × bands); the per-band equi-join is a hash join on the
     band-signature string.
 
-    The band-entry table is persisted before the self-join: Spark's
-    exchange reuse does not fire across the two aliased sides here, so
-    without it the whole shingle→signature pipeline (the heavy compute)
-    runs twice — measured 1.7× end-to-end at sf0.1. The persisted table is
-    docs×bands short rows, negligible next to the corpus; at 100 TB the
-    same role is played by materializing signatures once (they're reused
-    across dedup runs anyway).
+    The band-entry table is eagerly localCheckpoint'ed before the
+    self-join: Spark's exchange reuse does not fire across the two aliased
+    sides here, and a LAZY persist loses the race when both join sides'
+    map stages launch concurrently (each misses the empty cache and
+    recomputes the whole shingle→signature pipeline — the same pathology
+    measured at 47s vs 12s on the jaccard-prefix twin). The materialized
+    table is docs×bands short rows, negligible next to the corpus; at
+    100 TB the same role is played by materializing signatures once
+    (they're reused across dedup runs anyway).
     """
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     return lsh_band_pairs(sigs, num_hashes, bands)
@@ -178,7 +180,7 @@ def lsh_band_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    band_entries = band_entries.persist()
+    band_entries = band_entries.localCheckpoint()
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")

@@ -61,6 +61,7 @@ QUERIES = [
     "dedup_jaccard_prefix",
     "dedup_connected_clusters",
     "dedup_embedding_neardup",
+    "dedup_containment_anchored",
 ]
 
 LANGS = ["en", "en", "en", "de", "es", "fr", "zh"]
