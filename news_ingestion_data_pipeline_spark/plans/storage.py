@@ -114,3 +114,114 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "scan_jsonl_permissive",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_good,
+       SUM(n_chars) AS sum_chars
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT '_corrupt' AS lang, 7 AS n_good, NULL AS sum_chars
+ORDER BY lang
+""",
+    description="JSON-lines source with PERMISSIVE corrupt-record "
+    "handling: documents are serialized to JSONL (to_json per row), 7 "
+    "deterministically malformed lines are injected, and the read uses "
+    "an explicit schema plus a _corrupt_record column — bad rows land "
+    "in the quarantine column with every good field NULL instead of "
+    "failing the scan, the tolerance mode a 100 TB ingest of "
+    "third-party JSON requires (schema inference is also avoided: one "
+    "pass, no sampling job). Output is per-lang counts over the good "
+    "rows plus the corrupt-row count, so the oracle (raw table + the "
+    "injected constant) certifies both the round-trip fidelity and the "
+    "quarantine count.",
+    tags=("scan", "storage", "json", "errors"),
+)
+def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = f"{_ROOT}/docs_jsonl_{_sfx(sf_dir)}"
+    docs = t(spark, sf_dir, "documents")
+    docs.select(F.to_json(F.struct(*docs.columns)).alias("value")).coalesce(
+        4
+    ).write.mode("overwrite").text(path)
+    # inject malformed lines (deterministic count) as an extra file the
+    # glob picks up, exactly like a bad producer shard would appear
+    with open(os.path.join(path, "part-corrupt.txt"), "w", encoding="utf-8") as f:
+        for i in range(7):
+            f.write(f'{{"doc_id": {i}, "lang": "en", truncated...\n')
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint, _corrupt_record string"
+    )
+    read = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # single-pass aggregate on a derived routing key (Spark forbids
+    # predicates that reference ONLY the internal corrupt-record column
+    # on an uncached parse — and one pass is the better plan anyway)
+    routed = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("_corrupt")
+    ).otherwise(F.col("lang"))
+    return (
+        read.groupBy(routed.alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_good"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="CSV source round-trip with explicit schema and quoting: "
+    "orders are written as headered CSV (priorities contain spaces and "
+    "hyphens — real quoting surface), read back with a declared schema "
+    "(no inference pass, no type drift: the timestamp column round-trips "
+    "through an explicit timestampFormat), and aggregated. A hash-match "
+    "against the parquet-sourced oracle certifies the whole "
+    "serialize→parse cycle is lossless — the check that matters when a "
+    "100 TB pipeline must ingest legacy CSV feeds next to parquet.",
+    tags=("scan", "storage", "csv"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{_ROOT}/orders_csv_{_sfx(sf_dir)}"
+    orders = t(spark, sf_dir, "orders")
+    (
+        orders.coalesce(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    read = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    return (
+        read.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
