@@ -392,3 +392,50 @@ def dedup_containment_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.8)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), counts AS (
+  SELECT w, COUNT(*) AS est_count FROM tok GROUP BY w
+)
+SELECT w, est_count,
+       ROW_NUMBER() OVER (ORDER BY est_count DESC, w) AS rnk
+FROM counts
+ORDER BY est_count DESC, w
+LIMIT 10
+""",
+    description="Heavy hitters via approx_top_k (space-saving sketch over "
+    "exploded word tokens): the fixed-memory frequent-items path — at "
+    "100 TB the sketch keeps maxItemsTracked counters per partition and "
+    "merges associatively, where an exact GROUP BY must shuffle every "
+    "distinct token. Run here with maxItemsTracked well above the "
+    "stream's distinct count, where space-saving is provably EXACT, so "
+    "the sketch output hash-matches the exact oracle; re-sorted by "
+    "(count DESC, item) since the sketch's tie order is unspecified.",
+    tags=("agg", "sketch", "text"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w")
+    )
+    # ask the sketch for MORE than the final k: which item the sketch
+    # returns among boundary-count ties is unspecified, so over-fetch
+    # past any possible tie span and let the total (count DESC, item)
+    # order pick the final 10 deterministically
+    top = toks.agg(F.expr("approx_top_k(w, 100, 100000)").alias("tk"))
+    exploded = top.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("w"), F.col("e.count").alias("est_count")
+    )
+    w_rnk = Window.orderBy(F.desc("est_count"), "w")
+    return (
+        exploded.withColumn("rnk", F.row_number().over(w_rnk))
+        .orderBy(F.desc("est_count"), "w")
+        .limit(10)
+    )
