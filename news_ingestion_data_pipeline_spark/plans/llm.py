@@ -997,7 +997,12 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.lit(5) * F.least(F.col("sz_a"), F.col("sz_b"))
     )
     return (
-        cands.join(sa, "id_a")
+        # shuffle_hash: sa/sb are checkpointed corpus-scale shingle
+        # tables with no stats — without the hint the planner broadcasts
+        # them (fine at 4k docs, an executor OOM at corpus scale)
+        cands.hint("shuffle_hash")
+        .join(sa, "id_a")
+        .hint("shuffle_hash")
         .join(sb, "id_b")
         .filter(size_ok)
         .withColumn("inter", inter)

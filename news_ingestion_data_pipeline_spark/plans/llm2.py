@@ -387,7 +387,11 @@ def dedup_containment_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     cont = inter / F.least(F.size("sh_a"), F.size("sh_b"))
     return (
-        cand.join(sa, "id_a")
+        # shuffle_hash: sa/sb are checkpointed corpus-scale tables
+        # with no stats; the planner would broadcast them otherwise
+        cand.hint("shuffle_hash")
+        .join(sa, "id_a")
+        .hint("shuffle_hash")
         .join(sb, "id_b")
         .filter(cont >= 0.8)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))

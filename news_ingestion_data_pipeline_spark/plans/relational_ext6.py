@@ -529,7 +529,12 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(fa, "id_a")
+        # shuffle_hash on the verify joins too: fa/fb are the
+        # checkpointed corpus-scale array tables (no stats) and the
+        # planner would otherwise broadcast them
+        cand.hint("shuffle_hash")
+        .join(fa, "id_a")
+        .hint("shuffle_hash")
         .join(fb, "id_b")
         .withColumn("inter", inter)
         .withColumn(

@@ -1,0 +1,114 @@
+"""Plan-hygiene regression guard: the invariants tools/plan_audit.py
+sweeps for, frozen as tests so a future edit can't silently reintroduce
+a Python boundary, an unadjudicated nested-loop join, or a broadcast of
+a corpus-proportional checkpointed table (the round-2 pathologies).
+
+A fast representative subset runs per-pytest (the full sweep stays in
+tools/plan_audit.py): one query per operator family whose plan shape is
+load-bearing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from news_ingestion_data_pipeline_spark.plans import REGISTRY
+from tests.conftest import SF_SMOKE
+
+PY_MARKERS = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "FlatMapGroupsInPandasWithState",
+)
+
+#: queries whose plans must contain NO Python evaluation at all
+PYTHON_FREE = [
+    "q1_pricing_summary",
+    "q18_large_volume_customers",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_verified",
+    "text_simhash",
+    "sim_lsh_topk",
+    "curation_decontaminate",
+    "events_peak_concurrency",
+    "agg_percentile_ranks",
+    "text_bpe_token_count",
+    "sim_kmeans_assign",
+    "curation_pack_sequences",
+]
+
+#: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
+#: adjudicated plan (1-row scalar broadcasts or deliberate small
+#: cross joins) — everything NOT listed must be free of both
+BNLJ_ALLOWED = frozenset(
+    {
+        "agg_hll_cardinality",
+        "curation_mix_weights",
+        "events_similar_users",
+        "q11_important_parts",
+        "q22_dormant_customers",
+        "sim_cosine_topk",
+        "sim_ivf_topk",
+        "sim_kmeans_assign",
+        "sim_pairs_above_threshold",
+        "subquery_scalar_avg",
+        "text_cooccurrence_lift",
+        "text_tfidf_top_terms",
+        "join_cross_grid",
+    }
+)
+
+#: non-allowlisted queries with joins fed by checkpointed/no-stats RDD
+#: scans — the round-2 broadcast-disease surface
+RDD_JOIN_QUERIES = [
+    "dedup_jaccard_prefix",
+    "dedup_minhash_verified",
+    "dedup_containment_anchored",
+    "curation_dedup_corpus",
+]
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize("name", PYTHON_FREE)
+def test_relational_plans_have_no_python(spark, name):
+    plan = _plan(spark, name)
+    for marker in PY_MARKERS:
+        assert marker not in plan, f"{name}: {marker} in plan"
+
+
+@pytest.mark.parametrize("name", PYTHON_FREE)
+def test_relational_plans_have_no_unadjudicated_bnlj(spark, name):
+    if name in BNLJ_ALLOWED:
+        pytest.skip("adjudicated BNLJ")
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name", RDD_JOIN_QUERIES)
+def test_no_broadcast_of_checkpointed_corpus_tables(spark, name):
+    """No BroadcastExchange may sit directly over a stats-less RDD scan:
+    that is how the planner ended up broadcasting multi-million-row
+    exploded shingle/df tables (round-2 finding)."""
+    plan = _plan(spark, name)
+    lines = plan.split("\n\n")[0].splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip())
+        for ln2 in lines[i + 1 :]:
+            d2 = len(ln2) - len(ln2.lstrip())
+            if ln2.strip() and d2 <= depth:
+                break
+            assert "ExistingRDD" not in ln2, (
+                f"{name}: broadcast over stats-less RDD scan\n{ln}\n{ln2}"
+            )
