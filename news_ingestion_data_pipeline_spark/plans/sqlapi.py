@@ -179,3 +179,52 @@ FROM (
 def sql_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_SQL_VARIANT_SPARK)
+
+
+# XML surface: the Spark query serializes each order to an XML fragment
+# (identical string concat in both engines would be possible, but only
+# Spark parses it back — from_xml with a declared schema, nested element
+# + typed fields). The oracle selects the same fields straight from the
+# base table: a hash match proves the serialize→parse cycle lossless.
+_SQL_XML_SPARK = """
+SELECT o_orderkey,
+       x.pri   AS pri,
+       x.cust  AS cust,
+       x.total AS total
+FROM (
+  SELECT o_orderkey,
+         from_xml(
+           '<order key="' || o_orderkey || '"><pri>' || o_orderpriority
+           || '</pri><cust>' || o_custkey || '</cust><total>'
+           || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)
+           || '</total></order>',
+           'pri STRING, cust BIGINT, total DECIMAL(18,2)') AS x
+  FROM orders
+)
+"""
+
+_SQL_XML_DUCK = """
+SELECT o_orderkey,
+       o_orderpriority AS pri,
+       o_custkey AS cust,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+FROM orders
+"""
+
+
+@register(
+    "sql_xml_roundtrip",
+    oracle=_SQL_XML_DUCK,
+    description="XML ingestion surface (Spark 4 from_xml): each order is "
+    "serialized to an XML fragment and parsed back with a DECLARED "
+    "schema (typed string/bigint/decimal fields from nested elements — "
+    "no inference pass). The oracle reads the same fields directly from "
+    "the base table, so the hash match proves the serialize->parse "
+    "round trip lossless, the check that matters when a pipeline must "
+    "ingest legacy XML feeds (the news/RSS world the reference scrapes "
+    "is full of them) next to parquet.",
+    tags=("sql", "xml", "scan"),
+)
+def sql_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_XML_SPARK)
