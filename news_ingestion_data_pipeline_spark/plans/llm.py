@@ -997,12 +997,13 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.lit(5) * F.least(F.col("sz_a"), F.col("sz_b"))
     )
     return (
-        # shuffle_hash: sa/sb are checkpointed corpus-scale shingle
-        # tables with no stats — without the hint the planner broadcasts
-        # them (fine at 4k docs, an executor OOM at corpus scale)
-        cands.hint("shuffle_hash")
+        # merge (SMJ): sa/sb are checkpointed corpus-scale shingle
+        # tables with no stats — unhinted the planner broadcasts them;
+        # shuffle_hash would build an unspillable hash relation over the
+        # wide arrays (measured OOM on the prefix twin at 16k docs).
+        cands.hint("merge")
         .join(sa, "id_a")
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(sb, "id_b")
         .filter(size_ok)
         .withColumn("inter", inter)

@@ -387,11 +387,12 @@ def dedup_containment_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     cont = inter / F.least(F.size("sh_a"), F.size("sh_b"))
     return (
-        # shuffle_hash: sa/sb are checkpointed corpus-scale tables
-        # with no stats; the planner would broadcast them otherwise
-        cand.hint("shuffle_hash")
-        .join(sa, "id_a")
-        .hint("shuffle_hash")
+        # broadcast verify (planner default here): streams candidates
+        # against the in-memory doc->array map, avoiding the
+        # |cand| x array-width shuffle an SMJ would sort (measured 2x
+        # slower) — right while the map fits; per-block verify beyond
+        # (see dedup_jaccard_prefix for the measured comparison).
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(cont >= 0.8)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
