@@ -1,6 +1,8 @@
 """Second LLM-pipeline wave: BPE-ish tokenization, k-means assignment
-(the IVF training primitive), session path mining, and the composed
-multimodal resize pipeline — each with a bit-exact DuckDB oracle.
+(the IVF training primitive), session path mining, the composed
+multimodal resize pipeline, CEP-style sequence pattern matching,
+rare-anchor containment dedup, and approx_top_k heavy hitters — each
+with a bit-exact DuckDB oracle.
 
 Reference parity note: the reference (a 645-LoC scraper) has none of
 these; they extend the engine along the training-data-pipeline axis the

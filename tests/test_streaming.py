@@ -150,3 +150,95 @@ def test_stateful_running_counts(spark, dirs):
     assert rows and rows[-1]["Source_name"] == "Skift"
     assert rows[-1]["total"] == 5
     assert str(rows[-1]["max_ts"]) == "2025-08-01 10:00:00"
+
+
+def test_watermark_drops_late_data_across_micro_batches(spark, tmp_path):
+    """Late-data semantics need MULTIPLE micro-batches (a single
+    AvailableNow batch never advances the watermark mid-run): batch 1
+    carries an event at T0+2h which moves the watermark to T0+1h50m
+    (10-minute delay); batch 2 then delivers an event stamped T0+5m —
+    far below the watermark — whose window must NOT appear in the
+    append-mode output, while a fresh on-time event must."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf),
+            str(land / name),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    # batch 1: two on-time events + the watermark-advancing head event
+    write_file(
+        "b1.parquet",
+        [
+            (1, 10, "view", T0, 1.0),
+            (2, 10, "view", T0 + dt.timedelta(minutes=5), 1.0),
+            (3, 10, "view", T0 + dt.timedelta(hours=2), 1.0),
+        ],
+    )
+    schema = spark.read.parquet(str(land / "b1.parquet")).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(land))
+            # pyarrow writes TIMESTAMP_NTZ; watermarks need TIMESTAMP
+            # (session tz is pinned UTC so the wall clock is identical)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # batch 2 (new run, resumed checkpoint = next micro-batch): one event
+    # 1h45m BELOW the persisted watermark, one on-time event
+    write_file(
+        "b2.parquet",
+        [
+            (4, 10, "view", T0 + dt.timedelta(minutes=6), 1.0),  # LATE → dropped
+            (5, 10, "view", T0 + dt.timedelta(hours=3), 1.0),  # on time
+        ],
+    )
+    run_once()
+    # third run so the hour-3 window can close and flush
+    write_file(
+        "b3.parquet", [(6, 10, "view", T0 + dt.timedelta(hours=5), 1.0)]
+    )
+    run_once()
+
+    got = {
+        r["ws"]: r["n"] for r in spark.read.parquet(out_dir).collect()
+    }
+    # T0 window: closed by batch 1's head event; contains ONLY the two
+    # on-time rows — the late row 4 must not have re-opened or re-counted it
+    assert got.get(T0.replace(minute=0)) == 2
+    # the late event's would-be window is T0+0h (already emitted) — row 4
+    # contributed nowhere: total counted events = 4 (ids 1,2,3,5), and the
+    # hour-2/hour-3 windows hold exactly one event each
+    assert got.get(T0 + dt.timedelta(hours=2)) == 1
+    assert got.get(T0 + dt.timedelta(hours=3)) == 1
+    assert sum(got.values()) == 4
