@@ -282,3 +282,96 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def gemm_topk(
+    corpus: DataFrame,
+    query_rows: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched BLAS GEMM — the scale path for
+    EXACT search.
+
+    ``brute_force_topk`` evaluates the dot product per pair inside Catalyst
+    (an interpreted higher-order-function fold: ~dim lambda steps per pair).
+    Correct, but at 100 TB x thousands of queries the inner loop dominates.
+    This variant ships the (small) query set to every partition as a dense
+    float64 matrix and lets numpy compute ``corpus_batch @ Q.T`` per Arrow
+    batch — one BLAS call scoring batch x queries pairs at memory-bandwidth
+    throughput, ~10-100x the per-pair fold.
+
+    Distribution shape: mapInPandas over corpus partitions (no shuffle of
+    vectors); each batch emits only its LOCAL top candidates per query
+    (k + an epsilon-tie guard), so the global exchange carries
+    O(partitions x queries x k) scalar rows — the map-side-combine shape of
+    a distributed top-k. Final ranking happens JVM-side on rounded scores
+    with deterministic (cos DESC, neighbor_id) tie-break, identical to the
+    other top-k paths.
+
+    Numerical note: BLAS sums in a different order than the sequential HOF
+    fold; scores agree to ~1e-13 and the projected value is rounded to 6
+    decimals (the repo-wide cosine contract). The per-batch prune keeps
+    every candidate within 1e-9 of the k-th local score, so rounding can
+    never evict a true global top-k member before the exact final rank.
+    """
+    import pandas as pd
+
+    qids = [int(q[0]) for q in query_rows]
+    qmat_rows = [list(map(float, q[1])) for q in query_rows]
+
+    def score_batches(it):
+        import numpy as np
+
+        Q = np.asarray(qmat_rows, dtype=np.float64)  # (m, d)
+        qn = np.linalg.norm(Q, axis=1)
+        qn_safe = np.where(qn > 0, qn, 1.0)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.asarray(
+                np.stack(pdf[vec_col].to_numpy()), dtype=np.float64
+            )  # (n, d)
+            cn = np.linalg.norm(V, axis=1)
+            cn_safe = np.where(cn > 0, cn, 1.0)
+            sims = (V @ Q.T) / np.outer(cn_safe, qn_safe)
+            sims[cn == 0, :] = 0.0
+            sims[:, qn == 0] = 0.0
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qid_arr)):
+                s = sims[:, j]
+                mask = ids != qid_arr[j]
+                s_m, ids_m = s[mask], ids[mask]
+                if len(s_m) == 0:
+                    continue
+                if len(s_m) > k:
+                    kth = np.partition(s_m, len(s_m) - k)[len(s_m) - k]
+                    keep = s_m >= kth - 1e-9
+                    s_m, ids_m = s_m[keep], ids_m[keep]
+                out_q.append(np.full(len(s_m), qid_arr[j]))
+                out_n.append(ids_m)
+                out_s.append(s_m)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_full": np.concatenate(out_s),
+                    }
+                )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, "query_id long, neighbor_id long, cos_full double"
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(F.col("cos_full"), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -11,6 +11,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     curation,
     llm,
     llm2,
+    llm3,
     pipeline,
     relational,
     relational_ext,

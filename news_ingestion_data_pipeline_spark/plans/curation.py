@@ -491,9 +491,9 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH wide AS (
   SELECT l_returnflag,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide

@@ -279,7 +279,7 @@ def multimodal_audio_windows_oracle() -> str:
 )
 SELECT doc_id AS media_id, win_no,
   CAST(win_no * 250 AS INT) AS win_start_ms,
-  sqrt(CAST(SUM(smp * smp) AS DOUBLE) / 2000) AS rms,
+  sqrt(CAST(CAST(SUM(smp * smp) AS VARCHAR) AS DOUBLE) / 2000) AS rms,
   CAST(SUM(CASE WHEN i % 2000 > 0 AND abs(sgn - psgn) > 1 THEN 1 ELSE 0 END)
        AS INT) AS zero_crossings,
   MAX(abs(smp)) AS peak

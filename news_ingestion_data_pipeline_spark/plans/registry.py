@@ -78,6 +78,6 @@ def ts_str(col: Column | str) -> Column:
 
 
 #: SQL-side equivalents (DuckDB dialect) of the helpers above.
-SQL_DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
-SQL_DAVG = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+SQL_DSUM = "CAST(CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+SQL_DAVG = "CAST(CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)"
 SQL_TS = "strftime({col}, '%Y-%m-%d %H:%M:%S')"

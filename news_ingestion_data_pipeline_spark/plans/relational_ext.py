@@ -27,8 +27,8 @@ from news_ingestion_data_pipeline_spark.plans.registry import (
 @register(
     "q6_forecast_revenue",
     oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -62,8 +62,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = """
 SELECT c.c_custkey, c.c_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
        c.c_acctbal, n.n_name
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -170,7 +170,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
@@ -195,10 +195,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having_filter",
     oracle="""
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY l_orderkey
-HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
+HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) > 150
 """,
     description="HAVING = post-aggregation filter (TPC-H Q18 inner shape): "
     "orders whose total quantity exceeds the threshold.",
@@ -267,14 +267,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT l_returnflag,
          COUNT(*) AS n_rows,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n_rows,
@@ -405,11 +405,11 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-       CAST(SUM(CAST(value AS DECIMAL(20,10))) OVER (
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) OVER (
            PARTITION BY user_id
            ORDER BY CAST(epoch(ts) AS BIGINT)
            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) AS rolling_1h_sum
+       ) AS VARCHAR) AS DOUBLE) AS rolling_1h_sum
 FROM events
 """,
     description="RANGE frame over event time (trailing 1 hour per user) — "

@@ -82,7 +82,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle=f"""
 SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(volume) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          EXTRACT(year FROM l_shipdate) AS l_year,
@@ -151,7 +151,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_profit_by_nation",
     oracle=f"""
-SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+SELECT nation, o_year, CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
          {_DISC_PRICE}
@@ -232,9 +232,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle=f"""
-SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
-                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-       / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+SELECT CAST(CAST(100.00 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS promo_revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -349,8 +349,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     oracle="""
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
-            AS DOUBLE) AS avg_yearly
+SELECT CAST(CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS VARCHAR) AS DOUBLE) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#3'
@@ -390,7 +389,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_name, c_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
        o_totalprice,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -441,7 +440,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_bracket_revenue",
     oracle=f"""
-SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -488,11 +487,11 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_customers",
     oracle="""
 SELECT cntrycode, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM (
   SELECT c_nationkey % 5 AS cntrycode, c_acctbal
   FROM customer
-  WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+  WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                             / COUNT(*)
                      FROM customer WHERE c_acctbal > 0.00)
     AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -543,8 +542,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_funnel_conversion",
     oracle="""
 SELECT COUNT(*) AS n_converted,
-       CAST(SUM(epoch_us(t_purchase) - epoch_us(t_view))
-            AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_view_to_purchase_sec
+       CAST(CAST(SUM(epoch_us(t_purchase) - epoch_us(t_view)) AS VARCHAR) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_view_to_purchase_sec
 FROM (
   SELECT user_id,
          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
@@ -716,7 +714,7 @@ def set_union_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_skew",
     oracle=f"""
 SELECT o_orderpriority,
-       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
@@ -747,7 +745,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_skew",
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag
@@ -782,9 +780,9 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
 SELECT o_year,
-       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+       CAST(CAST(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM o_orderdate) AS o_year,
          {_DISC_PRICE} AS volume,
@@ -1117,8 +1115,8 @@ _SQL_UCOS = (
 WITH vec AS (
   SELECT user_id,
          [{", ".join(
-             "CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = " + str(d)
-             + " THEN 1 ELSE 0 END) AS DOUBLE)"
+             "CAST(CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = " + str(d)
+             + " THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)"
              for d in range(7)
          )}] AS v
   FROM events GROUP BY user_id

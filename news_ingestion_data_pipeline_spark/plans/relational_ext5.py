@@ -131,7 +131,7 @@ WITH firsts AS (
 SELECT f.event_type AS first_event_type,
        COUNT(*) AS n_users,
        COUNT(*) FILTER (WHERE p.n_purch > 0) AS n_converting,
-       CAST(SUM(p.purch_value) AS DOUBLE) AS total_purchase_value
+       CAST(CAST(SUM(p.purch_value) AS VARCHAR) AS DOUBLE) AS total_purchase_value
 FROM firsts f JOIN per_user p ON p.user_id = f.user_id
 WHERE f.rn = 1
 GROUP BY f.event_type
@@ -226,7 +226,7 @@ SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
        COUNT(*) AS n_rows,
        MIN(l_extendedprice) AS min_price,
        MAX(l_extendedprice) AS max_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
          AS sum_price
 FROM lineitem
 GROUP BY 1, 2

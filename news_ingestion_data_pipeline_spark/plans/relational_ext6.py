@@ -304,7 +304,7 @@ WITH brackets AS (
 )
 SELECT bracket_id, lo, hi,
        COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
          AS sum_price
 FROM lineitem JOIN brackets
   ON l_extendedprice BETWEEN lo AND hi
@@ -677,13 +677,12 @@ SELECT user_id,
        event_id,
        CAST(value AS DOUBLE) AS value,
        CASE WHEN COUNT(*) OVER w > 0
-            THEN CAST(SUM(CAST(value AS DECIMAL(20,10))) OVER w AS DOUBLE)
+            THEN CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) OVER w AS VARCHAR) AS DOUBLE)
                  / COUNT(*) OVER w
        END AS mean_prev20,
        CAST(COUNT(*) OVER w > 0
             AND CAST(value AS DOUBLE)
-                > 2.0 * (CAST(SUM(CAST(value AS DECIMAL(20,10))) OVER w
-                              AS DOUBLE) / COUNT(*) OVER w)
+                > 2.0 * (CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) OVER w AS VARCHAR) AS DOUBLE) / COUNT(*) OVER w)
             AS BOOLEAN) AS is_spike
 FROM scoped
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1633,7 +1632,7 @@ WITH scoped AS (
          CAST(value AS DECIMAL(20,10)) AS v
   FROM events WHERE user_id % 200 = 0
 ), hourly AS (
-  SELECT user_id, h, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_value
+  SELECT user_id, h, CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_value
   FROM scoped GROUP BY user_id, h
 ), spans AS (
   SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id
@@ -1705,7 +1704,7 @@ def window_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT EXTRACT(dow FROM ts) AS day_of_week,
        EXTRACT(hour FROM ts) AS hour_of_day,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(20,10))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -1744,9 +1743,8 @@ WITH rev AS (
 ), ranked AS (
   SELECT l_partkey,
          CAST(part_rev AS DOUBLE) AS part_revenue,
-         CAST(SUM(part_rev) OVER (ORDER BY part_rev DESC, l_partkey)
-              AS DOUBLE)
-           / CAST(SUM(part_rev) OVER () AS DOUBLE) AS cum_share
+         CAST(CAST(SUM(part_rev) OVER (ORDER BY part_rev DESC, l_partkey) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(part_rev) OVER () AS VARCHAR) AS DOUBLE) AS cum_share
   FROM rev
 )
 SELECT l_partkey, part_revenue, cum_share,
@@ -1918,18 +1916,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
-       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS DOUBLE) / 1000000.0
+       CAST(CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS VARCHAR) AS DOUBLE) / 1000000.0
          AS span_sec,
        CASE WHEN epoch_us(MAX(ts)) > epoch_us(MIN(ts))
             THEN CAST(COUNT(*) AS DOUBLE)
-                 / (CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS DOUBLE)
+                 / (CAST(CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS VARCHAR) AS DOUBLE)
                     / 1000000.0) * 60.0
        END AS events_per_min,
        CAST(COUNT(*) >= 50 AND COUNT(DISTINCT event_type) <= 2 AS BOOLEAN)
          AS flag_low_diversity,
        CAST(epoch_us(MAX(ts)) > epoch_us(MIN(ts))
             AND CAST(COUNT(*) AS DOUBLE)
-                / (CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS DOUBLE)
+                / (CAST(CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS VARCHAR) AS DOUBLE)
                    / 1000000.0) * 60.0 > 1.0
             AS BOOLEAN) AS flag_high_rate
 FROM events
@@ -1981,7 +1979,7 @@ WITH gaps AS (
 )
 SELECT event_type,
        COUNT(gap_sec) AS n_gaps,
-       CAST(SUM(CAST(gap_sec AS DECIMAL(20,6))) AS DOUBLE) / COUNT(gap_sec)
+       CAST(CAST(SUM(CAST(gap_sec AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) / COUNT(gap_sec)
          AS mean_gap_sec,
        quantile_cont(gap_sec, 0.5) AS p50_gap_sec,
        quantile_cont(gap_sec, 0.9) AS p90_gap_sec,

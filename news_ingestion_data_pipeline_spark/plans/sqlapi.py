@@ -17,7 +17,7 @@ from news_ingestion_data_pipeline_spark.tables import register_views
 
 _SQL_REGION_REVENUE = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_revenue,
        COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON c_custkey = o_custkey
@@ -104,7 +104,7 @@ WITH RECURSIVE months(m) AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, o_totalprice FROM orders
 )
 SELECT months.m AS month, COUNT(o.m) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
 FROM months LEFT JOIN o ON o.m = months.m
 GROUP BY months.m
 """

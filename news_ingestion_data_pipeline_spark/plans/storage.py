@@ -30,7 +30,7 @@ def _sfx(sf_dir: str) -> str:
     oracle="""
 SELECT o.o_orderpriority,
        COUNT(DISTINCT o.o_orderkey) AS n_orders,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
@@ -185,7 +185,7 @@ def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

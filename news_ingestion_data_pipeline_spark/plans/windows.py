@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from news_ingestion_data_pipeline_spark.plans.registry import register, t, ts_str
 
 _VAL_DEC = "decimal(20,10)"
-_SQL_VAL_SUM = "CAST(SUM(CAST(value AS DECIMAL(20,10))) AS DOUBLE)"
+_SQL_VAL_SUM = "CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)"
 
 
 @register(

@@ -38,6 +38,11 @@ PYTHON_FREE = [
     "text_bpe_token_count",
     "sim_kmeans_assign",
     "curation_pack_sequences",
+    "sim_semdedup",
+    "curation_sample_weighted",
+    "pipeline_incremental_agg",
+    "join_bloom_prefiltered",
+    "events_ewma_smooth",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -58,6 +63,8 @@ BNLJ_ALLOWED = frozenset(
         "text_cooccurrence_lift",
         "text_tfidf_top_terms",
         "join_cross_grid",
+        # 1-row bitmap broadcast: the bloom filter itself is the build side
+        "join_bloom_prefiltered",
     }
 )
 

@@ -86,7 +86,9 @@ def main() -> None:
         if r["bnlj"] and "cross" not in name and "grid" not in name:
             mark += " <-- BNLJ"
             flagged.append((name, "bnlj"))
-        if r["py"] and not name.startswith(("multimodal_", "text_zscore")):
+        if r["py"] and not name.startswith(
+            ("multimodal_", "text_zscore", "sim_gemm")
+        ):
             mark += " <-- PYTHON"
             flagged.append((name, "python"))
         print(
