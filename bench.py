@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "sim_kmeans_assign",
     "events_path_trigrams",
     "agg_percentile_ranks",
+    "sim_gemm_topk",
+    "sim_semdedup",
+    "join_bloom_prefiltered",
+    "events_ewma_smooth",
 ]
 
 

@@ -159,8 +159,31 @@ def minhash_lsh_pairs(
 def lsh_band_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, sig) → candidate pairs via banding; the join stage of
     minhash_lsh_pairs, split out for callers with precomputed signatures."""
+    band_entries = band_entry_table(sigs, num_hashes, bands).localCheckpoint()
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    return pairs
+
+
+def band_entry_table(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) → one (id, band, bucket) row per band — the LSH index
+    table itself. At 100 TB this is the table you MATERIALIZE once and
+    keep partitioned by (band, bucket): every later dedup run joins new
+    documents against it instead of re-signing the corpus."""
     rows_per_band = num_hashes // bands
-    band_entries = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -180,22 +203,62 @@ def lsh_band_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    band_entries = band_entries.localCheckpoint()
 
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    pairs = (
+
+def lsh_band_pairs_incremental(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    delta_col: str = "is_delta",
+) -> DataFrame:
+    """Incremental LSH candidate generation: candidates for the DELTA
+    documents only — delta-vs-index and delta-vs-delta pairs, never
+    index-vs-index (that work was done when the index rows were
+    ingested). ``sigs`` carries a boolean ``delta_col``.
+
+    This is the production shape of continuous corpus ingestion: the
+    band-entry table is the persistent LSH index; each new batch signs
+    only its own documents and equi-joins its band entries against the
+    index. Shuffle is O(delta x bands) probe-side; the index side is a
+    (band, bucket)-partitioned table at rest, so at scale the join
+    degenerates to partition-local lookups. Emits
+    (id_a, id_b, n_bands_matched, vs) with vs in ('index', 'delta')
+    telling whether the new doc duplicates the corpus or its own batch.
+    """
+    entries = band_entry_table(
+        sigs, num_hashes, bands
+    ).join(
+        sigs.select("id", F.col(delta_col).alias("_delta")), "id"
+    ).localCheckpoint()
+
+    a = entries.alias("a")
+    d = entries.filter(F.col("_delta")).alias("d")
+    return (
         a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            d,
+            (F.col("a.band") == F.col("d.band"))
+            & (F.col("a.bucket") == F.col("d.bucket"))
+            & (F.col("a.id") < F.col("d.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("d.id").alias("id_b"),
+            F.col("a._delta").alias("a_delta"),
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_matched"),
+            F.first("a_delta").alias("a_delta"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_bands_matched",
+            F.when(F.col("a_delta"), F.lit("delta"))
+            .otherwise(F.lit("index"))
+            .alias("vs"),
+        )
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(

@@ -12,6 +12,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm,
     llm2,
     llm3,
+    llm4,
     pipeline,
     relational,
     relational_ext,

@@ -165,6 +165,36 @@ def minhash_candidates_oracle(num_hashes: int = 32, bands: int = 8) -> str:
 SELECT id_a, id_b, n_bands_matched FROM cand"""
 
 
+def minhash_incremental_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Incremental variant of minhash_candidates_oracle: candidate pairs
+    touching the DELTA slice only (doc_id % 10 < 3), never index-vs-index
+    — mirrors operators/dedup.lsh_band_pairs_incremental."""
+    return f"""WITH norm AS (
+  {_NORM_CTE}
+), xrows AS (
+  SELECT id, unnest(list_distinct(list_transform(
+    range(1, greatest(length(s) - 3, 1)),
+    i -> CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+  ))) % {_MINHASH_P} AS x
+  FROM norm
+), sig AS (
+  SELECT id,
+    {_sig_cols(num_hashes)}
+  FROM xrows GROUP BY id
+), bands AS (
+  {_band_union(num_hashes, bands)}
+), cand AS (
+  SELECT a.id AS id_a, x.id AS id_b, COUNT(*) AS n_bands_matched
+  FROM bands a JOIN bands x
+    ON a.band = x.band AND a.bucket = x.bucket AND a.id < x.id
+  WHERE (x.id % 10) < 3
+  GROUP BY a.id, x.id
+)
+SELECT id_a, id_b, n_bands_matched,
+       CASE WHEN (id_a % 10) < 3 THEN 'delta' ELSE 'index' END AS vs
+FROM cand"""
+
+
 def minhash_verified_oracle(
     num_hashes: int = 32, bands: int = 8, threshold: str = "0.4"
 ) -> str:

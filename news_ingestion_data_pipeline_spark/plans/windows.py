@@ -562,3 +562,86 @@ def stream_stream_join_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("gap_sec"),
     )
     return _drain_to_memory(res, "stream_stream_join_mem", mode="append")
+
+
+@register(
+    "stream_state_user_stats",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events GROUP BY user_id
+""",
+    description="Custom stateful streaming with DETERMINISTIC numeric "
+    "state: per-user running (count, value-sum, max-ts) evolved across "
+    "micro-batches via applyInPandasWithState, where the value sum "
+    "accumulates as exact DECIMAL inside the processor (string-carried "
+    "state, HALF_UP-quantized at 10 dp exactly like the engines' "
+    "double->DECIMAL(20,10) cast) so the running total is "
+    "order-independent and hash-matches the batch GROUP BY oracle — the "
+    "pattern for making custom streaming state deterministic, not just "
+    "convergent. State is O(#users); at scale the state store partitions "
+    "by the grouping key like any shuffle. (Spark 4's successor API, "
+    "transformWithStateInPandas, needs the protobuf package absent from "
+    "this environment; the state semantics demonstrated here port to a "
+    "ValueState handle one-to-one.)",
+    tags=("streaming", "stateful"),
+)
+def stream_state_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    q10 = Decimal("1.0000000000")
+
+    def update(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        n, sum_str, max_us = state.get if state.exists else (0, "0", None)
+        total = Decimal(sum_str)
+        for pdf in pdfs:
+            n += len(pdf)
+            # mirror Spark/DuckDB CAST(double AS DECIMAL(20,10)):
+            # shortest-repr decimal, HALF_UP at 10 dp, summed exactly
+            for v in pdf["value"]:
+                total += Decimal(str(v)).quantize(q10, rounding=ROUND_HALF_UP)
+            m = pdf["ts_us"].max()
+            if pd.notna(m):
+                m = int(m)
+                max_us = m if max_us is None else max(max_us, m)
+        state.update((n, str(total), max_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [float(total)],
+                "max_us": [max_us],
+            }
+        )
+
+    res = (
+        _events_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, sum_value double, max_us long"
+            ),
+            stateStructType="n bigint, sum_str string, max_us bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain_to_memory(res, "stream_state_user_mem", mode="update")
+    return drained.select(
+        "user_id",
+        "n_events",
+        "sum_value",
+        ts_str(F.timestamp_micros(F.col("max_us"))).alias("max_ts"),
+    )

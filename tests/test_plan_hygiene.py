@@ -43,6 +43,9 @@ PYTHON_FREE = [
     "pipeline_incremental_agg",
     "join_bloom_prefiltered",
     "events_ewma_smooth",
+    "dedup_incremental_minhash",
+    "graph_triangle_count",
+    "scan_zonemap_skip",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -65,6 +68,8 @@ BNLJ_ALLOWED = frozenset(
         "join_cross_grid",
         # 1-row bitmap broadcast: the bloom filter itself is the build side
         "join_bloom_prefiltered",
+        # 1-row x 1-row crossJoin gluing n_triangles to n_edges
+        "graph_triangle_count",
     }
 )
 

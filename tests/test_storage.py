@@ -61,3 +61,43 @@ def test_bucketed_tables_have_bucket_files(spark):
     # 8 buckets -> bucket ids 00000..00007 in file names
     buckets = {f.split("_")[1][:5] for f in files if "_" in f}
     assert len(buckets) == 8, sorted(files)[:10]
+
+
+def test_zonemap_layout_enables_row_group_skipping(spark):
+    """The sort-clustered rewrite must (a) push the date filter to the
+    parquet scan and (b) produce a layout where most row groups'
+    min/max stats fall wholly outside the filter range — the stats
+    parquet readers use to skip row groups without decoding them."""
+    import datetime as dt
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    plan = _formatted_plan(spark, "scan_zonemap_skip")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300], plan
+
+    path = (
+        "/tmp/spark_graft_storage/lineitem_zonemap_"
+        + hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
+    )
+    lo = dt.datetime(1996, 7, 1)
+    hi = dt.datetime(1996, 10, 1)
+    total = overlapping = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("l_shipdate")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            assert st is not None and st.has_min_max
+            total += 1
+            if st.min < hi and st.max >= lo:
+                overlapping += 1
+    assert total >= 4, f"expected a multi-row-group layout, got {total}"
+    # sorted layout => the 3-month band covers a strict minority of groups
+    assert overlapping * 2 < total, (
+        f"{overlapping}/{total} row groups overlap the filter — layout "
+        "is not date-clustered"
+    )
