@@ -139,6 +139,31 @@ def read_articles(spark: SparkSession, table_path: str) -> DataFrame | None:
     return spark.read.parquet(table_path)
 
 
+def read_previous_snapshot(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Time-travel read of the immediately-previous committed snapshot.
+
+    The commit protocol's GC (see ``upsert_articles``) deliberately
+    retains the predecessor snapshot alongside the current one — both for
+    in-flight readers and for exactly this one-version time travel (the
+    miniature of Delta's ``VERSION AS OF``). Returns None when the table
+    has fewer than two committed versions."""
+    snap = _current_snapshot(table_path)
+    if snap is None:
+        return None
+    prev = [
+        name
+        for name in os.listdir(table_path)
+        if name.startswith("snap-") and name != snap
+        and os.path.isdir(os.path.join(table_path, name))
+    ]
+    if not prev:
+        return None
+    if len(prev) > 1:  # GC is best-effort; resolve by mtime
+        prev.sort(key=lambda n: os.path.getmtime(os.path.join(table_path, n)))
+        prev = prev[-1:]
+    return spark.read.parquet(os.path.join(table_path, prev[0]))
+
+
 def drop_table(table_path: str) -> None:
     """DROP TABLE IF EXISTS analog (reference
     database_utils/database_methods.py:157-170)."""

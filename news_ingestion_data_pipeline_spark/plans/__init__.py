@@ -13,6 +13,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm2,
     llm3,
     llm4,
+    llm5,
     pipeline,
     relational,
     relational_ext,

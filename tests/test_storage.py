@@ -101,3 +101,12 @@ def test_zonemap_layout_enables_row_group_skipping(spark):
         f"{overlapping}/{total} row groups overlap the filter — layout "
         "is not date-clustered"
     )
+
+
+def test_dpp_join_has_runtime_pruning_subquery(spark):
+    """The partitioned-fact x filtered-dim join must carry a dynamic
+    partition pruning expression: the partition filter is only known at
+    runtime (it comes from the dim side), so the scan node embeds a
+    dynamicpruning subquery instead of reading every partition."""
+    plan = _formatted_plan(spark, "join_dpp_runtime_pruned")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -87,7 +87,7 @@ def main() -> None:
             mark += " <-- BNLJ"
             flagged.append((name, "bnlj"))
         if r["py"] and not name.startswith(
-            ("multimodal_", "text_zscore", "sim_gemm")
+            ("multimodal_", "text_zscore", "sim_gemm", "sql_udtf")
         ):
             mark += " <-- PYTHON"
             flagged.append((name, "python"))
