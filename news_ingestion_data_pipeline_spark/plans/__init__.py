@@ -14,6 +14,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm3,
     llm4,
     llm5,
+    llm6,
     pipeline,
     relational,
     relational_ext,

@@ -46,6 +46,9 @@ PYTHON_FREE = [
     "dedup_incremental_minhash",
     "graph_triangle_count",
     "scan_zonemap_skip",
+    "agg_rollup_cascade",
+    "sim_quantized_topk",
+    "join_dpp_runtime_pruned",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -59,6 +62,8 @@ BNLJ_ALLOWED = frozenset(
         "q11_important_parts",
         "q22_dormant_customers",
         "sim_cosine_topk",
+        # same family: 1-row stats broadcast + 10-query brute-force rerank
+        "sim_quantized_topk",
         "sim_ivf_topk",
         "sim_kmeans_assign",
         "sim_pairs_above_threshold",

@@ -76,3 +76,25 @@ def test_simhash_pairs_recall_high_jaccard(spark):
     assert jac, "fixture should contain near-duplicate pairs"
     recall = len(jac & sim) / len(jac)
     assert recall >= 0.6, f"simhash pair recall collapsed: {recall:.2f}"
+
+
+def test_gemm_topk_equals_catalyst_baseline(spark):
+    """The Arrow/BLAS physical rewrite must produce the IDENTICAL result
+    set (ids, ranks, rounded scores) as the Catalyst-fold baseline."""
+    bf = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    gm = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in REGISTRY["sim_gemm_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    assert bf == gm
+
+
+def test_quantized_recall_floor(spark):
+    """8-bit scalar quantization should barely perturb the top-5 sets:
+    the measured accuracy cost of the 4x compression."""
+    bf, qz = _pairs(spark, "sim_cosine_topk"), _pairs(spark, "sim_quantized_topk")
+    recall = len(bf & qz) / len(bf)
+    assert recall >= 0.8, f"quantized recall@5 collapsed: {recall:.2f}"

@@ -242,3 +242,36 @@ def test_watermark_drops_late_data_across_micro_batches(spark, tmp_path):
     assert got.get(T0 + dt.timedelta(hours=2)) == 1
     assert got.get(T0 + dt.timedelta(hours=3)) == 1
     assert sum(got.values()) == 4
+
+
+def test_checkpoint_resume_processes_only_new_files(spark):
+    """The second (restarted) query must resume from checkpointed source
+    offsets: its file-source log for the resumed batch lists only the
+    files added after the first run — recovery without reprocessing."""
+    import glob
+    import hashlib
+    import json
+
+    from news_ingestion_data_pipeline_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["stream_checkpoint_resume"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+
+    sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
+    src_log = f"/tmp/spark_graft_llm6/ckpt_{sfx}/sources/0"
+    batches = sorted(
+        int(os.path.basename(p))
+        for p in glob.glob(f"{src_log}/*")
+        if os.path.basename(p).isdigit()
+    )
+    assert len(batches) >= 2, f"expected >=2 source batches, got {batches}"
+
+    def files_of(batch: int) -> set[str]:
+        with open(f"{src_log}/{batch}") as f:
+            lines = [ln for ln in f if ln.startswith("{")]
+        return {json.loads(ln)["path"] for ln in lines}
+
+    first, last = files_of(batches[0]), files_of(batches[-1])
+    assert first and last
+    assert not (first & last), "resumed batch re-read already-processed files"
