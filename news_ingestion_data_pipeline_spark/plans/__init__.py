@@ -15,6 +15,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm4,
     llm5,
     llm6,
+    llm7,
     pipeline,
     relational,
     relational_ext,

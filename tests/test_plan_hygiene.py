@@ -49,6 +49,8 @@ PYTHON_FREE = [
     "agg_rollup_cascade",
     "sim_quantized_topk",
     "join_dpp_runtime_pruned",
+    "text_unigram_logprob",
+    "text_bpe_merge_step",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -75,6 +77,8 @@ BNLJ_ALLOWED = frozenset(
         "join_bloom_prefiltered",
         # 1-row x 1-row crossJoin gluing n_triangles to n_edges
         "graph_triangle_count",
+        # 1-row log2(total) broadcast onto the per-doc aggregate
+        "text_unigram_logprob",
     }
 )
 

@@ -62,6 +62,14 @@ QUERIES = [
     "dedup_connected_clusters",
     "dedup_embedding_neardup",
     "dedup_containment_anchored",
+    "dedup_incremental_minhash",
+    # sim_semdedup is deliberately absent: its registered form fixes 8
+    # seeded centroids (right for the 500-vector fixture), so within-cell
+    # pairwise work grows ~quadratically here BY PARAMETERIZATION — the
+    # operator's scale contract is cells ∝ n (SemDeDup uses tens of
+    # thousands of clusters), which the fixture-scale query can't show.
+    "sim_gemm_topk",
+    "sim_quantized_topk",
 ]
 
 LANGS = ["en", "en", "en", "de", "es", "fr", "zh"]
