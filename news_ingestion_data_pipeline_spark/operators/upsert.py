@@ -139,6 +139,29 @@ def read_articles(spark: SparkSession, table_path: str) -> DataFrame | None:
     return spark.read.parquet(table_path)
 
 
+def delete_where(spark: SparkSession, table_path: str, condition) -> None:
+    """DELETE FROM table WHERE condition — on immutable storage this is a
+    REWRITE: materialize the surviving rows as a fresh snapshot and commit
+    it through the same atomic manifest rename as an upsert (GDPR-style
+    retention deletes work exactly like this on Delta/Iceberg, minus
+    their file-level pruning of untouched files). The predecessor
+    snapshot remains readable until the next commit's GC."""
+    target = read_articles(spark, table_path)
+    if target is None:
+        return
+    prev_snap = _current_snapshot(table_path)
+    survivors = target.filter(~condition)
+    snap = f"snap-{uuid.uuid4().hex}"
+    survivors.write.mode("overwrite").parquet(os.path.join(table_path, snap))
+    tmp_mf = os.path.join(table_path, f"._manifest_{uuid.uuid4().hex}")
+    with open(tmp_mf, "w", encoding="utf-8") as f:
+        f.write(snap + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp_mf, os.path.join(table_path, _MANIFEST))  # commit point
+    _gc_snapshots(table_path, keep={snap} | ({prev_snap} if prev_snap else set()))
+
+
 def read_previous_snapshot(spark: SparkSession, table_path: str) -> DataFrame | None:
     """Time-travel read of the immediately-previous committed snapshot.
 

@@ -25,5 +25,6 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     relational_ext6,
     sqlapi,
     storage,
+    storage2,
     windows,
 )

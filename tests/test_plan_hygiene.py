@@ -51,6 +51,8 @@ PYTHON_FREE = [
     "join_dpp_runtime_pruned",
     "text_unigram_logprob",
     "text_bpe_merge_step",
+    "scan_schema_evolution",
+    "storage_compact_small_files",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the

@@ -110,3 +110,36 @@ def test_dpp_join_has_runtime_pruning_subquery(spark):
     dynamicpruning subquery instead of reading every partition."""
     plan = _formatted_plan(spark, "join_dpp_runtime_pruned")
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark):
+    import glob
+    import hashlib
+
+    REGISTRY["storage_compact_small_files"].fn(spark, SF_SMOKE).collect()
+    sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
+    frag = glob.glob(f"/tmp/spark_graft_storage2/events_fragmented_{sfx}/*.parquet")
+    comp = glob.glob(f"/tmp/spark_graft_storage2/events_compacted_{sfx}/*.parquet")
+    assert len(frag) == 64 and len(comp) == 4, (len(frag), len(comp))
+    n_frag = spark.read.parquet(*frag).count()
+    n_comp = spark.read.parquet(*comp).count()
+    assert n_frag == n_comp
+
+
+def test_delete_where_previous_snapshot_retains_deleted_rows(spark):
+    import hashlib
+
+    from news_ingestion_data_pipeline_spark.operators import upsert as UP
+
+    REGISTRY["pipeline_delete_where"].fn(spark, SF_SMOKE).collect()
+    sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_storage2/delete_where_{sfx}"
+    cur = UP.read_articles(spark, path)
+    prev = UP.read_previous_snapshot(spark, path)
+    assert cur.filter("lang = 'de'").count() == 0
+    assert prev.filter("lang = 'de'").count() > 0
+    # survivors untouched by the delete are byte-identical across versions
+    assert (
+        prev.filter("lang != 'de'").exceptAll(cur).count() == 0
+        and cur.exceptAll(prev.filter("lang != 'de'")).count() == 0
+    )
