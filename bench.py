@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "sim_semdedup",
     "join_bloom_prefiltered",
     "events_ewma_smooth",
+    "dedup_incremental_minhash",
+    "graph_triangle_count",
+    "sim_quantized_topk",
+    "text_unigram_logprob",
+    "agg_rollup_cascade",
 ]
 
 

@@ -16,6 +16,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm5,
     llm6,
     llm7,
+    llm8,
     pipeline,
     relational,
     relational_ext,

@@ -53,6 +53,8 @@ PYTHON_FREE = [
     "text_bpe_merge_step",
     "scan_schema_evolution",
     "storage_compact_small_files",
+    "pipeline_cdc_apply",
+    "events_anomaly_mad",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
