@@ -17,6 +17,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm6,
     llm7,
     llm8,
+    llm9,
     pipeline,
     relational,
     relational_ext,

@@ -55,6 +55,9 @@ PYTHON_FREE = [
     "storage_compact_small_files",
     "pipeline_cdc_apply",
     "events_anomaly_mad",
+    "window_rolling_median",
+    "events_cusum_drift",
+    "agg_linreg_by_group",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
