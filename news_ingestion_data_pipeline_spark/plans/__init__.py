@@ -18,6 +18,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm7,
     llm8,
     llm9,
+    llm10,
     pipeline,
     relational,
     relational_ext,

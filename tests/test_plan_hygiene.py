@@ -58,6 +58,8 @@ PYTHON_FREE = [
     "window_rolling_median",
     "events_cusum_drift",
     "agg_linreg_by_group",
+    "window_bollinger_flags",
+    "events_entropy_by_user",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
