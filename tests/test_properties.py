@@ -359,3 +359,74 @@ def test_pack_sequences_matches_python_model(spark):
         cum += n
         assert got[doc_id] == (n, cum, (cum - 1) // 4096), doc_id
     assert len(got) == len(rows)
+
+
+# ---- CUSUM fold vs a pure-python loop ----
+
+def test_cusum_matches_python_recurrence(spark):
+    """The windowed fold must equal the textbook per-row recurrence
+    S_i = max(0, S_{i-1} + (x_i - mu) - k) re-run in plain Python over
+    each type's trailing-30 window."""
+    from news_ingestion_data_pipeline_spark.plans import REGISTRY
+    from news_ingestion_data_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.event_type, r.event_id): r.cusum_high
+        for r in REGISTRY["events_cusum_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.event_type, r.ts, r.event_id),
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r)
+    for etype, rows in by_type.items():
+        vals = [r.value for r in rows]
+        mu = float(
+            spark.createDataFrame([(v,) for v in vals], "value double")
+            .selectExpr(
+                "cast(sum(cast(value as decimal(20,10))) as double)"
+                " / count(*) as mu"
+            )
+            .collect()[0].mu
+        )
+        for i, r in enumerate(rows):
+            window = vals[max(0, i - 29) : i + 1]
+            s = 0.0
+            for x in window:
+                s = max(0.0, s + (x - mu) - 5.0)
+            assert round(s, 6) == got[(etype, r.event_id)], (etype, r.event_id)
+
+
+# ---- rolling median vs numpy over the same frames ----
+
+def test_rolling_median_matches_numpy(spark):
+    import numpy as np
+
+    from news_ingestion_data_pipeline_spark.plans import REGISTRY
+    from news_ingestion_data_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.user_id, r.event_id): r.rolling_median
+        for r in REGISTRY["window_rolling_median"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rows in by_user.items():
+        vals = [r.value for r in rows]
+        for i, r in enumerate(rows):
+            frame = vals[max(0, i - 14) : i + 1]
+            want = round(float(np.median(np.array(frame))), 6)
+            assert got[(uid, r.event_id)] == want, (uid, r.event_id)
