@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "sim_quantized_topk",
     "text_unigram_logprob",
     "agg_rollup_cascade",
+    "window_rolling_median",
+    "events_cusum_drift",
 ]
 
 
