@@ -19,6 +19,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm8,
     llm9,
     llm10,
+    llm11,
     pipeline,
     relational,
     relational_ext,

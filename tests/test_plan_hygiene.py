@@ -60,6 +60,8 @@ PYTHON_FREE = [
     "agg_linreg_by_group",
     "window_bollinger_flags",
     "events_entropy_by_user",
+    "events_ab_test_z",
+    "events_concentration_hhi",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
