@@ -20,6 +20,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm9,
     llm10,
     llm11,
+    llm12,
     pipeline,
     relational,
     relational_ext,

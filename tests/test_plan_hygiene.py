@@ -62,6 +62,8 @@ PYTHON_FREE = [
     "events_entropy_by_user",
     "events_ab_test_z",
     "events_concentration_hhi",
+    "text_novelty_ratio",
+    "lineitem_vwap_weekly",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
