@@ -21,6 +21,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm10,
     llm11,
     llm12,
+    llm13,
     pipeline,
     relational,
     relational_ext,

@@ -64,6 +64,9 @@ PYTHON_FREE = [
     "events_concentration_hhi",
     "text_novelty_ratio",
     "lineitem_vwap_weekly",
+    "graph_link_prediction",
+    "pipeline_dq_expectations",
+    "join_asof_nearest",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
