@@ -22,6 +22,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm11,
     llm12,
     llm13,
+    llm14,
     pipeline,
     relational,
     relational_ext,
