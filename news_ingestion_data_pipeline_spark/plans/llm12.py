@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from news_ingestion_data_pipeline_spark.plans import oracle_sqlgen as OSQL
 from news_ingestion_data_pipeline_spark.plans.llm import _SQL_SHINGLES
 from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
-from news_ingestion_data_pipeline_spark.plans.registry import dsum, register, t
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 
 @register(
