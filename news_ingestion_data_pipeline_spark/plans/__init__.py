@@ -23,6 +23,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm12,
     llm13,
     llm14,
+    llm15,
     pipeline,
     relational,
     relational_ext,

@@ -67,6 +67,8 @@ PYTHON_FREE = [
     "graph_link_prediction",
     "pipeline_dq_expectations",
     "join_asof_nearest",
+    "customer_gini_spend",
+    "text_source_divergence",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -95,6 +97,8 @@ BNLJ_ALLOWED = frozenset(
         "graph_triangle_count",
         # 1-row log2(total) broadcast onto the per-doc aggregate
         "text_unigram_logprob",
+        # 1-row corpus-total broadcast onto the (source, word) terms
+        "text_source_divergence",
     }
 )
 
