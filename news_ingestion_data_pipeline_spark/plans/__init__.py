@@ -24,6 +24,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm13,
     llm14,
     llm15,
+    llm16,
     pipeline,
     relational,
     relational_ext,

@@ -69,6 +69,7 @@ PYTHON_FREE = [
     "join_asof_nearest",
     "customer_gini_spend",
     "text_source_divergence",
+    "events_holt_forecast",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
