@@ -25,6 +25,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm14,
     llm15,
     llm16,
+    llm17,
     pipeline,
     relational,
     relational_ext,

@@ -70,6 +70,8 @@ PYTHON_FREE = [
     "customer_gini_spend",
     "text_source_divergence",
     "events_holt_forecast",
+    "agg_benford_first_digit",
+    "window_drawdown_max",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -100,6 +102,8 @@ BNLJ_ALLOWED = frozenset(
         "text_unigram_logprob",
         # 1-row corpus-total broadcast onto the (source, word) terms
         "text_source_divergence",
+        # 1-row total-count broadcast onto the 9-digit expected table
+        "agg_benford_first_digit",
     }
 )
 
