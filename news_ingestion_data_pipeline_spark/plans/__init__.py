@@ -26,6 +26,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm15,
     llm16,
     llm17,
+    llm18,
     pipeline,
     relational,
     relational_ext,

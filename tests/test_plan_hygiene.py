@@ -72,6 +72,7 @@ PYTHON_FREE = [
     "events_holt_forecast",
     "agg_benford_first_digit",
     "window_drawdown_max",
+    "events_seasonal_decompose",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
