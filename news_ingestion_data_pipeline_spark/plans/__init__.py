@@ -27,6 +27,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm16,
     llm17,
     llm18,
+    llm19,
     pipeline,
     relational,
     relational_ext,

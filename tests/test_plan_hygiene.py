@@ -73,6 +73,7 @@ PYTHON_FREE = [
     "agg_benford_first_digit",
     "window_drawdown_max",
     "events_seasonal_decompose",
+    "join_geo_radius",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
