@@ -28,6 +28,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm17,
     llm18,
     llm19,
+    llm20,
     pipeline,
     relational,
     relational_ext,

@@ -74,6 +74,7 @@ PYTHON_FREE = [
     "window_drawdown_max",
     "events_seasonal_decompose",
     "join_geo_radius",
+    "orders_basket_association",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -106,6 +107,8 @@ BNLJ_ALLOWED = frozenset(
         "text_source_divergence",
         # 1-row total-count broadcast onto the 9-digit expected table
         "agg_benford_first_digit",
+        # 1-row basket-count broadcast onto the pair table
+        "orders_basket_association",
     }
 )
 
