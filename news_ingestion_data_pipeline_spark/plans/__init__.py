@@ -29,6 +29,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm18,
     llm19,
     llm20,
+    llm21,
     pipeline,
     relational,
     relational_ext,

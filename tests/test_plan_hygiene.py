@@ -75,6 +75,8 @@ PYTHON_FREE = [
     "events_seasonal_decompose",
     "join_geo_radius",
     "orders_basket_association",
+    "part_skyline_2d",
+    "pipeline_snapshot_diff",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
