@@ -30,6 +30,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm19,
     llm20,
     llm21,
+    llm22,
     pipeline,
     relational,
     relational_ext,

@@ -77,6 +77,7 @@ PYTHON_FREE = [
     "orders_basket_association",
     "part_skyline_2d",
     "pipeline_snapshot_diff",
+    "events_twap_by_user",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
