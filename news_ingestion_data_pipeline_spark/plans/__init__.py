@@ -31,6 +31,9 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm20,
     llm21,
     llm22,
+    llm23,
+    llm24,
+    llm25,
     pipeline,
     relational,
     relational_ext,
