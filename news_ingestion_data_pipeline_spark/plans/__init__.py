@@ -34,6 +34,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm23,
     llm24,
     llm25,
+    llm26,
     pipeline,
     relational,
     relational_ext,

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 # co-presence edge construction shared with graph_triangle_count
-_EDGES_SQL = """presence AS (
+EDGES_SQL = """presence AS (
   SELECT DISTINCT event_type, epoch_us(ts) // 600000000 AS bkt, user_id
   FROM events
 ), sized AS (
@@ -32,7 +32,7 @@ _EDGES_SQL = """presence AS (
 @register(
     "graph_link_prediction",
     oracle=f"""
-WITH {_EDGES_SQL},
+WITH {EDGES_SQL},
 und AS (
   SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
 ), deg AS (

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from news_ingestion_data_pipeline_spark.plans.llm13 import _EDGES_SQL
+from news_ingestion_data_pipeline_spark.plans.llm13 import EDGES_SQL
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _MAX_HOPS = 4
@@ -18,7 +18,7 @@ _MAX_HOPS = 4
 @register(
     "graph_bfs_distances",
     oracle=f"""
-WITH RECURSIVE {_EDGES_SQL},
+WITH RECURSIVE {EDGES_SQL},
 und AS (
   SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
 ), seeds AS (
