@@ -99,6 +99,12 @@ BENCH_QUERIES = [
     "agg_rollup_cascade",
     "window_rolling_median",
     "events_cusum_drift",
+    "agg_countmin_heavy_hitters",
+    "join_record_linkage",
+    "storage_zorder_layout",
+    "curation_span_dedup",
+    "graph_clustering_coeff",
+    "events_autocorrelation",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Invariant tests for the sketch / layout / linkage / corpus waves
+(llm23-llm26): properties that must hold by construction, checked on the
+real fixtures (value-level equivalence vs DuckDB lives in mini_verify)."""
+
+from __future__ import annotations
+
+import math
+
+from news_ingestion_data_pipeline_spark.plans import REGISTRY
+from tests.conftest import SF_SMOKE
+
+SF_01 = "/root/testdata/sf0.01"
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    return REGISTRY[name].fn(spark, sf).collect()
+
+
+def test_kmv_estimate_within_sketch_error_bound(spark):
+    [row] = _run(spark, "agg_kmv_distinct")
+    assert row.exact_distinct > 0
+    # KMV standard error is ~1/sqrt(k-2) with k=64 -> 12.7%; allow 4 sigma.
+    assert row.rel_error <= 4 / math.sqrt(62)
+    assert row.kmv_estimate > 0
+
+
+def test_countmin_never_undercounts(spark):
+    rows = _run(spark, "agg_countmin_heavy_hitters")
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt, r
+        assert r.overcount == r.cms_estimate - r.exact_cnt
+
+
+def test_zorder_files_tighter_than_rowseq(spark):
+    rows = {r.layout: r for r in _run(spark, "storage_zorder_layout")}
+    assert set(rows) == {"zorder", "rowseq"}
+    # The whole point of the layout: z-order bounding boxes cover a far
+    # smaller fraction of the key plane than arrival-order files.
+    assert rows["zorder"].avg_area_frac < rows["rowseq"].avg_area_frac / 2
+    assert rows["zorder"].n_files == rows["rowseq"].n_files
+
+
+def test_record_linkage_blocked_pairs_are_ordered_and_close(spark):
+    rows = _run(spark, "join_record_linkage")
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert 0 < r.edit_dist <= 3
+        assert r.name_a[0] == r.name_b[0]  # blocking key respected
+        assert abs(len(r.name_a) - len(r.name_b)) <= r.edit_dist
+
+
+def test_span_dedup_conserves_spans_and_drops_repeats(spark):
+    rows = _run(spark, "curation_span_dedup")
+    docs = REGISTRY["curation_span_dedup"].fn  # noqa: F841  (self-doc)
+    total_docs = len(rows)
+    assert total_docs == 500  # one row per document at sf0.001
+    assert all(r.kept_spans >= 1 or r.dropped_spans >= 1 for r in rows)
+    assert any(r.dropped_spans > 0 for r in rows)  # corpus has repeats
+    for r in rows:
+        assert (r.new_text_md5 == "") == (r.kept_spans == 0)
+
+
+def test_clustering_coeff_bounds(spark):
+    rows = _run(spark, "graph_clustering_coeff", SF_01)
+    assert rows, "co-presence graph at sf0.01 should have deg>=2 nodes"
+    for r in rows:
+        assert 0.0 <= r.clustering_coeff <= 1.0
+        assert r.triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_cluster_purity_partition_covers_all_vectors(spark):
+    rows = _run(spark, "sim_cluster_purity")
+    assert sum(r.n_assigned for r in rows) == 500  # every vector assigned
+    for r in rows:
+        assert 0.0 < r.cluster_purity <= 1.0
+        assert r.n_majority <= r.n_assigned
+
+
+def test_autocorrelation_is_a_valid_correlation(spark):
+    rows = _run(spark, "events_autocorrelation")
+    assert [r.lag for r in rows] == [1, 2, 3, 6, 12, 24]
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n_pairs > 0
+
+
+def test_cume_percent_monotone_within_flag(spark):
+    rows = _run(spark, "window_cume_percent")
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r)
+    for flag_rows in by_flag.values():
+        qs = [r.quantity for r in flag_rows]
+        assert qs == sorted(qs)
+        cds = [r.cume_dist for r in flag_rows]
+        assert cds == sorted(cds)
+        assert abs(cds[-1] - 1.0) < 1e-9
+        assert flag_rows[0].pct_rank == 0.0
