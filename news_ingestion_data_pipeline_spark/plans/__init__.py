@@ -35,6 +35,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm24,
     llm25,
     llm26,
+    llm27,
     pipeline,
     relational,
     relational_ext,
