@@ -115,10 +115,13 @@ _CMS_TOPN = 10
 
 
 def _cms_bucket(seed: int, col):
-    # row-r bucket of key = md5("r:" || key) folded into [0, w)
+    # One md5 per key serves all d rows: row r reads its own disjoint
+    # 8-hex-char (32-bit) slice of the digest — pairwise-independent
+    # enough for CMS and 3x cheaper than d digests per element.
     return (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 15),
+            F.substring(F.md5(F.concat(F.lit("cms:"), col.cast("string"))),
+                        1 + 8 * seed, 8),
             16,
             10,
         )
@@ -129,8 +132,8 @@ def _cms_bucket(seed: int, col):
 
 def _sql_cms_bucket(seed: int, expr: str) -> str:
     return (
-        f"CAST('0x' || substr(md5('{seed}:' || CAST({expr} AS VARCHAR)), 1, 15)"
-        f" AS BIGINT) % {_CMS_W}"
+        f"CAST('0x' || substr(md5('cms:' || CAST({expr} AS VARCHAR)), "
+        f"{1 + 8 * seed}, 8) AS BIGINT) % {_CMS_W}"
     )
 
 
@@ -184,14 +187,24 @@ ORDER BY p.exact_cnt DESC, p.l_suppkey
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_suppkey")
     seeds = F.array([F.lit(s) for s in range(_CMS_D)])
+    # md5 ONCE per element (before the seed explode); each sketch row
+    # reads its own 32-bit slice of the shared digest.
+    dig = F.md5(F.concat(F.lit("cms:"), F.col("l_suppkey").cast("string")))
     cells = (
-        li.select("l_suppkey", F.explode(seeds).alias("seed"))
+        li.select(dig.alias("dig"))
+        .select(F.col("dig"), F.explode(seeds).alias("seed"))
         .groupBy(
             "seed",
-            F.when(F.col("seed") == 0, _cms_bucket(0, F.col("l_suppkey")))
-            .when(F.col("seed") == 1, _cms_bucket(1, F.col("l_suppkey")))
-            .otherwise(_cms_bucket(2, F.col("l_suppkey")))
-            .alias("bucket"),
+            (
+                F.conv(
+                    F.col("dig").substr(
+                        F.lit(1) + F.col("seed") * 8, F.lit(8)
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_W
+            ).alias("bucket"),
         )
         .agg(F.count(F.lit(1)).alias("cell_cnt"))
     )
