@@ -36,6 +36,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm25,
     llm26,
     llm27,
+    llm28,
     pipeline,
     relational,
     relational_ext,
