@@ -37,6 +37,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm26,
     llm27,
     llm28,
+    llm29,
     pipeline,
     relational,
     relational_ext,
