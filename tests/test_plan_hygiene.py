@@ -78,6 +78,24 @@ PYTHON_FREE = [
     "part_skyline_2d",
     "pipeline_snapshot_diff",
     "events_twap_by_user",
+    "agg_kmv_distinct",
+    "agg_countmin_heavy_hitters",
+    "join_record_linkage",
+    "storage_zorder_layout",
+    "curation_span_dedup",
+    "events_autocorrelation",
+    "graph_clustering_coeff",
+    "sim_cluster_purity",
+    "window_cume_percent",
+    "curation_train_val_test_split",
+    "sim_hard_negatives",
+    "text_oov_rate",
+    "curation_quantile_normalize",
+    "agg_spearman_corr",
+    "agg_kendall_tau",
+    "text_kneser_ney_bigram",
+    "orders_cohort_ltv",
+    "window_rolling_slope",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -112,6 +130,21 @@ BNLJ_ALLOWED = frozenset(
         "agg_benford_first_digit",
         # 1-row basket-count broadcast onto the pair table
         "orders_basket_association",
+        # 1-row exact-count x 1-row kth-order-statistic glue
+        "agg_kmv_distinct",
+        # 1-row n_groups glue + deliberate 25x25 brand pair enumeration
+        "agg_kendall_tau",
+        # 1-row corpus-size broadcast onto the rank interpolation
+        "curation_quantile_normalize",
+        # 8-centroid broadcast, same family as sim_kmeans_assign
+        "sim_cluster_purity",
+        # anchor-set broadcast with label-mismatch theta predicate:
+        # the documented exact baseline (LSH/IVF is the scale path)
+        "sim_hard_negatives",
+        # 1-row min/max/count stats broadcast for the quantizer
+        "storage_zorder_layout",
+        # 1-row |bigram types| broadcast onto the probability join
+        "text_kneser_ney_bigram",
     }
 )
 
