@@ -38,6 +38,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm27,
     llm28,
     llm29,
+    llm30,
     pipeline,
     relational,
     relational_ext,
