@@ -39,6 +39,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm28,
     llm29,
     llm30,
+    llm31,
     pipeline,
     relational,
     relational_ext,

@@ -85,6 +85,15 @@ def test_autocorrelation_is_a_valid_correlation(spark):
         assert r.n_pairs > 0
 
 
+def test_kcore_every_survivor_meets_threshold(spark):
+    rows = _run(spark, "graph_kcore_peel", SF_01)
+    assert rows, "sf0.01 co-presence graph has a nonempty 2-core"
+    for r in rows:
+        # defining property of the k-core fixpoint: every surviving
+        # node keeps degree >= k within the surviving subgraph
+        assert r.core_degree >= 2
+
+
 def test_cume_percent_monotone_within_flag(spark):
     rows = _run(spark, "window_cume_percent")
     by_flag: dict[str, list] = {}
