@@ -40,6 +40,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm29,
     llm30,
     llm31,
+    llm32,
     pipeline,
     relational,
     relational_ext,
