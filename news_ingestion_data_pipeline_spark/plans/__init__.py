@@ -41,6 +41,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm30,
     llm31,
     llm32,
+    llm33,
     pipeline,
     relational,
     relational_ext,
