@@ -42,6 +42,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm31,
     llm32,
     llm33,
+    llm34,
     pipeline,
     relational,
     relational_ext,
