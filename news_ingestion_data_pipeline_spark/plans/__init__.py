@@ -43,6 +43,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm32,
     llm33,
     llm34,
+    llm35,
     pipeline,
     relational,
     relational_ext,

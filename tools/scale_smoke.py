@@ -52,6 +52,20 @@ QUERIES = [
     "events_retention_cohorts",
     "events_gaps_islands",
     "agg_percentile_ranks",
+    "agg_countmin_heavy_hitters",
+    "agg_kmv_distinct",
+    "storage_zorder_layout",
+    "events_autocorrelation",
+    "window_rolling_slope",
+    "events_attribution_ushape",
+    "events_funnel_windowed",
+    "customer_survival_km",
+    "orders_cohort_ltv",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "lineitem_price_index",
+    "agg_spearman_corr",
+    "agg_equidepth_histogram",
 ]
 
 
