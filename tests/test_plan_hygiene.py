@@ -96,6 +96,17 @@ PYTHON_FREE = [
     "text_kneser_ney_bigram",
     "orders_cohort_ltv",
     "window_rolling_slope",
+    "events_attribution_ushape",
+    "text_term_burstiness",
+    "graph_kcore_peel",
+    "events_funnel_windowed",
+    "customer_survival_km",
+    "graph_label_propagation",
+    "sql_pivot_clause",
+    "lineitem_price_index",
+    "agg_equidepth_histogram",
+    "events_srm_check",
+    "sim_dbscan",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -145,6 +156,13 @@ BNLJ_ALLOWED = frozenset(
         "storage_zorder_layout",
         # 1-row |bigram types| broadcast onto the probability join
         "text_kneser_ney_bigram",
+        # exact all-pairs neighborhood baseline (vocabulary-sized
+        # embedding table; LSH bucketing is the documented scale path)
+        "sim_dbscan",
+        # three 1-row funnel-count frames glued by crossJoin
+        "events_funnel_windowed",
+        # 1-row censoring-horizon (MAX date) broadcast onto open tails
+        "customer_survival_km",
     }
 )
 
