@@ -105,6 +105,16 @@ BENCH_QUERIES = [
     "curation_span_dedup",
     "graph_clustering_coeff",
     "events_autocorrelation",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "sim_dbscan",
+    "customer_survival_km",
+    "lineitem_price_index",
+    "agg_spearman_corr",
+    "text_kneser_ney_bigram",
+    "agg_equidepth_histogram",
+    "text_oov_rate",
+    "curation_quantile_normalize",
 ]
 
 

@@ -70,6 +70,10 @@ QUERIES = [
     # thousands of clusters), which the fixture-scale query can't show.
     "sim_gemm_topk",
     "sim_quantized_topk",
+    "curation_span_dedup",
+    "text_oov_rate",
+    "text_term_burstiness",
+    "text_kneser_ney_bigram",
 ]
 
 LANGS = ["en", "en", "en", "de", "es", "fr", "zh"]
