@@ -44,6 +44,7 @@ from news_ingestion_data_pipeline_spark.plans import (  # noqa: F401
     llm33,
     llm34,
     llm35,
+    llm36,
     pipeline,
     relational,
     relational_ext,
