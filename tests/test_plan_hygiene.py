@@ -106,7 +106,9 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
-    "sim_dbscan",
+    # sim_dbscan is deliberately NOT python-free: its epsilon-
+    # neighborhood stage is the Arrow/numpy GEMM path (gemm_eps_pairs),
+    # same adjudication as sim_gemm_topk
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -156,9 +158,6 @@ BNLJ_ALLOWED = frozenset(
         "storage_zorder_layout",
         # 1-row |bigram types| broadcast onto the probability join
         "text_kneser_ney_bigram",
-        # exact all-pairs neighborhood baseline (vocabulary-sized
-        # embedding table; LSH bucketing is the documented scale path)
-        "sim_dbscan",
         # three 1-row funnel-count frames glued by crossJoin
         "events_funnel_windowed",
         # 1-row censoring-horizon (MAX date) broadcast onto open tails
