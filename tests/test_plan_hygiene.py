@@ -109,6 +109,12 @@ PYTHON_FREE = [
     # sim_dbscan is deliberately NOT python-free: its epsilon-
     # neighborhood stage is the Arrow/numpy GEMM path (gemm_eps_pairs),
     # same adjudication as sim_gemm_topk
+    "curation_langid_confusion",
+    "events_did",
+    "orders_backlog_aging",
+    "orders_growth_accounting",
+    "events_rate_wilson",
+    "curation_cluster_balanced_sample",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -162,6 +168,12 @@ BNLJ_ALLOWED = frozenset(
         "events_funnel_windowed",
         # 1-row censoring-horizon (MAX date) broadcast onto open tails
         "customer_survival_km",
+        # 1-row time-midpoint + 1-row DiD-estimate glue crossJoins
+        "events_did",
+        # 1-row aging-horizon (MAX date) broadcast
+        "orders_backlog_aging",
+        # 8-centroid broadcast (sim_kmeans_assign family)
+        "curation_cluster_balanced_sample",
     }
 )
 
