@@ -115,6 +115,14 @@ PYTHON_FREE = [
     "orders_growth_accounting",
     "events_rate_wilson",
     "curation_cluster_balanced_sample",
+    "join_point_in_polygon",
+    "scalar_struct_suite",
+    "agg_powerlaw_alpha",
+    "text_heaps_law",
+    "pipeline_watermark_per_source",
+    "agg_grouping_id",
+    "window_ohlc_resample",
+    "sql_window_clause",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -174,6 +182,8 @@ BNLJ_ALLOWED = frozenset(
         "orders_backlog_aging",
         # 8-centroid broadcast (sim_kmeans_assign family)
         "curation_cluster_balanced_sample",
+        # 1-row corpus-midpoint broadcast + 1-row x 1-row prefix glue
+        "text_heaps_law",
     }
 )
 

@@ -106,3 +106,62 @@ def test_cume_percent_monotone_within_flag(spark):
         assert cds == sorted(cds)
         assert abs(cds[-1] - 1.0) < 1e-9
         assert flag_rows[0].pct_rank == 0.0
+
+
+def test_dbscan_roles_partition_the_corpus(spark):
+    rows = _run(spark, "sim_dbscan")
+    assert len(rows) == 500 and len({r.vec_id for r in rows}) == 500
+    for r in rows:
+        if r.role == "noise":
+            assert r.cluster is None
+        else:
+            assert r.cluster is not None
+    # a border point's cluster label must belong to some core point
+    core_clusters = {r.cluster for r in rows if r.role == "core"}
+    for r in rows:
+        if r.role == "border":
+            assert r.cluster in core_clusters
+
+
+def test_growth_accounting_identity(spark):
+    rows = _run(spark, "orders_growth_accounting")
+    assert rows
+    for r in rows:
+        # exact identity — revenue is integer cents end to end
+        assert abs(
+            (r.new_rev + r.resurrected_rev + r.expansion_rev
+             + r.contraction_rev + r.churned_rev) - r.net_change
+        ) < 1e-9
+        assert r.new_rev >= 0 and r.resurrected_rev >= 0
+        assert r.expansion_rev >= 0
+        assert r.contraction_rev <= 0 and r.churned_rev <= 0
+
+
+def test_wilson_bounds_bracket_the_rate(spark):
+    rows = _run(spark, "events_rate_wilson")
+    lowers = [r.wilson_lower for r in rows]
+    assert lowers == sorted(lowers, reverse=True)  # ranked by lower bound
+    for r in rows:
+        assert 0.0 <= r.wilson_lower <= r.rate <= r.wilson_upper <= 1.0
+
+
+def test_heaps_beta_in_sane_range(spark):
+    [r] = _run(spark, "text_heaps_law")
+    assert r.vocab_half <= r.vocab_full
+    assert r.tokens_half < r.tokens_full
+    assert 0.0 <= r.heaps_beta <= 1.0
+
+
+def test_ohlc_open_close_within_low_high(spark):
+    rows = _run(spark, "window_ohlc_resample")
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_samples >= 1
+
+
+def test_point_in_polygon_is_a_strict_subset(spark):
+    [r] = _run(spark, "join_point_in_polygon")
+    assert 0 < r.n_inside < r.n_points
+    assert r.inside_id_sum > 0
