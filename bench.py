@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "agg_equidepth_histogram",
     "text_oov_rate",
     "curation_quantile_normalize",
+    "window_ohlc_resample",
+    "orders_growth_accounting",
 ]
 
 

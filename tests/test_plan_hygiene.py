@@ -123,6 +123,9 @@ PYTHON_FREE = [
     "agg_grouping_id",
     "window_ohlc_resample",
     "sql_window_clause",
+    "events_forecast_backtest",
+    "sql_ctas_insert",
+    "curation_epoch_shuffle",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -184,6 +187,8 @@ BNLJ_ALLOWED = frozenset(
         "curation_cluster_balanced_sample",
         # 1-row corpus-midpoint broadcast + 1-row x 1-row prefix glue
         "text_heaps_law",
+        # 3-row epoch-list broadcast onto the corpus
+        "curation_epoch_shuffle",
     }
 )
 
