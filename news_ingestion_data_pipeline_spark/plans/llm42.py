@@ -129,10 +129,18 @@ ORDER BY n_regionkey
     tags=("sql", "storage", "pipeline"),
 )
 def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tbl = f"region_counts_{sfx}"
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation_ctas")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # a fresh session's in-memory catalog doesn't know about a previous
+    # run's managed-table directory; clear the location too so CREATE
+    # never hits LOCATION_ALREADY_EXISTS
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
     spark.sql(
         f"""
         CREATE TABLE {tbl} USING parquet AS
