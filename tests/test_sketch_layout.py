@@ -165,3 +165,83 @@ def test_point_in_polygon_is_a_strict_subset(spark):
     [r] = _run(spark, "join_point_in_polygon")
     assert 0 < r.n_inside < r.n_points
     assert r.inside_id_sum > 0
+
+
+def test_attribution_credit_conserves_per_user_budget(spark):
+    rows = _run(spark, "events_attribution_ushape")
+    total_credit = sum(r.credit for r in rows)
+    # every converting user with >=1 pre-purchase touch hands out
+    # exactly 1.0 +- (n_touches * 1ppm integer rounding)
+    from news_ingestion_data_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    n_users = (
+        ev.join(conv, "user_id")
+        .where(
+            F.col("event_type").isin("view", "click", "signup")
+            & (F.col("ts") < F.col("c"))
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    n_touches = sum(r.n_touches for r in rows)
+    assert abs(total_credit - n_users) <= n_touches * 1e-6 + 1e-9
+
+
+def test_price_index_is_100_at_base_month(spark):
+    rows = _run(spark, "lineitem_price_index")
+    assert rows
+    base = min(rows, key=lambda r: r.month)
+    assert abs(base.laspeyres_index - 100.0) < 1e-9
+
+
+def test_km_survival_is_nonincreasing(spark):
+    rows = _run(spark, "customer_survival_km")
+    surv = [r.survival for r in sorted(rows, key=lambda r: r.t_days)]
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+def test_quantile_normalize_maps_into_global_range(spark):
+    rows = _run(spark, "curation_quantile_normalize")
+    los = min(r.n_chars for r in rows)
+    his = max(r.n_chars for r in rows)
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert los <= r.norm_chars <= his
+        by_source.setdefault(r.source, []).append(r)
+    # monotone within source: bigger raw length never maps lower
+    for rs in by_source.values():
+        rs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        ns = [r.norm_chars for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(ns, ns[1:]))
+
+
+def test_epoch_shuffle_orders_decorrelate(spark):
+    rows = _run(spark, "curation_epoch_shuffle")
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.pos, r.doc_id))
+    assert set(by_epoch) == {1, 2, 3}
+    heads = {}
+    for ep, lst in by_epoch.items():
+        lst.sort()
+        ids = [d for _, d in lst]
+        assert len(set(ids)) == len(ids) == 10
+        heads[ep] = tuple(ids)
+    assert heads[1] != heads[2] and heads[2] != heads[3]
+
+
+def test_forecast_backtest_smape_bounds(spark):
+    rows = _run(spark, "events_forecast_backtest")
+    for r in rows:
+        assert 0.0 <= r.smape_naive <= 2.0
+        assert 0.0 <= r.smape_seasonal <= 2.0
+        assert r.n_seasonal <= r.n_naive  # 24-lag has fewer valid pairs
