@@ -126,6 +126,11 @@ PYTHON_FREE = [
     "events_forecast_backtest",
     "sql_ctas_insert",
     "curation_epoch_shuffle",
+    "storage_table_checksum",
+    "agg_median_of_means",
+    "events_ratio_delta_method",
+    "pipeline_completeness_report",
+    "orders_basket_triples",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -189,6 +194,10 @@ BNLJ_ALLOWED = frozenset(
         "text_heaps_law",
         # 3-row epoch-list broadcast onto the corpus
         "curation_epoch_shuffle",
+        # 1-row plain-mean + 9-bucket glue crossJoins
+        "agg_median_of_means",
+        # candidate-triple and 1-row order-count broadcasts
+        "orders_basket_triples",
     }
 )
 
