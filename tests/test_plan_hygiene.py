@@ -131,6 +131,7 @@ PYTHON_FREE = [
     "events_ratio_delta_method",
     "pipeline_completeness_report",
     "orders_basket_triples",
+    "curation_canary_scan",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -198,6 +199,9 @@ BNLJ_ALLOWED = frozenset(
         "agg_median_of_means",
         # candidate-triple and 1-row order-count broadcasts
         "orders_basket_triples",
+        # tiny canary list broadcast with a contains() theta predicate:
+        # the deliberate Aho-Corasick-shaped scan (map-side, no shuffle)
+        "curation_canary_scan",
     }
 )
 
