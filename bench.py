@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "curation_quantile_normalize",
     "window_ohlc_resample",
     "orders_growth_accounting",
+    "sim_kmeans_update",
+    "events_bootstrap_ci",
+    "dedup_common_spans",
+    "graph_modularity",
 ]
 
 

@@ -106,6 +106,16 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "feature_target_encode_loo",
+    "sim_kmeans_update",
+    "sim_knn_classify",
+    "events_bootstrap_ci",
+    "storage_partition_stats",
+    "graph_modularity",
+    "dedup_common_spans",
+    "agg_kmv_union_merge",
+    "events_changepoint_binseg",
+    "window_gap_fill_interp",
     # sim_dbscan is deliberately NOT python-free: its epsilon-
     # neighborhood stage is the Arrow/numpy GEMM path (gemm_eps_pairs),
     # same adjudication as sim_gemm_topk
@@ -140,6 +150,19 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row global-prior broadcast onto the category-encoded scan
+        "feature_target_encode_loo",
+        # 8-centroid broadcast argmin, same family as sim_kmeans_assign
+        "sim_kmeans_update",
+        # broadcast query set over the corpus: documented brute-force
+        # baseline (sim_lsh_topk/sim_ivf_topk are the scale path)
+        "sim_knn_classify",
+        # 1-row point-estimate x 1-row CI-bounds glue crossJoin
+        "events_bootstrap_ci",
+        # 1-row edge-count (m) broadcast onto the 5-community table
+        "graph_modularity",
+        # 1-row exact-count x 1-row merged-sketch glue, as agg_kmv_distinct
+        "agg_kmv_union_merge",
         "curation_mix_weights",
         "events_similar_users",
         "q11_important_parts",
