@@ -106,6 +106,10 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "agg_theil_decomposition",
+    "curation_k_anonymity",
+    "profile_join_key_skew",
+    "sim_lsh_recall_eval",
     "feature_target_encode_loo",
     "sim_kmeans_update",
     "sim_knn_classify",
@@ -150,6 +154,12 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # two tiny top-k frames joined; exact side is the documented baseline
+        "sim_lsh_recall_eval",
+        # 1-row total-pairs broadcast onto the top-10 heavy hitters
+        "profile_join_key_skew",
+        # 1-row global-sums broadcast onto the 5-group Theil table
+        "agg_theil_decomposition",
         # 1-row global-prior broadcast onto the category-encoded scan
         "feature_target_encode_loo",
         # 8-centroid broadcast argmin, same family as sim_kmeans_assign
