@@ -106,6 +106,9 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "curation_neardup_by_source",
+    "agg_ks_two_sample",
+    "events_psi_drift",
     "agg_theil_decomposition",
     "curation_k_anonymity",
     "profile_join_key_skew",
@@ -154,6 +157,12 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row min/max/count stats frame broadcast for the binning
+        "events_psi_drift",
+        # 1-row sample-sizes broadcast onto the ECDF gap table
+        "agg_ks_two_sample",
+        # 1-row total-pairs broadcast onto the source-pair matrix
+        "curation_neardup_by_source",
         # two tiny top-k frames joined; exact side is the documented baseline
         "sim_lsh_recall_eval",
         # 1-row total-pairs broadcast onto the top-10 heavy hitters
