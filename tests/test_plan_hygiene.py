@@ -106,6 +106,9 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "text_collocation_llr",
+    "curation_length_batching",
+    "events_cuped_adjustment",
     "curation_neardup_by_source",
     "agg_ks_two_sample",
     "events_psi_drift",
@@ -157,6 +160,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row moment-matrix frame (single aggregate output)
+        "events_cuped_adjustment",
+        # 1-row bigram-total broadcast onto the contingency cells
+        "text_collocation_llr",
         # 1-row min/max/count stats frame broadcast for the binning
         "events_psi_drift",
         # 1-row sample-sizes broadcast onto the ECDF gap table
