@@ -66,6 +66,18 @@ QUERIES = [
     "lineitem_price_index",
     "agg_spearman_corr",
     "agg_equidepth_histogram",
+    "feature_target_encode_loo",
+    "events_bootstrap_ci",
+    "events_psi_drift",
+    "agg_ks_two_sample",
+    "events_changepoint_binseg",
+    "window_gap_fill_interp",
+    "graph_modularity",
+    "agg_kmv_union_merge",
+    "agg_theil_decomposition",
+    "storage_partition_stats",
+    "profile_join_key_skew",
+    "events_cuped_adjustment",
 ]
 
 
