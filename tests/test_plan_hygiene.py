@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "curation_boilerplate_grams",
+    "sim_prefix_dim_recall",
     "text_collocation_llr",
     "curation_length_batching",
     "events_cuped_adjustment",
@@ -160,6 +162,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # two tiny top-k frames joined (full vs prefix-dim baseline pair)
+        "sim_prefix_dim_recall",
+        # 1-row corpus-size broadcast onto the gram df table
+        "curation_boilerplate_grams",
         # 1-row moment-matrix frame (single aggregate output)
         "events_cuped_adjustment",
         # 1-row bigram-total broadcast onto the contingency cells
