@@ -106,6 +106,9 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "events_power_analysis",
+    "agg_mann_whitney_u",
+    "feature_point_in_time_join",
     "curation_boilerplate_grams",
     "sim_prefix_dim_recall",
     "text_collocation_llr",
@@ -162,6 +165,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row sample-sizes broadcast onto the rank-sum frame
+        "agg_mann_whitney_u",
+        # 1-row moment frame exploded into the 4-literal MDE grid
+        "events_power_analysis",
         # two tiny top-k frames joined (full vs prefix-dim baseline pair)
         "sim_prefix_dim_recall",
         # 1-row corpus-size broadcast onto the gram df table
