@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "lineitem_xyz_variability",
+    "sim_pq_adc_topk",
     "events_power_analysis",
     "agg_mann_whitney_u",
     "feature_point_in_time_join",
