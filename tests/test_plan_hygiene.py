@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "agg_conformal_interval",
+    "graph_hits_hubs_authorities",
     "lineitem_xyz_variability",
     "sim_pq_adc_topk",
     "events_power_analysis",
@@ -167,6 +169,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row final-normalization sums glued by crossJoin (pagerank kin)
+        "graph_hits_hubs_authorities",
+        # 1-row qhat / n_train frames glued onto the coverage aggregate
+        "agg_conformal_interval",
         # 1-row sample-sizes broadcast onto the rank-sum frame
         "agg_mann_whitney_u",
         # 1-row moment frame exploded into the 4-literal MDE grid
