@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "events_markov_absorption",
     "agg_conformal_interval",
     "graph_hits_hubs_authorities",
     "lineitem_xyz_variability",
