@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "events_time_to_convert",
+    "curation_mixture_temperature",
     "events_markov_absorption",
     "agg_conformal_interval",
     "graph_hits_hubs_authorities",
@@ -170,6 +172,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row normalizer broadcast onto the 20-source table
+        "curation_mixture_temperature",
+        # single 1-row order-statistic aggregate output
+        "events_time_to_convert",
         # 1-row final-normalization sums glued by crossJoin (pagerank kin)
         "graph_hits_hubs_authorities",
         # 1-row qhat / n_train frames glued onto the coverage aggregate
