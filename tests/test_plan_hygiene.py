@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "text_readability_fk",
+    "join_interval_overlap",
     "events_time_to_convert",
     "curation_mixture_temperature",
     "events_markov_absorption",
