@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "sim_coverage_radius",
+    "events_anova_weekday",
     "text_readability_fk",
     "join_interval_overlap",
     "events_time_to_convert",
@@ -174,6 +176,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row moment frame (single aggregate output)
+        "events_anova_weekday",
+        # 5-row selected-set broadcast scored against the corpus scan
+        "sim_coverage_radius",
         # 1-row normalizer broadcast onto the 20-source table
         "curation_mixture_temperature",
         # single 1-row order-statistic aggregate output
