@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "curation_dedup_decision",
+    "agg_chi_square_independence",
     "sim_coverage_radius",
     "events_anova_weekday",
     "text_readability_fk",
@@ -176,6 +178,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # margin/total 1-row frames glued onto the contingency cells
+        "agg_chi_square_independence",
         # 1-row moment frame (single aggregate output)
         "events_anova_weekday",
         # 5-row selected-set broadcast scored against the corpus scan
