@@ -121,6 +121,14 @@ BENCH_QUERIES = [
     "events_bootstrap_ci",
     "dedup_common_spans",
     "graph_modularity",
+    "text_collocation_llr",
+    "agg_mann_whitney_u",
+    "events_cuped_adjustment",
+    "feature_point_in_time_join",
+    "curation_length_batching",
+    "sim_pq_adc_topk",
+    "curation_dedup_decision",
+    "events_psi_drift",
 ]
 
 

@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "sim_silhouette_score",
+    "graph_assortativity",
     "curation_dedup_decision",
     "agg_chi_square_independence",
     "sim_coverage_radius",
@@ -178,6 +180,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # broadcast self-pair scoring over the assigned corpus (O(n*k) agg)
+        "sim_silhouette_score",
         # margin/total 1-row frames glued onto the contingency cells
         "agg_chi_square_independence",
         # 1-row moment frame (single aggregate output)
