@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "agg_hurst_rs",
+    "curation_dataset_card",
     "sim_silhouette_score",
     "graph_assortativity",
     "curation_dedup_decision",
@@ -180,6 +182,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row summary x 1-row percentile glue
+        "curation_dataset_card",
+        # 3-point log-log fit frame x per-window R/S means glue
+        "agg_hurst_rs",
         # broadcast self-pair scoring over the assigned corpus (O(n*k) agg)
         "sim_silhouette_score",
         # margin/total 1-row frames glued onto the contingency cells
