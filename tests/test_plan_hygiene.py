@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "join_geo_knn",
     "agg_hurst_rs",
     "curation_dataset_card",
     "sim_silhouette_score",
