@@ -110,31 +110,52 @@ def join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell_lon", F.floor(F.col("lon") / _GK_CELL_DEG))
         .localCheckpoint()
     )
+    # probe side replicated into its 3x3 neighborhood so the candidate
+    # stage is a pure EQUI-join on the cell key (join_geo_radius's shape —
+    # the banded theta predicate would otherwise plan as a nested loop)
+    probe = pts.select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cell_lat") + dlat).alias("jl"),
+                        (F.col("cell_lon") + dlon).alias("jo"),
+                    )
+                    for dlat in (-1, 0, 1)
+                    for dlon in (-1, 0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "b_user_id", "b_lat", "b_lon", F.col("c.jl").alias("jl"), F.col("c.jo").alias("jo")
+    )
     a = pts.alias("a")
-    b = pts.alias("b")
     rad = lambda c: F.radians(c)  # noqa: E731
     hav = (
         F.lit(2.0)
         * _GK_EARTH_KM
         * F.asin(
             F.sqrt(
-                F.pow(F.sin(rad(F.col("b.lat") - F.col("a.lat")) / 2), 2)
+                F.pow(F.sin(rad(F.col("b_lat") - F.col("a.lat")) / 2), 2)
                 + F.cos(rad(F.col("a.lat")))
-                * F.cos(rad(F.col("b.lat")))
-                * F.pow(F.sin(rad(F.col("b.lon") - F.col("a.lon")) / 2), 2)
+                * F.cos(rad(F.col("b_lat")))
+                * F.pow(F.sin(rad(F.col("b_lon") - F.col("a.lon")) / 2), 2)
             )
         )
     )
     pairs = (
         a.join(
-            b,
-            (F.col("a.user_id") != F.col("b.user_id"))
-            & (F.abs(F.col("a.cell_lat") - F.col("b.cell_lat")) <= 1)
-            & (F.abs(F.col("a.cell_lon") - F.col("b.cell_lon")) <= 1),
+            probe,
+            (F.col("a.cell_lat") == F.col("jl"))
+            & (F.col("a.cell_lon") == F.col("jo"))
+            & (F.col("a.user_id") != F.col("b_user_id")),
         )
         .select(
             F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
+            F.col("b_user_id").alias("user_b"),
             F.round(hav, 6).alias("dist_km"),
         )
         .filter(F.col("dist_km") <= _GK_RADIUS_KM)
