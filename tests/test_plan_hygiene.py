@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "text_vocab_coverage",
+    "events_cuped_two_arm",
     "join_geo_knn",
     "agg_hurst_rs",
     "curation_dataset_card",
@@ -183,6 +185,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 2-arm and 1-row theta frames glued by crossJoin
+        "events_cuped_two_arm",
         # 1-row summary x 1-row percentile glue
         "curation_dataset_card",
         # 3-point log-log fit frame x per-window R/S means glue
