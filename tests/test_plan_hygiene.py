@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "agg_fisher_exact_2x2",
+    "curation_epoch_apportionment",
     "text_vocab_coverage",
     "events_cuped_two_arm",
     "join_geo_knn",
@@ -185,6 +187,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row remainder frame broadcast onto the 20-source rank
+        "curation_epoch_apportionment",
+        # 4-cell / observed-table / tail 1-row frames glued by crossJoin
+        "agg_fisher_exact_2x2",
         # 2-arm and 1-row theta frames glued by crossJoin
         "events_cuped_two_arm",
         # 1-row summary x 1-row percentile glue
