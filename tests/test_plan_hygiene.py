@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "orders_repeat_purchase_curve",
+    "join_asof_tolerance",
     "agg_fisher_exact_2x2",
     "curation_epoch_apportionment",
     "text_vocab_coverage",
@@ -187,6 +189,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row customer-count broadcast onto the k-grid aggregate
+        "orders_repeat_purchase_curve",
         # 1-row remainder frame broadcast onto the 20-source rank
         "curation_epoch_apportionment",
         # 4-cell / observed-table / tail 1-row frames glued by crossJoin
