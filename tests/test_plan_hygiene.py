@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "orders_abc_xyz_grid",
+    "agg_mcnemar_paired",
     "orders_repeat_purchase_curve",
     "join_asof_tolerance",
     "agg_fisher_exact_2x2",
@@ -189,6 +191,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row revenue-total broadcast onto the 9-cell grid
+        "orders_abc_xyz_grid",
         # 1-row customer-count broadcast onto the k-grid aggregate
         "orders_repeat_purchase_curve",
         # 1-row remainder frame broadcast onto the 20-source rank
