@@ -36,9 +36,16 @@ def test_mcnemar_matches_python(spark):
 def test_abc_xyz_grid_consistent_with_parts(spark):
     rows = REGISTRY["orders_abc_xyz_grid"].fn(spark, SF_SMOKE).collect()
     abc = REGISTRY["lineitem_abc_classification"].fn(spark, SF_SMOKE).collect()
-    xyz_rows = REGISTRY["lineitem_xyz_variability"].fn(spark, SF_SMOKE).collect()
-    # cell part counts must partition the eligible (>=6 months) part set
-    assert sum(r.n_parts for r in rows) == sum(x.n_parts for x in xyz_rows)
+    # the ABC side is scoped to l_partkey % 17 = 0 (its registered output
+    # contract); the grid partitions the INTERSECTION of that set with the
+    # >=6-demand-months XYZ-eligible parts
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_shipdate").collect()
+    months = defaultdict(set)
+    for x in li:
+        months[x.l_partkey].add(x.l_shipdate.strftime("%Y-%m"))
+    abc_parts = {r.l_partkey for r in abc}
+    eligible = {p for p, m in months.items() if len(m) >= 6} & abc_parts
+    assert sum(r.n_parts for r in rows) == len(eligible)
     assert abs(sum(r.revenue_share for r in rows)) <= 1.0 + 1e-6
     classes = {(r.abc_class, r.xyz_class) for r in rows}
     assert len(classes) == len(rows)  # no duplicate cells
