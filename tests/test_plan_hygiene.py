@@ -106,6 +106,9 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "curation_filter_funnel",
+    "events_entropy_rate",
+    "graph_reciprocity",
     "orders_abc_xyz_grid",
     "agg_mcnemar_paired",
     "orders_repeat_purchase_curve",
@@ -191,6 +194,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row totals / k-states frames glued onto bounded cell domains
+        "events_entropy_rate",
+        # 1-row funnel-counter frame exploded into the 5 stage rows
+        "curation_filter_funnel",
         # 1-row revenue-total broadcast onto the 9-cell grid
         "orders_abc_xyz_grid",
         # 1-row customer-count broadcast onto the k-grid aggregate
