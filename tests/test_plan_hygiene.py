@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "agg_mutual_information",
+    "agg_spc_individuals_chart",
     "curation_filter_funnel",
     "events_entropy_rate",
     "graph_reciprocity",
@@ -194,6 +196,9 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row control-limit / margin frames glued onto bounded domains
+        "agg_spc_individuals_chart",
+        "agg_mutual_information",
         # 1-row totals / k-states frames glued onto bounded cell domains
         "events_entropy_rate",
         # 1-row funnel-counter frame exploded into the 5 stage rows
