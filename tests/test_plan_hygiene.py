@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "events_haar_energy",
+    "agg_permutation_test",
     "agg_mutual_information",
     "agg_spc_individuals_chart",
     "curation_filter_funnel",
@@ -196,6 +198,9 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row observed-diff / scaled-total frames glued by crossJoin
+        "agg_permutation_test",
+        "events_haar_energy",
         # 1-row control-limit / margin frames glued onto bounded domains
         "agg_spc_individuals_chart",
         "agg_mutual_information",
