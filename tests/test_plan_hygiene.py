@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "pipeline_referential_integrity",
+    "agg_hdr_latency_percentiles",
     "events_haar_energy",
     "agg_permutation_test",
     "agg_mutual_information",
@@ -198,6 +200,9 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 3-literal percentile grid / 1-row check frames glue
+        "agg_hdr_latency_percentiles",
+        "pipeline_referential_integrity",
         # 1-row observed-diff / scaled-total frames glued by crossJoin
         "agg_permutation_test",
         "events_haar_energy",
