@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "events_group_sequential",
     "pipeline_referential_integrity",
     "agg_hdr_latency_percentiles",
     "events_haar_energy",
