@@ -201,6 +201,9 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 4-row look frame theta-joined (wk <= look) over the user-week
+        # pre-aggregate: a literal 4-row build side at any scale
+        "events_group_sequential",
         # 3-literal percentile grid / 1-row check frames glue
         "agg_hdr_latency_percentiles",
         "pipeline_referential_integrity",
