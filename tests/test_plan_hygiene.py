@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "events_forecast_reconciliation",
     "events_group_sequential",
     "pipeline_referential_integrity",
     "agg_hdr_latency_percentiles",
@@ -201,6 +202,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row total-forecast / base-sum frames glued by crossJoin
+        "events_forecast_reconciliation",
         # 4-row look frame theta-joined (wk <= look) over the user-week
         # pre-aggregate: a literal 4-row build side at any scale
         "events_group_sequential",
