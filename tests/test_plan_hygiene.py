@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "sim_reciprocal_rank_fusion",
+    "text_bm25_scoring",
     "events_forecast_reconciliation",
     "events_group_sequential",
     "pipeline_referential_integrity",
@@ -202,6 +204,10 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row avgdl frame broadcast onto the posting lists / two tiny
+        # top-k lists fused
+        "text_bm25_scoring",
+        "sim_reciprocal_rank_fusion",
         # 1-row total-forecast / base-sum frames glued by crossJoin
         "events_forecast_reconciliation",
         # 4-row look frame theta-joined (wk <= look) over the user-week
