@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "curation_quality_token_tradeoff",
+    "agg_rolling_origin_cv",
     "sim_reciprocal_rank_fusion",
     "text_bm25_scoring",
     "events_forecast_reconciliation",
@@ -204,6 +206,9 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # broadcast daily-domain triangle / 1-row totals frames
+        "agg_rolling_origin_cv",
+        "curation_quality_token_tradeoff",
         # 1-row avgdl frame broadcast onto the posting lists / two tiny
         # top-k lists fused
         "text_bm25_scoring",
