@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "graph_most_probable_paths",
     "curation_quality_token_tradeoff",
     "agg_rolling_origin_cv",
     "sim_reciprocal_rank_fusion",

@@ -78,6 +78,22 @@ QUERIES = [
     "storage_partition_stats",
     "profile_join_key_skew",
     "events_cuped_adjustment",
+    "events_cuped_two_arm",
+    "agg_permutation_test",
+    "events_group_sequential",
+    "agg_mutual_information",
+    "agg_rolling_origin_cv",
+    "agg_hdr_latency_percentiles",
+    "pipeline_referential_integrity",
+    "events_haar_energy",
+    "agg_spc_individuals_chart",
+    "events_forecast_reconciliation",
+    "join_asof_tolerance",
+    "orders_repeat_purchase_curve",
+    "agg_mcnemar_paired",
+    "events_anova_weekday",
+    "agg_chi_square_independence",
+    "agg_ks_two_sample",
 ]
 
 
