@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "orders_fulfillment_latency",
+    "text_phrase_search_positional",
     "graph_most_probable_paths",
     "curation_quality_token_tradeoff",
     "agg_rolling_origin_cv",
