@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "sim_triplet_violations",
     "orders_fulfillment_latency",
     "text_phrase_search_positional",
     "graph_most_probable_paths",
@@ -209,6 +210,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # anchor-set broadcast scored against the corpus scan
+        "sim_triplet_violations",
         # broadcast daily-domain triangle / 1-row totals frames
         "agg_rolling_origin_cv",
         "curation_quality_token_tradeoff",
