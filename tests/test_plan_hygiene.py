@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "text_char_entropy",
+    "sim_embedding_dim_stats",
     "sim_triplet_violations",
     "orders_fulfillment_latency",
     "text_phrase_search_positional",
@@ -210,6 +212,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row total-variance frame broadcast onto the 64-dim table
+        "sim_embedding_dim_stats",
         # anchor-set broadcast scored against the corpus scan
         "sim_triplet_violations",
         # broadcast daily-domain triangle / 1-row totals frames
