@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "text_burrows_delta",
+    "events_stratified_att",
     "text_char_entropy",
     "sim_embedding_dim_stats",
     "sim_triplet_violations",
@@ -212,6 +214,9 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row treated-total / 30-word profile-domain pair join glue
+        "events_stratified_att",
+        "text_burrows_delta",
         # 1-row total-variance frame broadcast onto the 64-dim table
         "sim_embedding_dim_stats",
         # anchor-set broadcast scored against the corpus scan
