@@ -29,12 +29,9 @@ def test_stratified_att_matches_python(spark):
     for i, u in enumerate(ordered):
         s = min(i * 5 // n, 4)
         strata[s].append(u)
-    t1 = 0
-    for s, us in strata.items():
-        g1 = [round(y[u], 6) for u in us if u % 2 == 1]
-        g0 = [round(y[u], 6) for u in us if u % 2 == 0]
-        if g1 and g0:
-            t1 += len(g1)
+    # the estimator weights by ALL treated users (the tot CTE sums n1
+    # before the both-arms filter) — strata without controls contribute 0
+    t1 = sum(1 for u in users if u % 2 == 1)
     for s, us in strata.items():
         g1 = [round(y[u], 6) for u in us if u % 2 == 1]
         g0 = [round(y[u], 6) for u in us if u % 2 == 0]
@@ -48,8 +45,6 @@ def test_stratified_att_matches_python(spark):
         assert abs(r.mean_control - np.mean(g0)) < 1e-4
         eff = np.mean(g1) - np.mean(g0)
         assert abs(r.stratum_effect - eff) < 1e-4
-        # the weighting uses the treated counts of the EMITTED strata
-        # (all strata have both arms in this fixture)
         assert abs(r.att_contribution - eff * len(g1) / t1) < 1e-4
 
 
