@@ -106,6 +106,8 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "orders_revenue_bridge",
+    "events_out_of_order_profile",
     "text_burrows_delta",
     "events_stratified_att",
     "text_char_entropy",
@@ -214,6 +216,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 3-literal percentile grid / tiny year-pair frames glue
+        "events_out_of_order_profile",
         # 1-row treated-total / 30-word profile-domain pair join glue
         "events_stratified_att",
         "text_burrows_delta",
