@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "text_textrank_keywords",
     "orders_revenue_bridge",
     "events_out_of_order_profile",
     "text_burrows_delta",
