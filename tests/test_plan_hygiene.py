@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "agg_bh_fdr_correction",
     "text_textrank_keywords",
     "orders_revenue_bridge",
     "events_out_of_order_profile",
@@ -217,6 +218,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # 1-row step-up cutoff frame glued onto the 5-test rank
+        "agg_bh_fdr_correction",
         # 3-literal percentile grid / tiny year-pair frames glue
         "events_out_of_order_profile",
         # 1-row treated-total / 30-word profile-domain pair join glue
