@@ -48,7 +48,8 @@ def test_bh_fdr_matches_python(spark):
     assert [r.event_type for r in rows] == [t_ for t_, _ in ranked]
     # thresholds match the exact inverse normal to ~1e-5
     for r in rows:
-        want = _phi_inv_complement(0.1 * r.rnk / 5 / 2)
+        # the helper's (1 - erf(z/sqrt2)) IS the two-sided p — pass full alpha
+        want = _phi_inv_complement(0.1 * r.rnk / 5)
         assert abs(r.bh_z_threshold - want) < 1e-4
         assert abs(r.z - zs[r.event_type]) < 2e-2
     # step-up: significant set is exactly ranks <= max passing rank
