@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "agg_quantile_pinball_eval",
     "agg_bh_fdr_correction",
     "text_textrank_keywords",
     "orders_revenue_bridge",
