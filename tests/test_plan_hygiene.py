@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "sim_ndcg_eval",
     "agg_quantile_pinball_eval",
     "agg_bh_fdr_correction",
     "text_textrank_keywords",
@@ -219,6 +220,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # tiny top-k x 5-row discount-table glue over the broadcast labels
+        "sim_ndcg_eval",
         # 1-row step-up cutoff frame glued onto the 5-test rank
         "agg_bh_fdr_correction",
         # 3-literal percentile grid / tiny year-pair frames glue
