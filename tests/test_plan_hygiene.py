@@ -106,6 +106,7 @@ PYTHON_FREE = [
     "lineitem_price_index",
     "agg_equidepth_histogram",
     "events_srm_check",
+    "agg_cohens_kappa",
     "sim_ndcg_eval",
     "agg_quantile_pinball_eval",
     "agg_bh_fdr_correction",
@@ -220,6 +221,8 @@ PYTHON_FREE = [
 BNLJ_ALLOWED = frozenset(
     {
         "agg_hll_cardinality",
+        # three 1-row agreement frames glued by crossJoin
+        "agg_cohens_kappa",
         # tiny top-k x 5-row discount-table glue over the broadcast labels
         "sim_ndcg_eval",
         # 1-row step-up cutoff frame glued onto the 5-test rank
