@@ -586,8 +586,8 @@ WITH tok AS (
                              AND CURRENT ROW) AS cum_tokens
   FROM tok
 )
-SELECT doc_id, n_tokens, cum_tokens,
-       (cum_tokens - 1) // 4096 AS shard_id
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - 1) // 4096 AS BIGINT) AS shard_id
 FROM packed
 """,
     description="Sequence packing: assign docs (in deterministic doc_id "

@@ -90,7 +90,7 @@ WITH counts AS (
          COUNT(*) AS n_types
   FROM logs GROUP BY user_id
 )
-SELECT user_id, n, n_types,
+SELECT user_id, CAST(n AS BIGINT) AS n, n_types,
        round(round(log2(n), 9)
              - CAST(CAST(sum_c_log2c AS VARCHAR) AS DOUBLE) / n, 6)
          AS entropy_bits

@@ -30,7 +30,8 @@ WITH per_user AS (
     (SELECT n FROM c WHERE cohort = 1) AS n1,
     (SELECT conv FROM c WHERE cohort = 1) AS conv1
 )
-SELECT n0, conv0, n1, conv1,
+SELECT n0, CAST(conv0 AS BIGINT) AS conv0,
+       n1, CAST(conv1 AS BIGINT) AS conv1,
        CASE WHEN conv0 + conv1 > 0 AND conv0 + conv1 < n0 + n1 THEN
          round((CAST(conv1 AS DOUBLE) / n1 - CAST(conv0 AS DOUBLE) / n0)
                / sqrt((CAST(conv0 + conv1 AS DOUBLE) / (n0 + n1))

@@ -28,7 +28,8 @@ WITH norm AS (
 )
 SELECT sh.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
        round(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1.0
              / COUNT(*), 6) AS novelty
 FROM sh JOIN first_seen f ON sh.h = f.h

@@ -120,7 +120,7 @@ def _phash_cluster_oracle() -> str:
     head, _, _tail = base.rpartition("SELECT a.doc_id AS media_id,")
     return (
         head
-        + """SELECT ph.phash,
+        + """SELECT CAST(ph.phash AS BIGINT) AS phash,
        COUNT(*) AS n_images,
        MIN(ph.doc_id) AS min_media_id,
        MAX(ph.doc_id) AS max_media_id

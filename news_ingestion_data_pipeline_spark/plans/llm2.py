@@ -90,7 +90,8 @@ dists AS (
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
   FROM dists
 )
-SELECT cent_id, COUNT(*) AS n_assigned, SUM(vec_id) AS sum_vec_id
+SELECT cent_id, COUNT(*) AS n_assigned,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
 FROM assigned WHERE rn = 1
 GROUP BY cent_id ORDER BY cent_id
 """,

@@ -84,7 +84,8 @@ WITH v1 AS (
               ELSE 'unchanged' END AS change_type
   FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 )
-SELECT change_type, COUNT(*) AS n_rows, SUM(doc_id) AS sum_ids
+SELECT change_type, COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM classified GROUP BY change_type
 ORDER BY change_type
 """,

@@ -26,7 +26,7 @@ WITH seq AS (
 )
 SELECT user_id,
        COUNT(*) AS n_intervals,
-       SUM(w_sec) AS total_sec,
+       CAST(SUM(w_sec) AS BIGINT) AS total_sec,
        round(CAST(CAST(SUM(CAST(w_sec AS DECIMAL(18,0))
                           * CAST(value AS DECIMAL(20,10))) AS VARCHAR)
                   AS DOUBLE)

@@ -125,9 +125,9 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey,
        o_custkey AS cust_from_struct,
        CAST(o_totalprice AS DECIMAL(18,2)) > 100000.0 AS is_big,
-       CASE WHEN o_custkey % 2 = 0
+       CAST(CASE WHEN o_custkey % 2 = 0
             THEN CAST(o_totalprice AS DECIMAL(18,2))
-            ELSE CAST(0 AS DECIMAL(18,2)) END AS even_price,
+            ELSE CAST(0 AS DECIMAL(18,2)) END AS DOUBLE) AS even_price,
        o_orderpriority || '#' || CAST(o_custkey AS VARCHAR) AS packed_key
 FROM orders
 WHERE o_orderkey % 97 = 0
@@ -164,6 +164,7 @@ def scalar_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rec.price") > 100000.0).alias("is_big"),
         F.when(F.col("rec.meta.parity") == 0, F.col("rec.price"))
         .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
         .alias("even_price"),
         F.concat(
             F.col("rec.meta.prio"), F.lit("#"), F.col("rec.cust").cast("string")

@@ -41,12 +41,14 @@ WITH v1 AS (
   WHERE doc_id NOT IN (SELECT doc_id FROM updates)
 )
 SELECT 'current' AS snapshot, COUNT(*) AS n_rows,
-       SUM(CASE WHEN version = 'new' THEN 1 ELSE 0 END) AS n_new,
-       SUM(doc_id) AS sum_ids
+       CAST(SUM(CASE WHEN version = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM cur
 UNION ALL
-SELECT 'previous' AS snapshot, COUNT(*) AS n_rows, 0 AS n_new,
-       SUM(doc_id) AS sum_ids
+SELECT 'previous' AS snapshot, COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS n_new,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM v1
 ORDER BY snapshot
 """,
@@ -255,7 +257,8 @@ WITH arr AS (
   SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) - 1 AS pos
   FROM arr
 )
-SELECT word, COUNT(*) AS n_occurrences, SUM(pos) AS sum_pos
+SELECT word, COUNT(*) AS n_occurrences,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
 FROM w GROUP BY word
 ORDER BY n_occurrences DESC, word
 LIMIT 20

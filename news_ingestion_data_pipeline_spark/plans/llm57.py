@@ -193,7 +193,7 @@ SELECT CAST((SELECT COUNT(*) FROM events WHERE day(ts) <= 10) AS BIGINT)
        CAST(q.n AS BIGINT) AS n_cal,
        CAST(COUNT(*) AS BIGINT) AS n_test,
        round(q.q, 6) AS qhat,
-       {1 - _CONF_ALPHA!r} AS target_coverage,
+       CAST({1 - _CONF_ALPHA!r} AS DOUBLE) AS target_coverage,
        round(CAST(COUNT(*) FILTER (WHERE abs(value - pred) <= q.q) AS DOUBLE)
              / COUNT(*), 6) AS empirical_coverage
 FROM test CROSS JOIN qhat q

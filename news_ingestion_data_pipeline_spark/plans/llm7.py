@@ -105,7 +105,7 @@ WITH tok AS (
          freq
   FROM words WHERE length(w) >= 2
 )
-SELECT pair, SUM(freq) AS pair_count,
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
        ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, pair) AS rnk
 FROM pairs GROUP BY pair
 ORDER BY pair_count DESC, pair

@@ -40,7 +40,7 @@ WITH base AS (
   FROM latest l
   WHERE l.op != 'D' AND l.doc_id NOT IN (SELECT doc_id FROM base)
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM applied GROUP BY lang ORDER BY lang
 """,
     description="CDC apply — the change-data-capture consumer every "
@@ -112,7 +112,8 @@ WITH med AS (
 SELECT m.event_type,
        round(m.med, 6) AS med,
        round(m.mad, 6) AS mad,
-       SUM(CASE WHEN abs(e.value - m.med) > 5 * m.mad THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN abs(e.value - m.med) > 5 * m.mad
+                      THEN 1 ELSE 0 END) AS BIGINT)
          AS n_outliers,
        COUNT(*) AS n_events
 FROM events e JOIN mad m ON e.event_type = m.event_type

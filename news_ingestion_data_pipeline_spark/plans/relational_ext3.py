@@ -964,10 +964,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipment_tiers",
     oracle="""
 SELECT ship_tier,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM (
   SELECT CASE WHEN l_quantity > 25 THEN 'BULK' ELSE 'SMALL' END AS ship_tier,
          o_orderpriority

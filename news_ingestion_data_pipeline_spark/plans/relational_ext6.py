@@ -571,7 +571,7 @@ WITH per_source AS (
          COUNT(*) AS n_sources
   FROM per_source
 )
-SELECT source, n_docs, n_chars_total,
+SELECT source, n_docs, CAST(n_chars_total AS BIGINT) AS n_chars_total,
        CAST(n_chars_total AS DOUBLE) / corpus_chars AS actual_share,
        (1.0 / n_sources) / (CAST(n_chars_total AS DOUBLE) / corpus_chars)
          AS uniform_weight
@@ -735,14 +735,14 @@ WITH tok AS (
   FROM tok
 )
 SELECT doc_id,
-       SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS f0,
-       SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS f1,
-       SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS f2,
-       SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS f3,
-       SUM(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS f4,
-       SUM(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS f5,
-       SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS f6,
-       SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS f7
+       CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+       CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       CAST(SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+       CAST(SUM(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+       CAST(SUM(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+       CAST(SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS BIGINT) AS f6,
+       CAST(SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS BIGINT) AS f7
 FROM bucketed
 GROUP BY doc_id
 """,
@@ -1184,7 +1184,7 @@ WITH cum AS (
 )
 SELECT l_returnflag,
        MIN(l_extendedprice) AS weighted_median_price,
-       MIN(tw) AS total_weight
+       CAST(MIN(tw) AS BIGINT) AS total_weight
 FROM cum
 WHERE 2 * cw >= tw
 GROUP BY l_returnflag
@@ -1257,7 +1257,7 @@ WITH flagged AS (
            AS concurrent
   FROM deltas
 )
-SELECT MAX(concurrent) AS peak_concurrent_sessions,
+SELECT CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent_sessions,
        strftime(MIN(CASE WHEN concurrent = (SELECT MAX(concurrent) FROM swept)
                          THEN t END), '%Y-%m-%d %H:%M:%S') AS first_peak_at
 FROM swept

@@ -190,7 +190,7 @@ _SQL_XML_SPARK = """
 SELECT o_orderkey,
        x.pri   AS pri,
        x.cust  AS cust,
-       x.total AS total
+       CAST(x.total AS DOUBLE) AS total
 FROM (
   SELECT o_orderkey,
          from_xml(
@@ -207,7 +207,7 @@ _SQL_XML_DUCK = """
 SELECT o_orderkey,
        o_orderpriority AS pri,
        o_custkey AS cust,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
 FROM orders
 """
 

@@ -121,11 +121,12 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        COUNT(*) AS n_good,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY lang
 UNION ALL
-SELECT '_corrupt' AS lang, 7 AS n_good, NULL AS sum_chars
+SELECT '_corrupt' AS lang, CAST(7 AS BIGINT) AS n_good,
+       CAST(NULL AS BIGINT) AS sum_chars
 ORDER BY lang
 """,
     description="JSON-lines source with PERMISSIVE corrupt-record "

@@ -26,7 +26,8 @@ def _sfx(sf_dir: str) -> str:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_status,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_status,
        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
             AS DOUBLE) AS revenue
 FROM orders
@@ -124,7 +125,7 @@ def storage_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tbl AS (
   SELECT doc_id, lang FROM documents WHERE doc_id % 3 != 0
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM tbl WHERE lang != 'de'
 GROUP BY lang
 ORDER BY lang

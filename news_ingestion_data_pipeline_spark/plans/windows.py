@@ -105,8 +105,9 @@ WITH seq AS (
                  THEN 1 ELSE 0 END AS is_new
   FROM seq
 ), sessions AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id,

@@ -461,3 +461,47 @@ def test_no_broadcast_of_checkpointed_corpus_tables(spark, name):
                     "shingles" in detail or "sh_a" in detail or "sh_b" in detail
                 ), f"{name}: broadcast over stats-less RDD scan\n{ln2}\n{detail}"
                 break
+
+
+# ---------------------------------------------------------------------------
+# Oracle result-type hygiene (round-2 driver finding): DuckDB renders
+# HUGEINT / UHUGEINT / DECIMAL output columns as float64 or Decimal through
+# the pandas/Arrow fetch path the driver uses, so any such oracle column
+# hash-mismatches Spark's BIGINT/DOUBLE even when every value is identical
+# (the r02 `curation_pack_sequences` / `sim_kmeans_assign` red rows). Ban
+# them at the type level: every oracle's DESCRIBE must be free of the
+# wide-integer/decimal types. (DuckDB's bare SUM(<int>) yields HUGEINT and
+# a bare 0.9 literal yields DECIMAL(2,1) — both need explicit CASTs.)
+# ---------------------------------------------------------------------------
+
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def test_oracle_output_types_are_driver_portable():
+    import duckdb
+
+    from news_ingestion_data_pipeline_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for tname in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM '{SF_SMOKE}/{tname}.parquet'"
+        )
+    offenders = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        desc = con.execute(
+            f"DESCRIBE ({q.oracle.rstrip().rstrip(';')})"
+        ).fetchall()
+        bad = [
+            (col, typ)
+            for col, typ, *_ in desc
+            if any(b in typ for b in _BANNED_ORACLE_TYPES)
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        "oracle output columns with driver-unportable DuckDB types "
+        f"(cast to BIGINT/DOUBLE in the final projection): {offenders}"
+    )

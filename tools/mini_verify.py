@@ -11,6 +11,7 @@ Usage: python tools/mini_verify.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import hashlib
 import math
 import os
@@ -34,6 +35,13 @@ def norm_value(v):
         return "NULL"
     if isinstance(v, bool):
         return str(v).lower()
+    if isinstance(v, decimal.Decimal):
+        # The driver fetches DuckDB results through the pandas/Arrow path,
+        # where HUGEINT/DECIMAL surface as float/Decimal — normalize through
+        # the float branch so a Decimal-typed oracle column diverges from a
+        # Spark BIGINT exactly like it does on the driver (r02's two red
+        # rows). The hygiene suite bans such oracle output types outright.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -86,7 +94,13 @@ def main() -> int:
         try:
             res = con.execute(q.oracle)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Arrow fetch, not fetchall(): mirrors the driver's rendering
+            # (HUGEINT → decimal128 → Decimal, not Python int), so local
+            # strict green predicts driver green.
+            tbl = res.fetch_arrow_table()
+            orows = [
+                tuple(d[c] for c in ocols) for d in tbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
