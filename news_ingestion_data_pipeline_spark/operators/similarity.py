@@ -410,6 +410,11 @@ def gemm_eps_pairs(
     import pandas as pd
 
     B = int(n_blocks)
+    if B <= 0:
+        # pmod(id, 0) is NULL, so sequence/explode would silently drop
+        # every row — a caller typo would yield zero pairs (and zero
+        # DBSCAN clusters) with no error. Fail loudly instead.
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

@@ -106,7 +106,13 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gemm_eps_pairs: the per-pair Catalyst evaluation is interpreted
     # inside the BNLJ condition — measured 29-122 s at sf0.1 vs ~1 s
     # vectorized; fixtures' nearest boundary margin 1.2e-6 >> ulp noise)
-    adj = gemm_eps_pairs(spread(e), _EPS2).localCheckpoint()
+    # Derive the GEMM tiling from the corpus size instead of the static
+    # default: B = ceil(n / 65536) keeps each tile <= 64k vectors (two
+    # 64-dim float64 tiles ~= 64 MB/task) while B*(B+1)/2 groups grow
+    # with n, so the same plan spreads over any executor count at scale.
+    n_vecs = e.count()
+    blocks = max(8, -(-n_vecs // 65536))
+    adj = gemm_eps_pairs(spread(e), _EPS2, n_blocks=blocks).localCheckpoint()
     e = e.select("vec_id")
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("nb"))
     core = (

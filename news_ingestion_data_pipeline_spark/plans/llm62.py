@@ -163,7 +163,9 @@ def curation_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fp.join(keepers, "f")
-        .join(F.broadcast(near_losers), fp["doc_id"] == F.col("nl_id"), "left_outer")
+        # no broadcast hint: the near-dup loser set is corpus-proportional
+        # on a mirrored-crawl corpus — let AQE pick broadcast when it fits
+        .join(near_losers, fp["doc_id"] == F.col("nl_id"), "left_outer")
         .select(
             "doc_id",
             ((F.col("f") != "") & (F.col("keep_id") != F.col("doc_id"))).alias(

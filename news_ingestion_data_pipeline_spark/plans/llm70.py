@@ -255,7 +255,9 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q, "doc_id")
         .join(fp, "doc_id")
         .join(keepers, "f")
-        .join(F.broadcast(near_losers), F.col("doc_id") == F.col("nl_id"), "left_outer")
+        # no broadcast hint: the near-dup loser set is corpus-proportional
+        # on a mirrored-crawl corpus — let AQE pick broadcast when it fits
+        .join(near_losers, F.col("doc_id") == F.col("nl_id"), "left_outer")
         .select(
             "f1",
             F.col("ok_length").alias("f2"),

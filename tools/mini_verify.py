@@ -98,9 +98,11 @@ def main() -> int:
             # (HUGEINT → decimal128 → Decimal, not Python int), so local
             # strict green predicts driver green.
             tbl = res.fetch_arrow_table()
-            orows = [
-                tuple(d[c] for c in ocols) for d in tbl.to_pylist()
-            ]
+            # positional extraction: to_pylist() dicts keyed by name would
+            # silently collapse duplicate output column names to the last
+            # value (false PASS/FAIL instead of an error)
+            _cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            orows = list(zip(*_cols)) if _cols else []
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
