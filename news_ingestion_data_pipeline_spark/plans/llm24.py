@@ -163,70 +163,97 @@ ORDER BY layout
     "of the (x, y) plane, so a reader filtering on EITHER key prunes "
     "most files from min/max footer stats alone — rowseq files span the "
     "full secondary-key range and prune nothing. This is exactly what "
-    "Delta/Iceberg OPTIMIZE ZORDER does; at 100 TB the global sort "
-    "becomes a range partition by z-value (Spark's repartitionByRange + "
-    "sortWithinPartitions) and file assignment is per-partition, not one "
-    "window — the row_number here is the small-SF stand-in, and the "
-    "area-fraction metric is the part that transfers.",
+    "Delta/Iceberg OPTIMIZE ZORDER does, and the ranks are computed the "
+    "way it must run at 100 TB: range-partitioned on coarse z-value / "
+    "orderkey buckets with per-bucket sorts plus broadcast prefix "
+    "offsets (operators/ranking.py — the agg_percentile_ranks two-pass "
+    "decomposition), no single-partition sort window anywhere.",
     tags=("storage", "layout", "scan"),
 )
 def storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
+    from news_ingestion_data_pipeline_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
     stats = li.agg(
         F.min("l_partkey").alias("pmin"),
         F.max("l_partkey").alias("pmax"),
         F.min("l_suppkey").alias("smin"),
         F.max("l_suppkey").alias("smax"),
+        F.min("l_orderkey").alias("omin"),
+        F.max("l_orderkey").alias("omax"),
         F.count(F.lit(1)).alias("n"),
     )
     q = li.crossJoin(F.broadcast(stats)).select(
         "l_orderkey",
         "l_linenumber",
         "n",
+        "omin",
+        "omax",
         _quant(F.col("l_partkey"), F.col("pmin"), F.col("pmax")).alias("x"),
         _quant(F.col("l_suppkey"), F.col("smin"), F.col("smax")).alias("y"),
     )
     z = q.withColumn("zval", _zval(F.col("x"), F.col("y")))
-    assigned = z.select(
+    # Both global ranks run as the range-partitioned two-pass form
+    # (operators/ranking.py), never a single-partition sort window:
+    # z-rank buckets on the top 8 z-value bits (256 coarse Morton
+    # ranges), seq-rank buckets on a 256-way orderkey range split.
+    # localCheckpoint between the two rank passes: each pass consumes its
+    # input twice (bucket histogram + offset join), so an unbroken
+    # lineage would re-run the z-rank pipeline for every consumer.
+    zranked = distributed_row_number(
+        z,
+        ["zval", "l_orderkey", "l_linenumber"],
+        F.shiftright(F.col("zval"), 2 * _ZBITS - 8),
+        out="zrn",
+    ).localCheckpoint()
+    assigned = distributed_row_number(
+        zranked,
+        ["l_orderkey", "l_linenumber"],
+        F.floor(
+            (F.col("l_orderkey") - F.col("omin"))
+            * 256
+            / (F.col("omax") - F.col("omin") + 1)
+        ),
+        out="srn",
+    ).select(
         "x",
         "y",
-        (
-            (
-                F.row_number().over(
-                    Window.orderBy("zval", "l_orderkey", "l_linenumber")
-                )
-                - 1
-            )
-            * _ZFILES
-            / F.col("n")
-        )
-        .cast("long")
-        .alias("zfile"),
-        (
-            (
-                F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber"))
-                - 1
-            )
-            * _ZFILES
-            / F.col("n")
-        )
-        .cast("long")
-        .alias("seqfile"),
+        ((F.col("zrn") - 1) * _ZFILES / F.col("n")).cast("long").alias("zfile"),
+        ((F.col("srn") - 1) * _ZFILES / F.col("n")).cast("long").alias("seqfile"),
     )
 
-    def per_file(layout: str, file_col: str) -> DataFrame:
-        return (
-            assigned.groupBy(F.col(file_col).alias("file_id"))
-            .agg(
-                (F.max("x") - F.min("x") + 1).alias("x_span"),
-                (F.max("y") - F.min("y") + 1).alias("y_span"),
-            )
-            .select(F.lit(layout).alias("layout"), "file_id", "x_span", "y_span")
+    # one pass over `assigned` for BOTH layouts: explode each row into its
+    # (layout, file_id) memberships, then a single (layout, file_id)
+    # aggregate — a union of two groupBys would scan `assigned` twice
+    per = (
+        assigned.select(
+            "x",
+            "y",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.col("zfile").alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("rowseq").alias("layout"),
+                        F.col("seqfile").alias("file_id"),
+                    ),
+                )
+            ).alias("lf"),
         )
-
-    per = per_file("zorder", "zfile").unionByName(per_file("rowseq", "seqfile"))
+        .select("x", "y", F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id"))
+        .groupBy("layout", "file_id")
+        .agg(
+            (F.max("x") - F.min("x") + 1).alias("x_span"),
+            (F.max("y") - F.min("y") + 1).alias("y_span"),
+        )
+        .select("layout", "file_id", "x_span", "y_span")
+    )
     return (
         per.groupBy("layout")
         .agg(

@@ -136,21 +136,53 @@ ORDER BY bucket
     "is what optimizers keep as statistics and what makes skewed-value "
     "zone maps useful (the equi-WIDTH twin is agg_price_histogram; "
     "equi-depth is the one that stays informative under skew). "
-    "Assignment is one ntile over a totally-ordered sort "
-    "((value, orderkey, linenumber) so tied prices land "
-    "deterministically), then a 10-group aggregate with decimal-exact "
-    "min/max/sum through the VARCHAR cast rule. The global sort is the "
-    "small-SF stand-in — at 100 TB bucket boundaries come from the "
-    "two-pass histogram rank (agg_percentile_ranks' rewrite) and rows "
-    "join to boundaries by range, no total order needed.",
+    "Assignment is NTILE semantics over the total order "
+    "(value, orderkey, linenumber) so tied prices land "
+    "deterministically — but computed WITHOUT the single-partition "
+    "global-sort window: rows are range-bucketed on value (4096-way "
+    "histogram, one hash aggregate), prefix offsets come from the tiny "
+    "bucket histogram, ranks are per-bucket windows running in parallel, "
+    "and the ANSI NTILE distribution is recovered arithmetically from "
+    "(rank, count) — bit-identical to ntile() OVER (ORDER BY ...) at "
+    "any scale (the agg_percentile_ranks two-pass decomposition). Then "
+    "a 10-group aggregate with decimal-exact min/max/sum through the "
+    "VARCHAR cast rule.",
     tags=("agg", "stats"),
 )
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranked = t(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v"),
-        F.ntile(_EQD_BUCKETS)
-        .over(Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
-        .alias("bkt"),
+    from news_ingestion_data_pipeline_spark.operators.ranking import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
+    HB = 4096
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    stats = li.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    li2 = li.crossJoin(F.broadcast(stats))
+    vbucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / HB)
+                ),
+                F.lit(HB - 1),
+            )
+        )
+        .cast("long")
+    )
+    ranked = distributed_row_number(
+        li2, ["v", "l_orderkey", "l_linenumber"], vbucket, out="rn"
+    ).select(
+        "v",
+        ntile_from_rank(F.col("rn"), F.col("cnt"), _EQD_BUCKETS).alias("bkt"),
     )
     vd = F.col("v").cast("decimal(18,2)")
     return (
