@@ -33,11 +33,15 @@ def normalize_text(text: Column) -> Column:
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of trimmed text → array<string>.
-    Empty text → empty array (not [''])."""
-    t = F.trim(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    Empty or whitespace-only text → empty array (not ['']).
+
+    Implemented as a post-split filter rather than a trim-equals-empty
+    guard: ``F.trim`` strips only ASCII spaces, so a tab/newline-only
+    document slips past the guard and splits into phantom '' tokens —
+    the filter drops every empty token regardless of which whitespace
+    produced it, exactly matching the oracles'
+    ``list_filter(regexp_split_to_array(...), _t -> _t <> '')``."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:

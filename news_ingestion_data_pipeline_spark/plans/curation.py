@@ -42,7 +42,7 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 SELECT doc_id,
        CAST(len(regexp_extract_all({SQL_NORM.format(col='text')}, '{_BPE_RE}')) AS BIGINT)
            AS n_pre_tokens,
-       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), _t -> _t <> '')) AS BIGINT) AS n_ws_tokens,
        round(CAST(len(regexp_extract_all({SQL_NORM.format(col='text')}, '{_BPE_RE}')) AS DOUBLE)
              / greatest(length(text), 1), 6) AS tokens_per_char
 FROM documents
@@ -136,7 +136,7 @@ def _gram3_hashed(col) -> F.Column:
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, lang,
-         regexp_split_to_array({SQL_NORM.format(col='text')}, '\\s+') AS tk
+         list_filter(regexp_split_to_array({SQL_NORM.format(col='text')}, '\\s+'), _t -> _t <> '') AS tk
   FROM documents
 ), grams AS (
   SELECT doc_id, lang, {_SQL_GRAM3} AS grams FROM toks
@@ -272,13 +272,14 @@ _STRIDE = 24
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
-         regexp_split_to_array({SQL_NORM.format(col='text')}, '\\s+') AS tk
+         list_filter(regexp_split_to_array({SQL_NORM.format(col='text')}, '\\s+'), _t -> _t <> '') AS tk
   FROM documents
 )
 SELECT doc_id,
        CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
        CAST(len(tk[start : start + {_CHUNK} - 1]) AS BIGINT) AS n_chunk_tokens,
-       array_to_string(tk[start : start + {_CHUNK} - 1], ' ') AS chunk_text
+       coalesce(array_to_string(tk[start : start + {_CHUNK} - 1], ' '), '')
+           AS chunk_text
 FROM toks, unnest(range(1, greatest(len(tk), 1) + 1, {_STRIDE})) AS u(start)
 """,
     description=f"Context-window chunking: overlapping {_CHUNK}-token "
@@ -311,7 +312,7 @@ def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composite quality filter (Gopher-style rule bundle)
 # ---------------------------------------------------------------------------
 
-_SQL_TOKS_LOWER = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_TOKS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), _t -> _t <> '')"
 _SQL_STOPS = "', '".join(TX.QUALITY_STOPWORDS)
 
 
@@ -321,7 +322,8 @@ _SQL_STOPS = "', '".join(TX.QUALITY_STOPWORDS)
 WITH feats AS (
   SELECT doc_id,
          CAST(len({_SQL_TOKS_LOWER}) AS BIGINT) AS n_tokens,
-         round(list_sum(list_transform({_SQL_TOKS_LOWER}, x -> length(x))) * 1.0
+         round(coalesce(list_sum(list_transform({_SQL_TOKS_LOWER},
+                                                x -> length(x))), 0) * 1.0
                / greatest(len({_SQL_TOKS_LOWER}), 1), 6) AS mean_word_len,
          round(len(list_filter({_SQL_TOKS_LOWER}, x -> x IN ('{_SQL_STOPS}'))) * 1.0
                / greatest(len({_SQL_TOKS_LOWER}), 1), 6) AS stop_ratio,
@@ -576,7 +578,7 @@ def curation_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tok AS (
   SELECT doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), _t -> _t <> '')) AS BIGINT)
            AS n_tokens
   FROM documents
 ), packed AS (

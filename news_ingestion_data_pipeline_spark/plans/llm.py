@@ -27,7 +27,7 @@ from news_ingestion_data_pipeline_spark.plans.registry import register, t
 # Text analysis
 # ---------------------------------------------------------------------------
 
-_SQL_TOKENS = "regexp_split_to_array(trim({col}), '\\s+')"
+_SQL_TOKENS = "list_filter(regexp_split_to_array(trim({col}), '\\s+'), _t -> _t <> '')"
 
 
 @register(

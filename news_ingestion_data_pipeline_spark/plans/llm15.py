@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.functions import text as TX
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 
@@ -95,7 +96,7 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_source_divergence",
     oracle=r"""
 WITH tok AS (
-  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  SELECT source, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), _t -> _t <> '')) AS w
   FROM documents WHERE length(trim(text)) > 0
 ), sc AS (
   SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w
@@ -154,7 +155,9 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length(F.trim("text")) > 0)
         .select(
             "source",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+            F.explode(
+            TX.tokens(F.lower("text"))  # empty-token-safe (tab-only docs)
+        ).alias("w"),
         )
     )
     sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))

@@ -406,7 +406,7 @@ def dedup_containment_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_top_k",
     oracle="""
 WITH tok AS (
-  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), _t -> _t <> '')) AS w
   FROM documents
 ), counts AS (
   SELECT w, COUNT(*) AS est_count FROM tok GROUP BY w
@@ -432,7 +432,8 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         ).alias("w")
-    )
+    ).where(F.col("w") != "")  # empty doc → split('') = [''] — drop it,
+    # matching tokens('') = [] semantics (and the oracle's list_filter)
     # ask the sketch for MORE than the final k: which item the sketch
     # returns among boundary-count ties is unspecified, so over-fetch
     # past any possible tie span and let the total (count DESC, item)

@@ -251,7 +251,7 @@ def join_dpp_runtime_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_udtf_split",
     oracle=r"""
 WITH arr AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), _t -> _t <> '') AS l
   FROM documents WHERE length(trim(text)) > 0
 ), w AS (
   SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) - 1 AS pos

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.functions import text as TX
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _NLL_DEC = "decimal(28,12)"
@@ -26,7 +27,7 @@ _NLL_DEC = "decimal(28,12)"
     "text_unigram_logprob",
     oracle=r"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), _t -> _t <> '')) AS w
   FROM documents WHERE length(trim(text)) > 0
 ), vocab AS (
   SELECT w, CAST(round(log2(COUNT(*)), 9) AS DECIMAL(28,12)) AS log2_cnt
@@ -66,7 +67,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        F.explode(
+            TX.tokens(F.lower("text"))  # empty-token-safe (tab-only docs)
+        ).alias("w"),
     ).localCheckpoint()  # vocab + totals + scoring all read it
     vocab = tok.groupBy("w").agg(
         F.round(F.log2(F.count(F.lit(1))), 9).cast(_NLL_DEC).alias("log2_cnt")
@@ -95,7 +98,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_merge_step",
     oracle=r"""
 WITH tok AS (
-  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), _t -> _t <> '')) AS w
   FROM documents WHERE length(trim(text)) > 0
 ), words AS (
   SELECT w, COUNT(*) AS freq FROM tok GROUP BY w
@@ -130,7 +133,9 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     words = (
         docs.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+            F.explode(
+            TX.tokens(F.lower("text"))  # empty-token-safe (tab-only docs)
+        ).alias("w")
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))

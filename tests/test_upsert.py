@@ -170,3 +170,75 @@ def test_legacy_flat_layout_still_readable_and_upgradable(spark, tmp_path):
     upsert.upsert_articles(spark, path, art(spark, [("b", "v1", TS, TS)]))
     assert set(_rows(spark, path)) == {"a", "b"}
     assert os.path.exists(os.path.join(path, upsert._MANIFEST))
+
+
+def test_concurrent_writers_one_wins_one_retries(spark, tmp_path, monkeypatch):
+    """Two writers racing from the same base: the first commit wins, the
+    second hits CommitConflict and must RE-MERGE against the winner's
+    snapshot — no last-writer-wins clobbering of the winner's rows."""
+    path = os.path.join(str(tmp_path), "race_tbl")
+    upsert.upsert_articles(spark, path, art(spark, [("a", "v1", TS, TS)]))
+
+    real_commit = upsert._commit_snapshot
+    commit_attempts = []
+
+    def racing_commit(table_path, snap, expected_base):
+        commit_attempts.append(expected_base)
+        if len(commit_attempts) == 1:
+            # writer B sneaks in a full successful upsert between writer
+            # A's base read and A's commit attempt
+            upsert.upsert_articles(
+                spark, path, art(spark, [("b", "from-b", TS, TS)])
+            )
+        return real_commit(table_path, snap, expected_base)
+
+    monkeypatch.setattr(upsert, "_commit_snapshot", racing_commit)
+    upsert.upsert_articles(spark, path, art(spark, [("c", "from-a", TS, TS)]))
+    monkeypatch.undo()
+
+    rows = _rows(spark, path)
+    assert set(rows) == {"a", "b", "c"}, "loser's retry dropped a row"
+    # A's first attempt + B's commit + A's retry
+    assert len(commit_attempts) == 3
+    # no lock / marker / temp-manifest debris
+    leftovers = [
+        n for n in os.listdir(path)
+        if n.startswith((".inflight-", "._manifest_")) or n == upsert._LOCK
+    ]
+    assert leftovers == []
+
+
+def test_stale_commit_lock_is_stolen(spark, tmp_path):
+    """A lock left by a crashed writer (mtime past the stale window) must
+    not block the next commit forever."""
+    path = os.path.join(str(tmp_path), "stale_lock_tbl")
+    upsert.upsert_articles(spark, path, art(spark, [("a", "v1", TS, TS)]))
+    lock = os.path.join(path, upsert._LOCK)
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write("99999 0\n")
+    old = dt.datetime.now().timestamp() - upsert._STALE_SEC - 10
+    os.utime(lock, (old, old))
+    upsert.upsert_articles(spark, path, art(spark, [("b", "v2", TS, TS)]))
+    assert set(_rows(spark, path)) == {"a", "b"}
+    assert not os.path.exists(lock)
+
+
+def test_gc_spares_live_inflight_snapshot_then_sweeps_stale(spark, tmp_path):
+    """GC must not sweep a snapshot another writer is mid-writing (live
+    .inflight marker); once the marker goes stale the orphan is swept."""
+    path = os.path.join(str(tmp_path), "inflight_tbl")
+    upsert.upsert_articles(spark, path, art(spark, [("a", "v1", TS, TS)]))
+    snap = "snap-inflightwriter"
+    os.makedirs(os.path.join(path, snap))
+    marker = upsert._inflight_marker(path, snap)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("123 now\n")
+
+    upsert.upsert_articles(spark, path, art(spark, [("b", "v1", TS, TS)]))
+    assert os.path.exists(os.path.join(path, snap)), "swept a live in-flight"
+
+    old = dt.datetime.now().timestamp() - upsert._STALE_SEC - 10
+    os.utime(marker, (old, old))
+    upsert.upsert_articles(spark, path, art(spark, [("c", "v1", TS, TS)]))
+    assert not os.path.exists(os.path.join(path, snap))
+    assert not os.path.exists(marker)
