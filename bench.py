@@ -193,21 +193,40 @@ def main() -> None:
         print(f"# {name}: {sec:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # hypervisor steal during the run, in cpu-seconds (USER_HZ
-                # jiffies / 100): nonzero-large means the run was throttled
-                # by the host and over-reads every timing
-                "cpu_steal_sec": round((_steal_jiffies() - steal0) / 100, 1),
-            }
-        )
+    meta = {
+        "metric": "headline_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # hypervisor steal during the run, in cpu-seconds (USER_HZ
+        # jiffies / 100): nonzero-large means the run was throttled
+        # by the host and over-reads every timing
+        "cpu_steal_sec": round((_steal_jiffies() - steal0) / 100, 1),
+    }
+    # Full per-query detail goes to a repo file; the stdout one-liner must
+    # fit the driver's 2000-char tail buffer or it records parsed: null
+    # (BENCH_r02/r03 were truncated exactly this way). Keep the TPC-H-ish
+    # headline queries plus the slowest of the rest, dropping fast ones
+    # until the line fits.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump({**meta, "queries": timings}, f, indent=1, sort_keys=True)
+    headline = [n for n in timings if n.startswith("q")]
+    rest = sorted(
+        (n for n in timings if not n.startswith("q")),
+        key=lambda n: -timings[n],
     )
+    keep = headline + rest
+    while keep:
+        line = json.dumps(
+            {**meta, "queries": {n: timings[n] for n in keep}},
+            separators=(",", ":"),
+        )
+        if len(line) <= 1900:
+            break
+        keep.pop()  # drop the fastest remaining non-headline query
+    print(line)
 
 
 if __name__ == "__main__":
