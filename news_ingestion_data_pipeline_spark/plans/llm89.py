@@ -1,0 +1,173 @@
+"""Eighty-ninth wave: crawl-URL canonicalization dedup and
+source-diverse contrastive batch construction.
+
+Two curation stages every production LLM crawl pipeline runs that the
+registry didn't cover yet: URL-level dedup (the cheapest dedup of all —
+kill refetches of the same page BEFORE content hashing; CommonCrawl-style
+pipelines canonicalize scheme/host case, default ports, trailing
+slashes, and tracking parameters first) and contrastive-training batch
+assembly (round-robin over per-source ranks so every batch carries at
+most one document per source — in-batch negatives are only informative
+when they're NOT near-duplicates from the same site).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+#: deterministic raw-URL synthesis — doc_id residues inject the classic
+#: crawl noise: %2 upper-cases the host, %3 appends an explicit default
+#: port, %5 adds a trailing slash, %3==1 appends utm tracking params,
+#: %7==0 appends a MEANINGFUL page param that canonicalization must keep
+_RAW_URL_SQL = """
+  'https://'
+  || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+  || '.Example.COM'
+  || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+  || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+  || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&utm_campaign=c'
+          WHEN doc_id % 7 = 0 THEN '?page=' || CAST(doc_id % 4 AS VARCHAR)
+          ELSE '' END
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+), canon AS (
+  SELECT doc_id, raw_url,
+         'https://'
+         || regexp_replace(
+              lower(regexp_extract(raw_url, '^https://([^/?]+)', 1)),
+              ':443$', '')
+         || rtrim(regexp_extract(raw_url, '^https://[^/?]+(/[^?]*)', 1), '/')
+         || CASE WHEN regexp_extract(raw_url, '[?&]page=([^&]*)', 1) <> ''
+                 THEN '?page=' || regexp_extract(raw_url, '[?&]page=([^&]*)', 1)
+                 ELSE '' END AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_variants
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+""",
+    description="URL-canonicalization dedup — the cheapest dedup stage in "
+    "a crawl pipeline, run BEFORE any content hashing: lowercase the "
+    "host, strip the explicit default port (:443), strip the trailing "
+    "slash, drop tracking parameters (utm_*) while KEEPING meaningful "
+    "ones (page=...), then keep the first doc_id per canonical URL. Raw "
+    "URLs are synthesized deterministically with all four noise classes "
+    "injected by doc_id residue. Pure map-side string expressions "
+    "(parse_url/regexp inside WholeStageCodegen) + one hash aggregate on "
+    "the canonical key — at 100 TB this is exactly the shape of exact "
+    "dedup: no skew risk beyond genuinely popular pages, which AQE "
+    "handles, and the aggregate is map-side combinable.",
+    tags=("dedup", "curation", "url"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 1, F.lit("?utm_source=feed&utm_campaign=c")
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("?page="), (F.col("doc_id") % 4).cast("string")),
+        )
+        .otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", raw.alias("raw_url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("raw_url", r"^https://([^/?]+)", 1)),
+        r":443$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("raw_url", r"^https://[^/?]+(/[^?]*)", 1), r"/+$", ""
+    )
+    page = F.regexp_extract("raw_url", r"[?&]page=([^&]*)", 1)
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(page != "", F.concat(F.lit("?page="), page)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        u.select("doc_id", "raw_url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("raw_url").cast("bigint").alias("n_raw_variants"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+@register(
+    "curation_contrastive_batches",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT CAST(rn - 1 AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM ranked
+GROUP BY rn - 1
+ORDER BY batch_id
+""",
+    description="Contrastive-training batch assembly with guaranteed "
+    "in-batch negative diversity: rank documents within each source by "
+    "(n_chars DESC, doc_id) and assign batch_id = rank - 1, so batch b "
+    "holds the b-th best document OF EACH source — by construction no "
+    "batch ever contains two documents from the same site, which is the "
+    "property that keeps in-batch negatives from being accidental "
+    "near-duplicates (n_docs == n_sources in every output row IS that "
+    "proof, hash-checked against the oracle). The per-source window's "
+    "parallelism equals the source count; a giant/skewed source at "
+    "100 TB uses the same two-pass bucket-rank decomposition shipped in "
+    "operators/ranking.py (coarse n_chars range buckets per source).",
+    tags=("curation", "llm", "sampling"),
+)
+def curation_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy((F.col("rn") - 1).cast("bigint").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .orderBy("batch_id")
+    )
