@@ -220,6 +220,9 @@ PYTHON_FREE = [
 #: cross joins) — everything NOT listed must be free of both
 BNLJ_ALLOWED = frozenset(
     {
+        # 1-row (min, max, count) stats frame cross-joined onto the scan
+        # to derive range buckets for the two-pass distributed rank
+        "agg_equidepth_histogram",
         "agg_hll_cardinality",
         # three 1-row agreement frames glued by crossJoin
         "agg_cohens_kappa",
