@@ -348,3 +348,192 @@ def drop_table(table_path: str) -> None:
     """DROP TABLE IF EXISTS analog (reference
     database_utils/database_methods.py:157-170)."""
     shutil.rmtree(table_path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned MERGE (the Delta/Iceberg file-pruning story)
+# ---------------------------------------------------------------------------
+
+_PMANIFEST = "_MANIFEST_PARTS"
+_PMANIFEST_PREV = "_MANIFEST_PARTS.prev"
+#: partition values become directory names — keep them filesystem-clean
+_SAFE_PART = __import__("re").compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _read_pmanifest(table_path: str, name: str = _PMANIFEST) -> dict:
+    """{"partition_col": str, "parts": {value: snapshot-dir}} or {}."""
+    import json
+
+    mf = os.path.join(table_path, name)
+    if not os.path.exists(mf):
+        return {}
+    with open(mf, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    partition_col: str,
+) -> list[str]:
+    """Partition-pruned MERGE: rewrite ONLY the partitions the batch
+    touches — the flat emulation's full-table rewrite is what non-ACID
+    storage forces, and THIS is what Delta/Iceberg MERGE actually does
+    with its file-level pruning (SURVEY.md §4.3.2 scale note; reference
+    semantics unchanged from ``upsert_articles``).
+
+    Layout: immutable ``snap-*`` dirs hold hive-partitioned parquet
+    (``<col>=<value>/``); ``_MANIFEST_PARTS`` is a JSON map
+    partition-value → owning snapshot. A MERGE reads only the affected
+    partitions (pointer lookup + pruned scan), writes a snapshot
+    containing only those partitions rewritten, and commits by CAS on
+    the affected POINTER ENTRIES under the commit lock — so two writers
+    touching DISJOINT partitions both succeed first-try (Delta-style
+    partition-level conflict detection), and only a genuine overlap
+    forces the loser to re-merge.
+
+    Contract: a key's partition value must be immutable (derive it from
+    an immutable attribute — e.g. publish DATE — exactly the constraint
+    Delta's dynamic partition overwrite carries); values must be
+    non-null and filesystem-safe. Returns the rewritten partition list.
+    """
+    import json
+
+    os.makedirs(table_path, exist_ok=True)
+    updates = updates.withColumn(
+        partition_col, F.col(partition_col).cast("string")
+    )
+    affected = sorted(
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    )
+    for v in affected:
+        if v is None or not _SAFE_PART.match(v):
+            raise ValueError(f"bad partition value for {partition_col}: {v!r}")
+    for _ in range(_MAX_RETRIES + 1):
+        m = _read_pmanifest(table_path)
+        if m and m.get("partition_col") not in (None, partition_col):
+            raise ValueError(
+                f"table is partitioned by {m['partition_col']!r}, "
+                f"not {partition_col!r}"
+            )
+        base_parts = dict(m.get("parts", {}))
+        target = _read_partition_slice(
+            spark,
+            table_path,
+            {p: base_parts[p] for p in affected if p in base_parts},
+            partition_col,
+        )
+        merged = merge_upsert_frames(target, updates)
+        snap = f"snap-{uuid.uuid4().hex}"
+        marker = _inflight_marker(table_path, snap)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(f"{os.getpid()} {time.time()}\n")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            os.path.join(table_path, snap)
+        )
+        lock = _acquire_lock(table_path)
+        try:
+            cur = _read_pmanifest(table_path)
+            cur_parts = dict(cur.get("parts", {}))
+            if any(cur_parts.get(p) != base_parts.get(p) for p in affected):
+                conflict = True
+            else:
+                conflict = False
+                new_m = {
+                    "partition_col": partition_col,
+                    "parts": {**cur_parts, **{p: snap for p in affected}},
+                }
+                if os.path.exists(os.path.join(table_path, _PMANIFEST)):
+                    shutil.copy(
+                        os.path.join(table_path, _PMANIFEST),
+                        os.path.join(table_path, _PMANIFEST_PREV),
+                    )
+                tmp_mf = os.path.join(
+                    table_path, f"._pmanifest_{uuid.uuid4().hex}"
+                )
+                with open(tmp_mf, "w", encoding="utf-8") as f:
+                    json.dump(new_m, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(
+                    tmp_mf, os.path.join(table_path, _PMANIFEST)
+                )  # commit point
+        finally:
+            _release_lock(lock)
+        if conflict:
+            shutil.rmtree(os.path.join(table_path, snap), ignore_errors=True)
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+            continue
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        _gc_partitioned(table_path)
+        return affected
+    raise RuntimeError(
+        f"partitioned upsert lost the commit race "
+        f"{_MAX_RETRIES + 1} times: {table_path}"
+    )
+
+
+def _read_partition_slice(
+    spark: SparkSession,
+    table_path: str,
+    part_to_snap: dict,
+    partition_col: str,
+) -> DataFrame | None:
+    """Read exactly the given partition→snapshot pointers (pruned scan:
+    only the named hive dirs are listed, nothing else is touched)."""
+    if not part_to_snap:
+        return None
+    by_snap: dict[str, list[str]] = {}
+    for p, s in part_to_snap.items():
+        by_snap.setdefault(s, []).append(p)
+    out = None
+    for snap, vals in sorted(by_snap.items()):
+        base = os.path.join(table_path, snap)
+        paths = [os.path.join(base, f"{partition_col}={v}") for v in vals]
+        df = (
+            spark.read.option("basePath", base)
+            .parquet(*paths)
+            # partition-dir type inference varies per snapshot (an
+            # all-digit value infers int); normalize for unionByName
+            .withColumn(partition_col, F.col(partition_col).cast("string"))
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def read_partitioned(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Read the partitioned table's current committed state."""
+    m = _read_pmanifest(table_path)
+    if not m:
+        return None
+    return _read_partition_slice(
+        spark, table_path, m["parts"], m["partition_col"]
+    )
+
+
+def _gc_partitioned(table_path: str) -> None:
+    """Sweep snapshots referenced by NEITHER the current nor the
+    previous manifest (kept for in-flight readers), sparing live
+    in-flight writers — same policy as the flat table's GC."""
+    keep = set(_read_pmanifest(table_path).get("parts", {}).values()) | set(
+        _read_pmanifest(table_path, _PMANIFEST_PREV).get("parts", {}).values()
+    )
+
+    def _live(snap_name: str) -> bool:
+        mk = _inflight_marker(table_path, snap_name)
+        try:
+            return time.time() - os.path.getmtime(mk) <= _STALE_SEC
+        except OSError:
+            return False
+
+    for name in os.listdir(table_path):
+        if not name.startswith("snap-") or name in keep or _live(name):
+            continue
+        shutil.rmtree(os.path.join(table_path, name), ignore_errors=True)

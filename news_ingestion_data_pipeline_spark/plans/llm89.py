@@ -171,3 +171,91 @@ def curation_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+_ROOT = "/tmp/spark_graft_llm89"
+
+
+def _sfx(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+@register(
+    "pipeline_upsert_partition_pruned",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, lang, 'old' AS version FROM documents
+), updates AS (
+  SELECT doc_id, lang, 'new' AS version FROM documents
+  WHERE lang = 'en' AND doc_id % 2 = 0
+), merged AS (
+  SELECT doc_id, lang, version FROM updates
+  UNION ALL
+  SELECT doc_id, lang, version FROM v1
+  WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN version = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       (lang = 'en') AS rewritten
+FROM merged
+GROUP BY lang
+ORDER BY lang
+""",
+    description="Partition-pruned MERGE (operators/upsert.py "
+    "upsert_partitioned — the Delta/Iceberg file-pruning story the flat "
+    "emulation's full rewrite stands in for): seed a lang-partitioned "
+    "table from all documents, then MERGE a batch touching ONLY lang = "
+    "'en'. The `rewritten` column is OBSERVED from the filesystem — true "
+    "iff that partition's owning snapshot pointer changed across the "
+    "commit — while the oracle asserts it must equal (lang = 'en'); an "
+    "implementation that rewrote (or even re-pointed) any other "
+    "partition hash-fails. Row fingerprints certify merge semantics per "
+    "partition. At 100 TB this is the difference between a MERGE that "
+    "scans/writes one day's partition and one that rewrites the table.",
+    tags=("pipeline", "storage", "upsert"),
+)
+def pipeline_upsert_partition_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import upsert as UP
+
+    path = f"{_ROOT}/partpruned_{_sfx(sf_dir)}"
+    UP.drop_table(path)
+    docs = t(spark, sf_dir, "documents")
+    v1 = docs.select(
+        F.col("doc_id").alias("Article_id"),
+        "lang",
+        F.lit("old").alias("version"),
+    )
+    updates = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
+    ).select(
+        F.col("doc_id").alias("Article_id"),
+        "lang",
+        F.lit("new").alias("version"),
+    )
+    UP.upsert_partitioned(spark, path, v1, "lang")
+    m1 = UP._read_pmanifest(path)["parts"]
+    UP.upsert_partitioned(spark, path, updates, "lang")
+    m2 = UP._read_pmanifest(path)["parts"]
+    moved = {p for p in m2 if m1.get(p) != m2[p]}
+    cur = UP.read_partitioned(spark, path)
+    moved_lit = F.array(*[F.lit(p) for p in sorted(moved)])
+    return (
+        cur.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum((F.col("version") == "new").cast("bigint"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum("Article_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("rewritten", F.array_contains(moved_lit, F.col("lang")))
+        .select("lang", "n_rows", "n_new", "sum_ids", "rewritten")
+        .orderBy("lang")
+    )

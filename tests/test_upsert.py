@@ -242,3 +242,143 @@ def test_gc_spares_live_inflight_snapshot_then_sweeps_stale(spark, tmp_path):
     upsert.upsert_articles(spark, path, art(spark, [("c", "v1", TS, TS)]))
     assert not os.path.exists(os.path.join(path, snap))
     assert not os.path.exists(marker)
+
+
+def _part_df(spark, rows):
+    """rows: (Article_id, version, part)"""
+    return spark.createDataFrame(
+        [Row(Article_id=a, version=v, part=p) for a, v, p in rows]
+    )
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """The batch touches one partition: every other partition's parquet
+    files must remain byte-for-byte in place (same paths, same mtimes) —
+    the file-pruning behavior Delta/Iceberg MERGE provides."""
+    import glob
+
+    path = os.path.join(str(tmp_path), "ptbl")
+    upsert.upsert_partitioned(
+        spark,
+        path,
+        _part_df(spark, [("a", "v1", "p1"), ("b", "v1", "p1"), ("c", "v1", "p2"), ("d", "v1", "p3")]),
+        "part",
+    )
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "*", "part=p2", "*.parquet"))
+        + glob.glob(os.path.join(path, "*", "part=p3", "*.parquet"))
+    }
+    assert before, "expected hive partition dirs"
+    rewritten = upsert.upsert_partitioned(
+        spark, path, _part_df(spark, [("a", "v2", "p1"), ("e", "v1", "p1")]), "part"
+    )
+    assert rewritten == ["p1"]
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "*", "part=p2", "*.parquet"))
+        + glob.glob(os.path.join(path, "*", "part=p3", "*.parquet"))
+    }
+    assert after == before, "untouched partitions were rewritten"
+    out = {
+        r.Article_id: (r.version, r.part)
+        for r in upsert.read_partitioned(spark, path).collect()
+    }
+    assert out == {
+        "a": ("v2", "p1"),
+        "b": ("v1", "p1"),
+        "c": ("v1", "p2"),
+        "d": ("v1", "p3"),
+        "e": ("v1", "p1"),
+    }
+
+
+def test_partitioned_upsert_idempotent_rerun(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "ptbl_idem")
+    batch = _part_df(spark, [("a", "v1", "p1"), ("c", "v1", "p2")])
+    upsert.upsert_partitioned(spark, path, batch, "part")
+    once = sorted(
+        tuple(r) for r in upsert.read_partitioned(spark, path).collect()
+    )
+    upsert.upsert_partitioned(spark, path, batch, "part")
+    twice = sorted(
+        tuple(r) for r in upsert.read_partitioned(spark, path).collect()
+    )
+    assert once == twice
+
+
+def test_partitioned_disjoint_writers_no_conflict(spark, tmp_path, monkeypatch):
+    """Writers touching DISJOINT partitions must both commit without a
+    retry — partition-level conflict detection, not whole-table CAS."""
+    path = os.path.join(str(tmp_path), "ptbl_race")
+    upsert.upsert_partitioned(
+        spark, path, _part_df(spark, [("a", "v1", "p1"), ("c", "v1", "p2")]), "part"
+    )
+
+    real_read = upsert._read_pmanifest
+    state = {"injected": False}
+
+    def racing_read(table_path, name=upsert._PMANIFEST):
+        m = real_read(table_path, name)
+        # inject writer B's commit AFTER writer A has read its base
+        # manifest (first read of the outer upsert) but before A commits
+        if not state["injected"] and name == upsert._PMANIFEST:
+            state["injected"] = True
+            monkeypatch.setattr(upsert, "_read_pmanifest", real_read)
+            upsert.upsert_partitioned(
+                spark, path, _part_df(spark, [("z", "v9", "p2")]), "part"
+            )
+            monkeypatch.setattr(upsert, "_read_pmanifest", racing_read)
+        return m
+
+    monkeypatch.setattr(upsert, "_read_pmanifest", racing_read)
+    upsert.upsert_partitioned(
+        spark, path, _part_df(spark, [("b", "v2", "p1")]), "part"
+    )
+    monkeypatch.undo()
+    out = {
+        r.Article_id: (r.version, r.part)
+        for r in upsert.read_partitioned(spark, path).collect()
+    }
+    assert out == {
+        "a": ("v1", "p1"),
+        "b": ("v2", "p1"),
+        "c": ("v1", "p2"),
+        "z": ("v9", "p2"),
+    }
+
+
+def test_partitioned_overlapping_writers_loser_remerges(
+    spark, tmp_path, monkeypatch
+):
+    """Writers racing on the SAME partition: the loser must re-merge and
+    keep the winner's rows."""
+    path = os.path.join(str(tmp_path), "ptbl_race2")
+    upsert.upsert_partitioned(
+        spark, path, _part_df(spark, [("a", "v1", "p1")]), "part"
+    )
+
+    real_read = upsert._read_pmanifest
+    state = {"injected": False}
+
+    def racing_read(table_path, name=upsert._PMANIFEST):
+        m = real_read(table_path, name)
+        if not state["injected"] and name == upsert._PMANIFEST:
+            state["injected"] = True
+            monkeypatch.setattr(upsert, "_read_pmanifest", real_read)
+            upsert.upsert_partitioned(
+                spark, path, _part_df(spark, [("w", "vW", "p1")]), "part"
+            )
+            monkeypatch.setattr(upsert, "_read_pmanifest", racing_read)
+        return m
+
+    monkeypatch.setattr(upsert, "_read_pmanifest", racing_read)
+    upsert.upsert_partitioned(
+        spark, path, _part_df(spark, [("b", "v2", "p1")]), "part"
+    )
+    monkeypatch.undo()
+    out = {
+        r.Article_id: r.version
+        for r in upsert.read_partitioned(spark, path).collect()
+    }
+    assert out == {"a": "v1", "w": "vW", "b": "v2"}, "winner's row lost"
