@@ -537,3 +537,107 @@ def _gc_partitioned(table_path: str) -> None:
         if not name.startswith("snap-") or name in keep or _live(name):
             continue
         shutil.rmtree(os.path.join(table_path, name), ignore_errors=True)
+
+
+def delete_where_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    partition_values: list[str] | None = None,
+) -> list[str]:
+    """Partition-pruned DELETE: rewrite only partitions that can hold
+    matching rows. ``partition_values`` names them when the caller knows
+    (a retention delete on the partition column itself — the common
+    case, where pruning is free); None falls back to scanning each
+    partition for matches first and rewriting only those with hits.
+    Commit/conflict semantics identical to :func:`upsert_partitioned`.
+    """
+    import json
+
+    for _ in range(_MAX_RETRIES + 1):
+        m = _read_pmanifest(table_path)
+        if not m:
+            return []
+        pcol = m["partition_col"]
+        base_parts = dict(m.get("parts", {}))
+        if partition_values is not None:
+            affected = sorted(set(partition_values) & set(base_parts))
+        else:
+            affected = sorted(
+                p
+                for p in base_parts
+                if _read_partition_slice(
+                    spark, table_path, {p: base_parts[p]}, pcol
+                )
+                .filter(condition)
+                .limit(1)
+                .count()
+                > 0
+            )
+        if not affected:
+            return []
+        survivors = _read_partition_slice(
+            spark, table_path, {p: base_parts[p] for p in affected}, pcol
+        ).filter(~condition)
+        snap = f"snap-{uuid.uuid4().hex}"
+        marker = _inflight_marker(table_path, snap)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(f"{os.getpid()} {time.time()}\n")
+        survivors.write.mode("overwrite").partitionBy(pcol).parquet(
+            os.path.join(table_path, snap)
+        )
+        # a partition whose rows were ALL deleted writes no hive dir —
+        # its pointer must be dropped, not pointed at a missing path
+        emptied = {
+            p
+            for p in affected
+            if not os.path.isdir(
+                os.path.join(table_path, snap, f"{pcol}={p}")
+            )
+        }
+        lock = _acquire_lock(table_path)
+        try:
+            cur = _read_pmanifest(table_path)
+            cur_parts = dict(cur.get("parts", {}))
+            if any(cur_parts.get(p) != base_parts.get(p) for p in affected):
+                conflict = True
+            else:
+                conflict = False
+                new_parts = {
+                    p: (snap if p in affected else s)
+                    for p, s in cur_parts.items()
+                    if not (p in emptied)
+                }
+                new_m = {"partition_col": pcol, "parts": new_parts}
+                if os.path.exists(os.path.join(table_path, _PMANIFEST)):
+                    shutil.copy(
+                        os.path.join(table_path, _PMANIFEST),
+                        os.path.join(table_path, _PMANIFEST_PREV),
+                    )
+                tmp_mf = os.path.join(
+                    table_path, f"._pmanifest_{uuid.uuid4().hex}"
+                )
+                with open(tmp_mf, "w", encoding="utf-8") as f:
+                    json.dump(new_m, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(tmp_mf, os.path.join(table_path, _PMANIFEST))
+        finally:
+            _release_lock(lock)
+        if conflict:
+            shutil.rmtree(os.path.join(table_path, snap), ignore_errors=True)
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+            continue
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        _gc_partitioned(table_path)
+        return affected
+    raise RuntimeError(
+        f"partitioned delete lost the commit race "
+        f"{_MAX_RETRIES + 1} times: {table_path}"
+    )

@@ -382,3 +382,50 @@ def test_partitioned_overlapping_writers_loser_remerges(
         for r in upsert.read_partitioned(spark, path).collect()
     }
     assert out == {"a": "v1", "w": "vW", "b": "v2"}, "winner's row lost"
+
+
+def test_partitioned_delete_prunes_and_drops_emptied_partition(spark, tmp_path):
+    """Retention delete on the partition column touches only that
+    partition (others' files untouched); a fully-emptied partition's
+    pointer disappears from the manifest."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "pdel_tbl")
+    upsert.upsert_partitioned(
+        spark,
+        path,
+        _part_df(
+            spark,
+            [("a", "v1", "p1"), ("b", "v1", "p1"), ("c", "v1", "p2"), ("d", "v1", "p3")],
+        ),
+        "part",
+    )
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "*", "part=p1", "*.parquet"))
+    }
+    # delete ALL of p2 (partition known a priori — the retention shape)
+    deleted = upsert.delete_where_partitioned(
+        spark, path, F.col("part") == "p2", partition_values=["p2"]
+    )
+    assert deleted == ["p2"]
+    m = upsert._read_pmanifest(path)
+    assert "p2" not in m["parts"], "emptied partition pointer must drop"
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "*", "part=p1", "*.parquet"))
+    }
+    assert after == before, "untouched partition rewritten by delete"
+    out = {r.Article_id for r in upsert.read_partitioned(spark, path).collect()}
+    assert out == {"a", "b", "d"}
+
+    # predicate NOT on the partition column: fallback scan finds the one
+    # partition with matches and rewrites only it
+    deleted = upsert.delete_where_partitioned(
+        spark, path, F.col("Article_id") == "a"
+    )
+    assert deleted == ["p1"]
+    out = {r.Article_id for r in upsert.read_partitioned(spark, path).collect()}
+    assert out == {"b", "d"}
