@@ -450,3 +450,36 @@ SELECT a.doc_id AS media_id, 'image' AS kind,
        - (CAST(s0 AS DOUBLE) / {n}) * (CAST(s0 AS DOUBLE) / {n})) AS std_0,
   CAST(ph.phash AS BIGINT) AS phash
 FROM agg a JOIN ph ON a.doc_id = ph.doc_id"""
+
+
+def minhash_streaming_dedup_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """First-seen-wins verdict per document: dup iff ANY smaller-id
+    document shares a full LSH band; dup_of = the smallest such id.
+    Mirrors stream_incremental_minhash_dedup's drained final state — the
+    streaming run probes a persistent band index built batch-by-batch in
+    doc_id order, which yields exactly this smaller-id-mate relation."""
+    return f"""WITH norm AS (
+  {_NORM_CTE}
+), xrows AS (
+  SELECT id, unnest(list_distinct(list_transform(
+    range(1, greatest(length(s) - 3, 1)),
+    i -> CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+  ))) % {_MINHASH_P} AS x
+  FROM norm
+), sig AS (
+  SELECT id,
+    {_sig_cols(num_hashes)}
+  FROM xrows GROUP BY id
+), bands AS (
+  {_band_union(num_hashes, bands)}
+), dup AS (
+  SELECT x.id AS id, CAST(MIN(a.id) AS BIGINT) AS dup_of
+  FROM bands a JOIN bands x
+    ON a.band = x.band AND a.bucket = x.bucket AND a.id < x.id
+  GROUP BY x.id
+)
+SELECT n.id AS doc_id,
+       d.dup_of IS NOT NULL AS is_dup,
+       d.dup_of
+FROM norm n LEFT JOIN dup d ON d.id = n.id
+ORDER BY doc_id"""
