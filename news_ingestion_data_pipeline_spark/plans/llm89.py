@@ -370,3 +370,113 @@ def stream_incremental_minhash_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_minhash_dedup_late_data",
+    oracle=OSQL.minhash_streaming_dedup_oracle(),
+    description="Out-of-order (late-data) variant of "
+    "stream_incremental_minhash_dedup: the four quartile files are "
+    "streamed in REVERSE id order, so most of a document's smaller-id "
+    "band-mates arrive AFTER it. Each micro-batch therefore probes both "
+    "directions — new-vs-index for smaller-id mates already seen AND "
+    "index-vs-new for already-seen docs whose smaller-id mate just "
+    "arrived late (the reconciliation a watermark-correction sink "
+    "performs) — appending candidate-pair facts; the drain-time "
+    "aggregate min(mate) yields verdicts IDENTICAL to the in-order run "
+    "and to the whole-corpus oracle, proving arrival-order independence. "
+    "Every pair (a < x) is discovered exactly once-or-more: by x's "
+    "forward probe if a arrived first, by a's reverse probe if x did, "
+    "by the in-batch self-join if together — so no late arrival is ever "
+    "lost, without ever joining index-vs-index.",
+    tags=("streaming", "dedup", "llm"),
+)
+def stream_minhash_dedup_late_data(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from news_ingestion_data_pipeline_spark.operators import dedup as DD
+
+    sfx = _sfx(sf_dir)
+    src = f"{_ROOT}/docs_rev4_{sfx}"
+    index = f"{_ROOT}/mhl_index_{sfx}"
+    pairs = f"{_ROOT}/mhl_pairs_{sfx}"
+    for p in (src, index, pairs):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = docs.withColumn("q", F.ntile(4).over(Window.orderBy("doc_id")))
+    base_t = 1_700_000_000
+    for k in range(1, 5):
+        tmp = f"{src}/_tmp{k}"
+        q.filter(F.col("q") == k).drop("q").coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        # reversed mtimes AND reversed names: quartile 4 streams first
+        tgt = f"{src}/{5 - k:02d}.parquet"
+        shutil.move(part, tgt)
+        shutil.rmtree(tmp)
+        os.utime(tgt, (base_t + 5 - k, base_t + 5 - k))
+
+    def probe_both_ways(batch: DataFrame, _bid: int) -> None:
+        s = batch.sparkSession
+        sigs = DD.minhash_signatures(batch, id_col="doc_id", text_col="text")
+        entries = DD.band_entry_table(sigs, num_hashes=32, bands=8)
+        x, a = entries.alias("x"), entries.alias("a")
+        same = (
+            (F.col("a.band") == F.col("x.band"))
+            & (F.col("a.bucket") == F.col("x.bucket"))
+            & (F.col("a.id") < F.col("x.id"))
+        )
+        found = x.join(a, same).select(
+            F.col("x.id").alias("id"), F.col("a.id").alias("mate")
+        )
+        if os.path.exists(index):
+            idx = s.read.parquet(index)
+            # forward: new docs vs earlier-arrived smaller ids
+            fwd = entries.alias("x").join(idx.alias("a"), same).select(
+                F.col("x.id").alias("id"), F.col("a.id").alias("mate")
+            )
+            # reverse: earlier-arrived docs whose smaller-id mate is LATE
+            rev = idx.alias("x").join(entries.alias("a"), same).select(
+                F.col("x.id").alias("id"), F.col("a.id").alias("mate")
+            )
+            found = found.unionByName(fwd).unionByName(rev)
+        found.write.mode("append").parquet(pairs)
+        entries.write.mode("append").parquet(index)
+
+    name = f"stream_mhlate_{sfx}"
+    for qq in spark.streams.active:
+        if qq.name == name:
+            qq.stop()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(probe_both_ways)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    stream.stop()
+
+    found = (
+        spark.read.parquet(pairs)
+        if glob.glob(f"{pairs}/*.parquet")
+        else spark.createDataFrame([], "id long, mate long")
+    )
+    dup = found.groupBy("id").agg(F.min("mate").alias("dup_of"))
+    return (
+        docs.select("doc_id")
+        .join(dup, docs["doc_id"] == dup["id"], "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
