@@ -641,3 +641,97 @@ def delete_where_partitioned(
         f"partitioned delete lost the commit race "
         f"{_MAX_RETRIES + 1} times: {table_path}"
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    target_files_per_partition: int = 1,
+    partition_values: list[str] | None = None,
+) -> list[str]:
+    """OPTIMIZE analog for the partitioned table: rewrite each selected
+    partition's many small files into ``target_files_per_partition``
+    coalesced files — data unchanged, only layout — and swap the
+    pointers with the same partition-level CAS as a MERGE, so a
+    concurrent writer on other partitions is untouched and a concurrent
+    writer on a compacted partition wins cleanly (compaction retries or
+    skips; it never clobbers data commits). Partitions already at or
+    below the target file count are skipped (nothing to do)."""
+    import glob as _glob
+    import json
+
+    for _ in range(_MAX_RETRIES + 1):
+        m = _read_pmanifest(table_path)
+        if not m:
+            return []
+        pcol = m["partition_col"]
+        base_parts = dict(m.get("parts", {}))
+        todo = sorted(
+            p
+            for p in (partition_values or base_parts)
+            if p in base_parts
+            and len(
+                _glob.glob(
+                    os.path.join(
+                        table_path, base_parts[p], f"{pcol}={p}", "*.parquet"
+                    )
+                )
+            )
+            > target_files_per_partition
+        )
+        if not todo:
+            return []
+        data = _read_partition_slice(
+            spark, table_path, {p: base_parts[p] for p in todo}, pcol
+        ).repartition(target_files_per_partition * len(todo), pcol)
+        snap = f"snap-{uuid.uuid4().hex}"
+        marker = _inflight_marker(table_path, snap)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(f"{os.getpid()} {time.time()}\n")
+        data.write.mode("overwrite").partitionBy(pcol).parquet(
+            os.path.join(table_path, snap)
+        )
+        lock = _acquire_lock(table_path)
+        try:
+            cur = _read_pmanifest(table_path)
+            cur_parts = dict(cur.get("parts", {}))
+            if any(cur_parts.get(p) != base_parts.get(p) for p in todo):
+                conflict = True
+            else:
+                conflict = False
+                new_m = {
+                    "partition_col": pcol,
+                    "parts": {**cur_parts, **{p: snap for p in todo}},
+                }
+                if os.path.exists(os.path.join(table_path, _PMANIFEST)):
+                    shutil.copy(
+                        os.path.join(table_path, _PMANIFEST),
+                        os.path.join(table_path, _PMANIFEST_PREV),
+                    )
+                tmp_mf = os.path.join(
+                    table_path, f"._pmanifest_{uuid.uuid4().hex}"
+                )
+                with open(tmp_mf, "w", encoding="utf-8") as f:
+                    json.dump(new_m, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(tmp_mf, os.path.join(table_path, _PMANIFEST))
+        finally:
+            _release_lock(lock)
+        if conflict:
+            shutil.rmtree(os.path.join(table_path, snap), ignore_errors=True)
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+            continue
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        _gc_partitioned(table_path)
+        return todo
+    raise RuntimeError(
+        f"compaction lost the commit race {_MAX_RETRIES + 1} times: "
+        f"{table_path}"
+    )

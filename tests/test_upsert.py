@@ -429,3 +429,50 @@ def test_partitioned_delete_prunes_and_drops_emptied_partition(spark, tmp_path):
     assert deleted == ["p1"]
     out = {r.Article_id for r in upsert.read_partitioned(spark, path).collect()}
     assert out == {"b", "d"}
+
+
+def test_compact_partitions_reduces_files_keeps_data(spark, tmp_path):
+    """OPTIMIZE analog: many small files per partition become one; data
+    hash-identical; already-compact partitions are skipped."""
+    import glob
+
+    import json
+
+    path = os.path.join(str(tmp_path), "ctbl")
+    # seed a deliberately fragmented snapshot by hand (MERGE writes are
+    # AQE-coalesced, so fragmentation in production accrues from many
+    # commits — emulate the accrued state directly)
+    snap = "snap-fragmented0"
+    wide = spark.createDataFrame(
+        [Row(Article_id=f"k{i}", version="v1", part="p1") for i in range(40)]
+        + [Row(Article_id="solo", version="v1", part="p2")]
+    ).repartition(8)
+    wide.write.partitionBy("part").parquet(os.path.join(path, snap))
+    with open(os.path.join(path, upsert._PMANIFEST), "w") as f:
+        json.dump(
+            {"partition_col": "part", "parts": {"p1": snap, "p2": snap}}, f
+        )
+    m = upsert._read_pmanifest(path)
+    p1_files = glob.glob(
+        os.path.join(path, m["parts"]["p1"], "part=p1", "*.parquet")
+    )
+    assert len(p1_files) > 1, "fixture failed to fragment p1"
+    before = sorted(
+        tuple(r) for r in upsert.read_partitioned(spark, path).collect()
+    )
+    p2_snap = m["parts"]["p2"]
+
+    compacted = upsert.compact_partitions(spark, path)
+    m2 = upsert._read_pmanifest(path)
+    assert "p1" in compacted
+    assert m2["parts"]["p2"] == p2_snap or "p2" in compacted
+    p1_after = glob.glob(
+        os.path.join(path, m2["parts"]["p1"], "part=p1", "*.parquet")
+    )
+    assert len(p1_after) == 1
+    after = sorted(
+        tuple(r) for r in upsert.read_partitioned(spark, path).collect()
+    )
+    assert after == before, "compaction changed data"
+    # second pass: nothing left to do
+    assert upsert.compact_partitions(spark, path) == []
