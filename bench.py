@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "sim_pq_adc_topk",
     "curation_dedup_decision",
     "events_psi_drift",
+    "dedup_url_canonical",
+    "curation_contrastive_batches",
 ]
 
 

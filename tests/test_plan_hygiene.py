@@ -27,6 +27,8 @@ PY_MARKERS = (
 PYTHON_FREE = [
     "q1_pricing_summary",
     "q18_large_volume_customers",
+    "dedup_url_canonical",
+    "curation_contrastive_batches",
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
     "dedup_minhash_verified",
