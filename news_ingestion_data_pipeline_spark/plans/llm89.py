@@ -480,3 +480,140 @@ def stream_minhash_dedup_late_data(
         )
         .orderBy("doc_id")
     )
+
+
+_CANON_SQL = """'https://'
+         || regexp_replace(
+              lower(regexp_extract(raw_url, '^https://([^/?]+)', 1)),
+              ':443$', '')
+         || rtrim(regexp_extract(raw_url, '^https://[^/?]+(/[^?]*)', 1), '/')
+         || CASE WHEN regexp_extract(raw_url, '[?&]page=([^&]*)', 1) <> ''
+                 THEN '?page=' || regexp_extract(raw_url, '[?&]page=([^&]*)', 1)
+                 ELSE '' END"""
+
+
+def _dedup_funnel_oracle() -> str:
+    from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
+
+    return f"""WITH norm AS (
+  SELECT doc_id AS id, {SQL_NORM.format(col='text')} AS s FROM documents
+), raw AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+), canon AS (
+  SELECT doc_id, {_CANON_SQL} AS cu FROM raw
+), url_dup AS (
+  SELECT c.doc_id AS id
+  FROM canon c JOIN (SELECT cu, MIN(doc_id) AS m FROM canon GROUP BY cu) g
+    ON c.cu = g.cu AND c.doc_id > g.m
+), exact_dup AS (
+  SELECT n.id
+  FROM norm n JOIN (SELECT md5(s) AS k, MIN(id) AS m FROM norm GROUP BY 1) g
+    ON md5(n.s) = g.k AND n.id > g.m
+), {OSQL.minhash_dup_flag_cte()},
+labeled AS (
+  SELECT n.id,
+         CASE WHEN n.id IN (SELECT id FROM url_dup) THEN '1_url'
+              WHEN n.id IN (SELECT id FROM exact_dup) THEN '2_exact'
+              WHEN n.id IN (SELECT id FROM mh_dup) THEN '3_near'
+              ELSE '4_kept' END AS stage
+  FROM norm n
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM labeled), 4) AS pct
+FROM labeled GROUP BY stage ORDER BY stage"""
+
+
+@register(
+    "curation_dedup_funnel",
+    oracle=_dedup_funnel_oracle(),
+    description="The multi-stage dedup funnel every training-data report "
+    "leads with: URL-canonical dedup (cheapest, no content reads) -> "
+    "exact content dedup (md5 of normalized text) -> MinHash-LSH "
+    "near-dedup (32 perms, 8 bands), each doc labeled with the FIRST "
+    "stage that would drop it (smaller-id winner per group / band-mate), "
+    "aggregated to per-stage drop counts and percentages. Stage flags "
+    "are each one hash-aggregate or banded equi-join over the corpus — "
+    "the cascade is label arithmetic, not repeated filtering, so the "
+    "whole funnel costs one pass per stage at 100 TB and the cheap "
+    "stages' labels are not recomputed by the expensive ones.",
+    tags=("curation", "dedup", "llm"),
+)
+def curation_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.functions import text as TX
+    from news_ingestion_data_pipeline_spark.operators import dedup as DD
+
+    docs = t(spark, sf_dir, "documents")
+    total = docs.count()
+
+    d = docs.select("doc_id", "source", "text")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 1, F.lit("?utm_source=feed&utm_campaign=c")
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("?page="), (F.col("doc_id") % 4).cast("string")),
+        )
+        .otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", raw.alias("raw_url"), "text")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("raw_url", r"^https://([^/?]+)", 1)),
+        r":443$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("raw_url", r"^https://[^/?]+(/[^?]*)", 1), r"/+$", ""
+    )
+    page = F.regexp_extract("raw_url", r"[?&]page=([^&]*)", 1)
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(page != "", F.concat(F.lit("?page="), page)).otherwise(
+            F.lit("")
+        ),
+    )
+    wu = Window.partitionBy("cu")
+    wx = Window.partitionBy("k")
+    flagged = (
+        u.select(
+            "doc_id",
+            canonical.alias("cu"),
+            F.md5(TX.normalize_text(F.col("text"))).alias("k"),
+        )
+        .withColumn("url_dup", F.col("doc_id") > F.min("doc_id").over(wu))
+        .withColumn("exact_dup", F.col("doc_id") > F.min("doc_id").over(wx))
+    )
+    near_ids = (
+        DD.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    labeled = flagged.join(near_ids, "doc_id", "left").select(
+        F.when(F.col("url_dup"), "1_url")
+        .when(F.col("exact_dup"), "2_exact")
+        .when(F.col("near_dup").isNotNull(), "3_near")
+        .otherwise("4_kept")
+        .alias("stage")
+    )
+    return (
+        labeled.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "pct",
+            F.round(F.col("n_docs") * F.lit(100.0) / F.lit(total), 4),
+        )
+        .orderBy("stage")
+    )

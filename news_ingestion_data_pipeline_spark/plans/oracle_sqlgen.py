@@ -483,3 +483,26 @@ SELECT n.id AS doc_id,
        d.dup_of
 FROM norm n LEFT JOIN dup d ON d.id = n.id
 ORDER BY doc_id"""
+
+
+def minhash_dup_flag_cte(num_hashes: int = 32, bands: int = 8) -> str:
+    """CTE chain ending in ``mh_dup(id)`` — the set of documents with at
+    least one SMALLER-id full-band LSH mate (first-seen-wins dup flag),
+    for composition into multi-stage funnels."""
+    return f"""mh_xrows AS (
+  SELECT id, unnest(list_distinct(list_transform(
+    range(1, greatest(length(s) - 3, 1)),
+    i -> CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+  ))) % {_MINHASH_P} AS x
+  FROM norm
+), mh_sig AS (
+  SELECT id,
+    {_sig_cols(num_hashes)}
+  FROM mh_xrows GROUP BY id
+), mh_bands AS (
+  {_band_union(num_hashes, bands).replace("FROM sig", "FROM mh_sig")}
+), mh_dup AS (
+  SELECT DISTINCT x.id
+  FROM mh_bands a JOIN mh_bands x
+    ON a.band = x.band AND a.bucket = x.bucket AND a.id < x.id
+)"""
