@@ -648,6 +648,7 @@ def compact_partitions(
     table_path: str,
     target_files_per_partition: int = 1,
     partition_values: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> list[str]:
     """OPTIMIZE analog for the partitioned table: rewrite each selected
     partition's many small files into ``target_files_per_partition``
@@ -656,7 +657,16 @@ def compact_partitions(
     concurrent writer on other partitions is untouched and a concurrent
     writer on a compacted partition wins cleanly (compaction retries or
     skips; it never clobbers data commits). Partitions already at or
-    below the target file count are skipped (nothing to do)."""
+    below the target file count are skipped (nothing to do).
+
+    ``cluster_by`` is the OPTIMIZE ... ZORDER BY analog: output files
+    are split by RANGE over the cluster columns (repartitionByRange +
+    sortWithinPartitions) instead of by hash, so each file covers a
+    disjoint cluster-key range and min/max footer zone maps prune
+    key-filtered scans to one file instead of all of them — the whole
+    point of clustering. For multi-column z-ordering, pass a
+    precomputed interleaved-bits column (plans/llm24's Morton zval
+    construction) as the single cluster key."""
     import glob as _glob
     import json
 
@@ -670,20 +680,33 @@ def compact_partitions(
             p
             for p in (partition_values or base_parts)
             if p in base_parts
-            and len(
-                _glob.glob(
-                    os.path.join(
-                        table_path, base_parts[p], f"{pcol}={p}", "*.parquet"
+            and (
+                cluster_by is not None  # re-layout is the point: no skip
+                or len(
+                    _glob.glob(
+                        os.path.join(
+                            table_path,
+                            base_parts[p],
+                            f"{pcol}={p}",
+                            "*.parquet",
+                        )
                     )
                 )
+                > target_files_per_partition
             )
-            > target_files_per_partition
         )
         if not todo:
             return []
         data = _read_partition_slice(
             spark, table_path, {p: base_parts[p] for p in todo}, pcol
-        ).repartition(target_files_per_partition * len(todo), pcol)
+        )
+        n_out = target_files_per_partition * len(todo)
+        if cluster_by:
+            data = data.repartitionByRange(
+                n_out, pcol, *cluster_by
+            ).sortWithinPartitions(pcol, *cluster_by)
+        else:
+            data = data.repartition(n_out, pcol)
         snap = f"snap-{uuid.uuid4().hex}"
         marker = _inflight_marker(table_path, snap)
         with open(marker, "w", encoding="utf-8") as f:

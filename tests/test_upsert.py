@@ -476,3 +476,53 @@ def test_compact_partitions_reduces_files_keeps_data(spark, tmp_path):
     assert after == before, "compaction changed data"
     # second pass: nothing left to do
     assert upsert.compact_partitions(spark, path) == []
+
+
+def test_clustered_compaction_yields_disjoint_file_ranges(spark, tmp_path):
+    """OPTIMIZE ... ZORDER analog: cluster_by splits a partition into
+    files covering DISJOINT key ranges (zone-map-prunable), where hash
+    compaction leaves every file spanning the full key range."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "ztbl")
+    snap = "snap-seed0"
+    rows = [
+        Row(Article_id=f"k{i}", version=str(i % 997), part="p1")
+        for i in range(400)
+    ]
+    spark.createDataFrame(rows).repartition(8).write.partitionBy(
+        "part"
+    ).parquet(os.path.join(path, snap))
+    with open(os.path.join(path, upsert._PMANIFEST), "w") as f:
+        json.dump({"partition_col": "part", "parts": {"p1": snap}}, f)
+
+    def file_key_ranges():
+        m = upsert._read_pmanifest(path)
+        out = []
+        for fp in glob.glob(
+            os.path.join(path, m["parts"]["p1"], "part=p1", "*.parquet")
+        ):
+            r = (
+                spark.read.parquet(fp)
+                .agg(F.min("Article_id"), F.max("Article_id"))
+                .collect()[0]
+            )
+            out.append((r[0], r[1]))
+        return sorted(out)
+
+    upsert.compact_partitions(
+        spark, path, target_files_per_partition=4, cluster_by=["Article_id"]
+    )
+    ranges = file_key_ranges()
+    assert len(ranges) >= 2, "clustered compaction produced a single file"
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {ranges}"
+    # data unchanged
+    got = {
+        r.Article_id: r.version
+        for r in upsert.read_partitioned(spark, path).collect()
+    }
+    assert got == {f"k{i}": str(i % 997) for i in range(400)}
