@@ -261,6 +261,59 @@ def _gc_snapshots(table_path: str, keep: set[str]) -> None:
             pass
 
 
+def vacuum_snapshots(table_path: str, keep_latest: int = 1) -> tuple[int, int]:
+    """Expire superseded snapshots beyond a retention count (the VACUUM /
+    expire_snapshots maintenance command of a Delta/Iceberg table).
+
+    Under the commit lock (so the manifest can't move mid-scan): keep the
+    ``keep_latest`` newest ``snap-*`` dirs by mtime — always including the
+    manifest's current snapshot, whatever its age — plus anything a live
+    writer has in flight; remove the rest and their stale markers.
+
+    Returns ``(n_snapshots_before, n_removed)``. Removing the previous
+    snapshot trades time-travel depth for space — exactly the contract of
+    ``VACUUM table RETAIN n``; readers pinned to an expired snapshot must
+    re-resolve, which is also the production semantics.
+    """
+    lock = _acquire_lock(table_path)
+    try:
+        current = _current_snapshot(table_path)
+
+        def _live(snap_name: str) -> bool:
+            m = _inflight_marker(table_path, snap_name)
+            try:
+                return time.time() - os.path.getmtime(m) <= _STALE_SEC
+            except OSError:
+                return False
+
+        snaps = [
+            n
+            for n in os.listdir(table_path)
+            if n.startswith("snap-")
+            and os.path.isdir(os.path.join(table_path, n))
+        ]
+        snaps.sort(
+            key=lambda n: os.path.getmtime(os.path.join(table_path, n)),
+            reverse=True,
+        )
+        keep = set(snaps[: max(keep_latest, 0)])
+        if current:
+            keep.add(current)
+        removed = 0
+        for name in snaps:
+            if name in keep or _live(name):
+                continue
+            shutil.rmtree(os.path.join(table_path, name), ignore_errors=True)
+            try:
+                os.remove(_inflight_marker(table_path, name))
+            except OSError:
+                pass
+            removed += 1
+        return len(snaps), removed
+    finally:
+        _release_lock(lock)
+
+
 def read_articles(spark: SparkSession, table_path: str) -> DataFrame | None:
     """Read the articles table; None when it doesn't exist yet (the
     create-if-not-exists analog, reference
