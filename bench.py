@@ -131,6 +131,12 @@ BENCH_QUERIES = [
     "events_psi_drift",
     "dedup_url_canonical",
     "curation_contrastive_batches",
+    "scan_weblog_grok",
+    "text_unicode_clean",
+    "dedup_homoglyph_skeleton",
+    "curation_l_diversity",
+    "multimodal_audio_vad_segments",
+    "stream_watermark_late_drop",
 ]
 
 

@@ -36,7 +36,7 @@ late-dropped rows (window closed a batch ago).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
@@ -44,14 +44,19 @@ from news_ingestion_data_pipeline_spark.plans.registry import register, t
 _SQL_VAL_SUM = "CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)"
 _ROOT = "/tmp/spark_graft_llm94"
 
-#: batch assignment shared by both engines: time-quartile, with rows
-#: whose event_id % 23 == 0 arriving one batch late (except quartile 4)
+#: batch assignment shared by both engines: quarter of the corpus time
+#: RANGE (exact integer epoch-microsecond math — a pure map, no global
+#: sort), with rows whose event_id % 23 == 0 arriving one batch late
+#: (except quartile 4)
 _BATCH_SQL = """
   SELECT event_id, ts, event_type, value,
          CASE WHEN event_id % 23 = 0 AND q < 4 THEN q + 1 ELSE q END AS batch
   FROM (SELECT event_id, ts, event_type, value,
-               ntile(4) OVER (ORDER BY ts, event_id) AS q
-        FROM events)
+               CAST(1 + ((epoch_us(ts) - mn) * 4) // (mx - mn + 1) AS BIGINT)
+                 AS q
+        FROM events,
+             (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+              FROM events))
 """
 
 
@@ -121,14 +126,33 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    # harness prep (not the measured operator): global ntile to re-lay
-    # the corpus as arrival files, same single-pass window as llm89
-    q = ev.withColumn("q", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    # harness prep (not the measured operator): re-lay the corpus as
+    # arrival files by time-RANGE quartile — exact integer epoch math,
+    # a pure map over one broadcast (min, max) scalar, no global sort
+    bounds = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mn"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx"),
+    )
+    q = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "q",
+            F.expr(
+                "CAST(1 + ((unix_micros(CAST(ts AS TIMESTAMP)) - mn) * 4)"
+                " DIV (mx - mn + 1)"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("mn", "mx")
+    )
     batched = q.withColumn(
         "batch",
         F.when((F.col("event_id") % 23 == 0) & (F.col("q") < 4), F.col("q") + 1)
         .otherwise(F.col("q")),
     ).drop("q")
+    # one lineage break: the four per-file filters below would otherwise
+    # re-scan events (and re-run the bounds aggregate) once per file
+    batched = batched.localCheckpoint(eager=True)
     base_t = 1_700_000_000
     for k in range(1, 5):
         tmp = f"{src}/_tmp{k}"
