@@ -348,6 +348,61 @@ def sample_frames(media: DataFrame, every_ms: int = 500, decoder: str = "fake") 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA_DDL)
 
 
+AUG_SCHEMA_DDL = (
+    "media_id bigint, aug string, out_h int, out_w int, crop_payload binary"
+)
+
+
+def augment_images(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Deterministic training-time image augmentation (1:N via
+    mapInPandas): horizontal flip and center-crop-half variants per
+    image, each emitting its output dims plus the augmented image's 8×8
+    top-left crop bytes — enough to verify the index transform
+    byte-for-byte without shipping whole images through the shuffle.
+
+    Real path decodes through the BMP/PPM parser first, so augmentation
+    exercises decode → transform end to end; numpy slicing only (flip is
+    a negative-stride view, crop a sub-view — no pixel copies until the
+    8×8 verification crop is materialized).
+    """
+    decode = DECODERS[decoder]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode(bytes(payload), meta)
+                h, w = img.shape[0], img.shape[1]
+                variants = (
+                    ("flip", img[:, ::-1, :]),
+                    (
+                        "crop",
+                        img[
+                            h // 4 : h // 4 + h // 2,
+                            w // 4 : w // 4 + w // 2,
+                            :,
+                        ],
+                    ),
+                )
+                for aug, a in variants:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "aug": aug,
+                            "out_h": a.shape[0],
+                            "out_w": a.shape[1],
+                            "crop_payload": a[:8, :8].tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["media_id", "aug", "out_h", "out_w", "crop_payload"]
+            )
+
+    return media.mapInPandas(batches, schema=AUG_SCHEMA_DDL)
+
+
 AUDIO_WINDOW_SCHEMA_DDL = (
     "media_id bigint, win_no int, win_start_ms int, rms double, "
     "zero_crossings int, peak int"

@@ -126,6 +126,26 @@ ORDER BY step"""
     tags=("text", "llm", "tokenizer"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state, merges = bpe_train(spark, sf_dir)
+    vocab = (
+        state.select(F.explode(_syms_col()).alias("sym"))
+        .agg(F.countDistinct("sym").cast("bigint").alias("vocab_size_after"))
+    )
+    rules = spark.createDataFrame(
+        merges, "step int, merged_pair string, pair_count bigint"
+    )
+    return rules.crossJoin(F.broadcast(vocab)).orderBy("step")
+
+
+def _syms_col():
+    return F.filter(F.split("st", _SEP), lambda x: x != "")
+
+
+def bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the 3-iteration BPE trainer; returns (final_state_df, merges)
+    where final_state_df is (w, freq, st sentinel-joined symbols) and
+    merges is [(step, 'a b', count)]. Shared by the trainer query and
+    the per-language compression eval (llm98)."""
     from news_ingestion_data_pipeline_spark.functions import text as TX
 
     docs = t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
@@ -141,9 +161,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(_SEP), F.array_join(chars, _SEP)).alias("st"),
     ).localCheckpoint(eager=True)
 
-    def syms_col():
-        return F.filter(F.split("st", _SEP), lambda x: x != "")
-
+    syms_col = _syms_col
     merges = []
     for step in range(1, _ITERS + 1):
         s = state.withColumn("s", syms_col())
@@ -183,15 +201,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.select("w", "freq", fused.alias("st"))
             .localCheckpoint(eager=True)
         )
-
-    vocab = (
-        state.select(F.explode(syms_col()).alias("sym"))
-        .agg(F.countDistinct("sym").cast("bigint").alias("vocab_size_after"))
-    )
-    rules = spark.createDataFrame(
-        merges, "step int, merged_pair string, pair_count bigint"
-    )
-    return rules.crossJoin(F.broadcast(vocab)).orderBy("step")
+    return state, merges
 
 
 @register(
