@@ -1,0 +1,192 @@
+"""Hundred-first wave: secondary point-lookup index and delta-driven
+dimension-correction backfill.
+
+  * storage_point_lookup_index — zone maps (scan_zonemap_skip) prune
+    RANGE predicates on the layout column; a point lookup on an
+    UNCORRELATED high-cardinality column (text md5) needs a secondary
+    index: a tiny (key, file) table built once per layout.  The lookup
+    consults the index, then reads ONLY the named files — the query
+    output carries the files-read count, oracle-pinned against the
+    layout rule, so an implementation that scanned everything fails.
+  * pipeline_dim_correction_backfill — the incremental-maintenance
+    twin of a full dimension re-join: when a correction batch rewrites
+    5% of customer segments, only facts keyed to CHANGED customers can
+    change attribution; the backfill joins the fact table against the
+    correction delta (broadcast — it is small by construction) and
+    emits only the re-attributed rows, aggregated as a segment-
+    transition matrix.  At 100 TB this is the difference between
+    re-joining every fact nightly and touching 5% of one join's
+    output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+_ROOT = "/tmp/spark_graft_llm101"
+_N_FILES = 8
+#: the probe document whose text md5 is looked up
+_PROBE_ID = 137
+
+
+@register(
+    "storage_point_lookup_index",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MAX(doc_id) AS mx FROM documents
+), laid AS (
+  SELECT doc_id, text, md5(text) AS k,
+         CAST((doc_id * {_N_FILES}) // (mx + 1) AS BIGINT) AS file_no
+  FROM documents, bounds
+), probe AS (
+  SELECT md5(text) AS k FROM documents WHERE doc_id = {_PROBE_ID}
+), hits AS (
+  SELECT l.doc_id, l.file_no FROM laid l JOIN probe p ON l.k = p.k
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(file_no AS BIGINT) AS file_no,
+       CAST((SELECT COUNT(DISTINCT file_no) FROM hits) AS BIGINT)
+         AS n_files_read,
+       CAST({_N_FILES} AS BIGINT) AS n_files_total
+FROM hits
+ORDER BY doc_id
+""",
+    description="Secondary point-lookup index — the structure zone maps "
+    "can't replace: the corpus is laid out as 8 doc_id-range files "
+    "(text md5 is uncorrelated with that order, so min/max pruning is "
+    "useless for it); a (md5-key, file) index table is built once from "
+    "the same pass that wrote the layout; the lookup consults the "
+    "index for one document's md5 and then reads ONLY the named "
+    "file(s) from disk. n_files_read is observed from the actual "
+    "pruned read and oracle-pinned against the layout rule — exact "
+    "duplicate texts in other files legitimately widen it, which the "
+    "oracle also reproduces. At 100 TB the index is a bucketed table "
+    "keyed by hash prefix and the lookup cost is index-probe + "
+    "one-file read, not a corpus scan.",
+    tags=("storage", "scan", "dedup"),
+)
+def storage_point_lookup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_ROOT}/plk_{sfx}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    laid = docs.withColumn(
+        "file_no",
+        F.expr(f"CAST((doc_id * {_N_FILES}) DIV ({mx} + 1) AS BIGINT)"),
+    )
+    for k in range(_N_FILES):
+        tmp = f"{base}/_tmp{k}"
+        laid.filter(F.col("file_no") == k).drop("file_no").orderBy(
+            "doc_id"
+        ).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{base}/{k:02d}.parquet")
+        shutil.rmtree(tmp)
+
+    # the secondary index: built from the SAME pass that wrote the
+    # layout (no re-read), tiny relative to the data
+    index = laid.select(
+        F.md5("text").alias("k"), "file_no"
+    ).localCheckpoint(eager=True)
+
+    probe_key = (
+        docs.filter(F.col("doc_id") == _PROBE_ID)
+        .select(F.md5("text").alias("k"))
+        .collect()[0]
+        .k
+    )
+    files = sorted(
+        r.file_no
+        for r in index.filter(F.col("k") == probe_key)
+        .select("file_no")
+        .distinct()
+        .collect()
+    )
+    paths = [f"{base}/{k:02d}.parquet" for k in files]
+    hit_rows = (
+        spark.read.parquet(*paths)
+        .filter(F.md5("text") == probe_key)
+        .select("doc_id")
+    )
+    return (
+        hit_rows.withColumn(
+            "file_no",
+            F.expr(f"CAST((doc_id * {_N_FILES}) DIV ({mx} + 1) AS BIGINT)"),
+        )
+        .withColumn("n_files_read", F.lit(len(paths)).cast("bigint"))
+        .withColumn("n_files_total", F.lit(_N_FILES).cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_dim_correction_backfill",
+    oracle="""
+WITH seg AS (
+  SELECT c_custkey,
+         c_mktsegment AS old_seg,
+         CASE WHEN c_custkey % 20 = 3
+              THEN 'CORRECTED' ELSE c_mktsegment END AS new_seg
+  FROM customer
+), delta AS (
+  SELECT * FROM seg WHERE old_seg <> new_seg
+)
+SELECT d.old_seg, d.new_seg,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS moved_revenue
+FROM orders o JOIN delta d ON o.o_custkey = d.c_custkey
+GROUP BY d.old_seg, d.new_seg
+ORDER BY d.old_seg, d.new_seg
+""",
+    description="Delta-driven dimension-correction backfill — the "
+    "incremental-maintenance answer to 'a correction batch rewrote 5% "
+    "of customer segments, fix the attributed facts': only orders "
+    "keyed to CHANGED customers can change attribution, so the "
+    "backfill joins facts against the correction DELTA (broadcast — "
+    "small by construction) and emits the segment-transition matrix "
+    "of re-attributed orders with moved revenue through exact "
+    "DECIMAL. At 100 TB this touches delta x facts via one broadcast "
+    "hash join instead of re-running the full dimension join — the "
+    "nightly cost becomes proportional to what changed.",
+    tags=("pipeline", "join"),
+)
+def pipeline_dim_correction_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("old_seg"),
+        F.when(F.col("c_custkey") % 20 == 3, "CORRECTED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("new_seg"),
+    )
+    delta = seg.filter(F.col("old_seg") != F.col("new_seg"))
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = orders.join(
+        F.broadcast(delta), orders["o_custkey"] == delta["c_custkey"]
+    )
+    return (
+        joined.groupBy("old_seg", "new_seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("moved_revenue"),
+        )
+        .orderBy("old_seg", "new_seg")
+    )
