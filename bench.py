@@ -137,6 +137,18 @@ BENCH_QUERIES = [
     "curation_l_diversity",
     "multimodal_audio_vad_segments",
     "stream_watermark_late_drop",
+    "scalar_timezone_suite",
+    "curation_perplexity_filter",
+    "curation_instruction_dedup",
+    "graph_weighted_sssp",
+    "events_markov_removal_effect",
+    "multimodal_frame_containment_dedup",
+    "sim_pq_train_codebooks",
+    "lineitem_croston_forecast",
+    "events_uplift_tlearner",
+    "scan_fixed_width",
+    "pipeline_profile_drift",
+    "agg_welch_ttest",
 ]
 
 

@@ -94,6 +94,14 @@ QUERIES = [
     "events_anova_weekday",
     "agg_chi_square_independence",
     "agg_ks_two_sample",
+    "scalar_timezone_suite",
+    "graph_weighted_sssp",
+    "events_markov_removal_effect",
+    "lineitem_croston_forecast",
+    "events_uplift_tlearner",
+    "scan_fixed_width",
+    "pipeline_profile_drift",
+    "agg_welch_ttest",
 ]
 
 
