@@ -477,3 +477,63 @@ def extract_audio_features(
             )
 
     return media.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA_DDL)
+
+
+RESAMPLE_SCHEMA_DDL = (
+    "media_id bigint, n_in bigint, n_out bigint, rate_out int, "
+    "sumsq_out bigint, checksum_out bigint, payload_out binary"
+)
+
+
+def resample_audio(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Integer-factor audio decimation through the REAL WAV codec path:
+    decode PCM-s16le, boxcar-average each ``factor`` block (computed in
+    the unsigned 0..65535 domain so the floor division is sign-free and
+    engine-portable), re-ENCODE at rate/factor, and emit integer
+    certificates over every output sample (Σs², Σ(j+1)·s_j) plus the new
+    payload. Mirrors a speech pipeline's 16k→8k/8k→2k downsample stage;
+    the decode→DSP→encode round trip all happens executor-side in one
+    Arrow batch — only certificates and the (smaller) payload cross the
+    shuffle."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = codecs.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                n_in = len(s)
+                n_out = n_in // factor
+                blocks = (s[: n_out * factor] + 32768).reshape(-1, factor)
+                out = blocks.sum(axis=1) // factor - 32768
+                rate_out = rate // factor
+                payload_out = codecs.encode_wav(
+                    out.astype(np.int64), rate_out
+                )
+                j = np.arange(1, n_out + 1, dtype=np.int64)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "n_in": n_in,
+                        "n_out": int(n_out),
+                        "rate_out": rate_out,
+                        "sumsq_out": int((out * out).sum()),
+                        "checksum_out": int((j * out).sum()),
+                        "payload_out": payload_out,
+                    }
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype="int64"),
+                    "n_in": pd.Series(dtype="int64"),
+                    "n_out": pd.Series(dtype="int64"),
+                    "rate_out": pd.Series(dtype="int32"),
+                    "sumsq_out": pd.Series(dtype="int64"),
+                    "checksum_out": pd.Series(dtype="int64"),
+                    "payload_out": pd.Series(dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESAMPLE_SCHEMA_DDL)
