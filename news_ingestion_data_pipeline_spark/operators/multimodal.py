@@ -537,3 +537,55 @@ def resample_audio(media: DataFrame, factor: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=RESAMPLE_SCHEMA_DDL)
+
+
+PATCH_SCHEMA_DDL = (
+    "media_id bigint, py int, px int, psum bigint, pmin int, pmax int"
+)
+
+
+def extract_patches(media: DataFrame, patch: int = 8, decoder: str = "real") -> DataFrame:
+    """ViT-style patchification: decode each image and emit one row per
+    non-overlapping patch×patch tile with integer pixel statistics
+    (sum / min / max over all channels). The dims are multiples of 8 by
+    construction, so tiling is exact. Decode + tiling stay executor-side
+    in one Arrow batch; only the per-patch integer stats cross the
+    shuffle — the same metadata/payload split as the other codec ops."""
+    decode = DECODERS[decoder]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode(bytes(payload), meta).astype(np.int64)
+                h, w = img.shape[0], img.shape[1]
+                for py in range(h // patch):
+                    for px in range(w // patch):
+                        tile = img[
+                            py * patch : (py + 1) * patch,
+                            px * patch : (px + 1) * patch,
+                        ]
+                        rows.append(
+                            {
+                                "media_id": int(media_id),
+                                "py": py,
+                                "px": px,
+                                "psum": int(tile.sum()),
+                                "pmin": int(tile.min()),
+                                "pmax": int(tile.max()),
+                            }
+                        )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype="int64"),
+                    "py": pd.Series(dtype="int32"),
+                    "px": pd.Series(dtype="int32"),
+                    "psum": pd.Series(dtype="int64"),
+                    "pmin": pd.Series(dtype="int32"),
+                    "pmax": pd.Series(dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PATCH_SCHEMA_DDL)
