@@ -149,6 +149,22 @@ BENCH_QUERIES = [
     "scan_fixed_width",
     "pipeline_profile_drift",
     "agg_welch_ttest",
+    "graph_personalized_pagerank",
+    "curation_language_rebalance",
+    "multimodal_audio_resample",
+    "subquery_any_all",
+    "dedup_weighted_minhash",
+    "dedup_weighted_jaccard_verified",
+    "text_unigram_viterbi_segment",
+    "multimodal_image_patches",
+    "graph_bipartite_projection",
+    "events_dtw_distance",
+    "sim_binary_sign_topk",
+    "curation_drop_provenance",
+    "curation_kcenter_coreset",
+    "sim_hamming_reranked",
+    "orders_holt_winters_weekly",
+    "scan_csv_multiline",
 ]
 
 

@@ -102,6 +102,11 @@ QUERIES = [
     "scan_fixed_width",
     "pipeline_profile_drift",
     "agg_welch_ttest",
+    "graph_personalized_pagerank",
+    "events_dtw_distance",
+    "graph_bipartite_projection",
+    "orders_holt_winters_weekly",
+    "subquery_any_all",
 ]
 
 
