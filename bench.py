@@ -165,6 +165,13 @@ BENCH_QUERIES = [
     "sim_hamming_reranked",
     "orders_holt_winters_weekly",
     "scan_csv_multiline",
+    "events_shapley_attribution",
+    "events_capped_sessionize",
+    "agg_simpsons_reversal",
+    "text_span_corruption",
+    "stream_capped_sessionize",
+    "events_regression_discontinuity",
+    "agg_poisson_gof",
 ]
 
 

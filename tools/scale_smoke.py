@@ -107,6 +107,11 @@ QUERIES = [
     "graph_bipartite_projection",
     "orders_holt_winters_weekly",
     "subquery_any_all",
+    "events_shapley_attribution",
+    "events_capped_sessionize",
+    "agg_simpsons_reversal",
+    "events_regression_discontinuity",
+    "agg_poisson_gof",
 ]
 
 
