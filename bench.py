@@ -172,6 +172,16 @@ BENCH_QUERIES = [
     "stream_capped_sessionize",
     "events_regression_discontinuity",
     "agg_poisson_gof",
+    "pipeline_crypto_shred",
+    "storage_hidden_partition_transforms",
+    "events_alert_debounce",
+    "text_trending_terms",
+    "pipeline_totals_reconciliation",
+    "events_interval_union",
+    "scalar_business_days",
+    "agg_tail_pot_gpd",
+    "agg_trimmed_mean",
+    "multimodal_image_sharpness",
 ]
 
 

@@ -112,6 +112,13 @@ QUERIES = [
     "agg_simpsons_reversal",
     "events_regression_discontinuity",
     "agg_poisson_gof",
+    "events_alert_debounce",
+    "text_trending_terms",
+    "pipeline_totals_reconciliation",
+    "events_interval_union",
+    "scalar_business_days",
+    "agg_tail_pot_gpd",
+    "agg_trimmed_mean",
 ]
 
 
