@@ -50,6 +50,7 @@ PYTHON_FREE = [
     "scan_zonemap_skip",
     "agg_rollup_cascade",
     "sim_quantized_topk",
+    # (round-4 list appended at the end of this literal)
     "join_dpp_runtime_pruned",
     "text_unigram_logprob",
     "text_bpe_merge_step",
@@ -215,6 +216,56 @@ PYTHON_FREE = [
     "pipeline_completeness_report",
     "orders_basket_triples",
     "curation_canary_scan",
+    # ---- round-4 session waves (109-138) ----
+    "scalar_timezone_suite",
+    "agg_welch_ttest",
+    "curation_instruction_dedup",
+    "curation_perplexity_filter",
+    "graph_weighted_sssp",
+    "events_markov_removal_effect",
+    "sim_pq_train_codebooks",
+    "scan_fixed_width",
+    "pipeline_profile_drift",
+    "lineitem_croston_forecast",
+    "events_uplift_tlearner",
+    "feature_woe_iv",
+    "events_kleinberg_bursts",
+    "graph_personalized_pagerank",
+    "curation_language_rebalance",
+    "subquery_any_all",
+    "dedup_weighted_minhash",
+    "dedup_weighted_jaccard_verified",
+    "text_unigram_viterbi_segment",
+    "graph_bipartite_projection",
+    "events_dtw_distance",
+    "sim_binary_sign_topk",
+    "curation_drop_provenance",
+    "curation_kcenter_coreset",
+    "sim_hamming_reranked",
+    "orders_holt_winters_weekly",
+    "scan_csv_multiline",
+    "events_shapley_attribution",
+    "events_capped_sessionize",
+    "agg_simpsons_reversal",
+    "text_span_corruption",
+    "events_regression_discontinuity",
+    "agg_poisson_gof",
+    "pipeline_crypto_shred",
+    "storage_hidden_partition_transforms",
+    "events_alert_debounce",
+    "text_trending_terms",
+    "pipeline_totals_reconciliation",
+    "events_interval_union",
+    "scalar_business_days",
+    "agg_tail_pot_gpd",
+    "agg_trimmed_mean",
+    "agg_bitmap_audience_overlap",
+    "events_mantel_haenszel",
+    "pipeline_write_audit_publish",
+    "sim_embedding_whitening",
+    "agg_energy_distance",
+    "agg_gumbel_block_maxima",
+    "join_waterfall_enrichment",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -222,6 +273,29 @@ PYTHON_FREE = [
 #: cross joins) — everything NOT listed must be free of both
 BNLJ_ALLOWED = frozenset(
     {
+        # round-4 session: 1-row scalar/stat frames (bounds, totals,
+        # fitted params, LM totals, centroid/grid tables) glued by
+        # crossJoin — constant-size build sides at any scale
+        "curation_perplexity_filter",
+        "events_markov_removal_effect",
+        "sim_pq_train_codebooks",
+        "lineitem_croston_forecast",
+        "events_uplift_tlearner",
+        "feature_woe_iv",
+        "curation_language_rebalance",
+        "subquery_any_all",
+        "text_unigram_viterbi_segment",
+        "events_dtw_distance",
+        "sim_binary_sign_topk",
+        "sim_hamming_reranked",
+        "orders_holt_winters_weekly",
+        "events_shapley_attribution",
+        "agg_simpsons_reversal",
+        "agg_poisson_gof",
+        "storage_hidden_partition_transforms",
+        "text_trending_terms",
+        "pipeline_totals_reconciliation",
+
         # 1-row (min, max, count) stats frame cross-joined onto the scan
         # to derive range buckets for the two-pass distributed rank
         "agg_equidepth_histogram",
