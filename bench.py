@@ -182,6 +182,14 @@ BENCH_QUERIES = [
     "agg_tail_pot_gpd",
     "agg_trimmed_mean",
     "multimodal_image_sharpness",
+    "agg_bitmap_audience_overlap",
+    "events_mantel_haenszel",
+    "pipeline_write_audit_publish",
+    "sim_embedding_whitening",
+    "agg_energy_distance",
+    "scan_gzip_jsonl",
+    "agg_gumbel_block_maxima",
+    "join_waterfall_enrichment",
 ]
 
 

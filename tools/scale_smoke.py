@@ -119,6 +119,11 @@ QUERIES = [
     "scalar_business_days",
     "agg_tail_pot_gpd",
     "agg_trimmed_mean",
+    "agg_bitmap_audience_overlap",
+    "events_mantel_haenszel",
+    "agg_energy_distance",
+    "agg_gumbel_block_maxima",
+    "join_waterfall_enrichment",
 ]
 
 
