@@ -190,6 +190,9 @@ BENCH_QUERIES = [
     "scan_gzip_jsonl",
     "agg_gumbel_block_maxima",
     "join_waterfall_enrichment",
+    "events_exponential_survival_mle",
+    "graph_partition_conductance",
+    "text_watermark_greenlist_detect",
 ]
 
 

@@ -124,6 +124,9 @@ QUERIES = [
     "agg_energy_distance",
     "agg_gumbel_block_maxima",
     "join_waterfall_enrichment",
+    "events_exponential_survival_mle",
+    "graph_partition_conductance",
+    "text_watermark_greenlist_detect",
 ]
 
 
