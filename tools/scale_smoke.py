@@ -127,6 +127,11 @@ QUERIES = [
     "events_exponential_survival_mle",
     "graph_partition_conductance",
     "text_watermark_greenlist_detect",
+    "join_null_aware_anti_in",
+    "events_retention_powerlaw_fit",
+    "agg_wilcoxon_signed_rank",
+    "events_circular_hour_stats",
+    "customer_decile_migration",
 ]
 
 
