@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "graph_harmonic_centrality",
     "events_circular_hour_stats",
     "customer_decile_migration",
+    "agg_ljung_box",
+    "pipeline_audit_hash_chain",
 ]
 
 

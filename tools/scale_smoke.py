@@ -132,6 +132,8 @@ QUERIES = [
     "agg_wilcoxon_signed_rank",
     "events_circular_hour_stats",
     "customer_decile_migration",
+    "agg_ljung_box",
+    "pipeline_audit_hash_chain",
 ]
 
 
