@@ -1,0 +1,181 @@
+"""Hundred-forty-fifth wave: Johnson-Lindenstrauss projection with
+certified distortion.
+
+Before any ANN index at 100 TB comes the cheapest lever: project the
+embeddings down.  JL says a random sign matrix preserves pairwise
+distances to 1±eps; the RNG-free version uses md5-derived signs
+(sign(i,j) from the hash of the coordinate pair), so both engines
+build the IDENTICAL projection and the distortion claim becomes a
+checkable fact, not a probability statement.
+
+  * sim_jl_projection_distortion — project 64-d → 16-d with the
+    deterministic ±1 matrix (scaled 1/sqrt(16)), then for 50 pinned
+    vector pairs compare projected vs original squared distances.
+    Output: per-pair distortion ratio (round-6) plus min/max/mean —
+    the empirical (1-eps, 1+eps) band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+_D_OUT = 16
+_N_PAIRS = 50
+
+# deterministic sign matrix entry: +1 iff first hex nibble of
+# md5("jl-<j>-<i>") is even  (j = output dim 1..16, i = input dim 1..64)
+_SIGN_SQL = (
+    "CASE WHEN CAST('0x' || substr(md5('jl-' || j || '-' || i), 1, 1)"
+    " AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+
+@register(
+    "sim_jl_projection_distortion",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+proj AS (
+  SELECT vec_id,
+         list_transform(range(1, {_D_OUT} + 1), j ->
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, 65), i ->
+                 v[i] * {_SIGN_SQL})),
+             (acc, x) -> acc + x) / 4.0
+         ) AS p
+  FROM e
+),
+pairs AS (
+  SELECT k AS pair_id, 2 * k AS ida, 2 * k + 1 AS idb
+  FROM (SELECT unnest(range(0, {_N_PAIRS})) AS k)
+),
+dists AS (
+  SELECT pr.pair_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, 65),
+             i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))),
+           (acc, x) -> acc + x) AS d_orig,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, {_D_OUT} + 1),
+             j -> (pa.p[j] - pb.p[j]) * (pa.p[j] - pb.p[j]))),
+           (acc, x) -> acc + x) AS d_proj
+  FROM pairs pr
+  JOIN e a ON a.vec_id = pr.ida
+  JOIN e b ON b.vec_id = pr.idb
+  JOIN proj pa ON pa.vec_id = pr.ida
+  JOIN proj pb ON pb.vec_id = pr.idb
+),
+ratios AS (
+  SELECT pair_id,
+         CAST(round(d_proj / d_orig, 6) AS DECIMAL(18,6)) AS distortion
+  FROM dists
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(CAST(MIN(distortion) AS VARCHAR) AS DOUBLE) AS min_distortion,
+       CAST(CAST(MAX(distortion) AS VARCHAR) AS DOUBLE) AS max_distortion,
+       CAST(CAST(SUM(distortion) AS VARCHAR) AS DOUBLE) / COUNT(*)
+         AS mean_distortion
+FROM ratios
+""",
+    description=f"Johnson-Lindenstrauss projection 64-d → {_D_OUT}-d with "
+    "an RNG-free ±1/sqrt(k) sign matrix (sign(j,i) from md5 of the "
+    "coordinate pair — both engines build the IDENTICAL matrix), "
+    "distortion d_proj/d_orig certified over 50 pinned vector "
+    "pairs: min/max give the empirical 1±eps band, mean its center. The "
+    "cheapest pre-ANN lever at 100 TB — 4x less memory and FLOPs for "
+    "every downstream cosine/L2 — and because the matrix is "
+    "deterministic the distance-preservation claim is a checked fact. "
+    "Projection is one fold per output dim inside a map stage; the "
+    "certificate joins touch 100 vectors.",
+    tags=("similarity", "stats"),
+)
+def sim_jl_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    signs = [
+        [
+            1.0
+            if int(
+                __import__("hashlib")
+                .md5(f"jl-{j}-{i}".encode())
+                .hexdigest()[0],
+                16,
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(1, 65)
+        ]
+        for j in range(1, _D_OUT + 1)
+    ]
+    sign_arr = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in signs]
+    )
+
+    def project(vcol):
+        def one_dim(j):
+            return (
+                F.aggregate(
+                    F.zip_with(
+                        vcol,
+                        F.element_at(sign_arr, j),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / 4.0
+            )
+
+        return F.array(*[one_dim(j) for j in range(1, _D_OUT + 1)])
+
+    proj = e.select("vec_id", project(F.col("v")).alias("p")).localCheckpoint()
+    pairs = e.sparkSession.range(_N_PAIRS).select(
+        F.col("id").alias("pair_id"),
+        (2 * F.col("id")).alias("ida"),
+        (2 * F.col("id") + 1).alias("idb"),
+    )
+
+    def sqdist(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    ea = e.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    pa = proj.select(F.col("vec_id").alias("ida"), F.col("p").alias("pa"))
+    pb = proj.select(F.col("vec_id").alias("idb"), F.col("p").alias("pb"))
+    dists = (
+        pairs.join(ea, "ida")
+        .join(eb, "idb")
+        .join(pa, "ida")
+        .join(pb, "idb")
+        .select(
+            "pair_id",
+            sqdist(F.col("va"), F.col("vb")).alias("d_orig"),
+            sqdist(F.col("pa"), F.col("pb")).alias("d_proj"),
+        )
+    )
+    ratios = dists.select(
+        F.round(F.col("d_proj") / F.col("d_orig"), 6)
+        .cast("decimal(18,6)")
+        .alias("distortion")
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("distortion").cast("double").alias("min_distortion"),
+        F.max("distortion").cast("double").alias("max_distortion"),
+        (F.sum("distortion").cast("double") / F.count(F.lit(1))).alias(
+            "mean_distortion"
+        ),
+    )
