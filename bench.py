@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "customer_decile_migration",
     "agg_ljung_box",
     "pipeline_audit_hash_chain",
+    "sim_jl_projection_distortion",
 ]
 
 

@@ -134,6 +134,7 @@ QUERIES = [
     "customer_decile_migration",
     "agg_ljung_box",
     "pipeline_audit_hash_chain",
+    "sim_jl_projection_distortion",
 ]
 
 
