@@ -266,6 +266,25 @@ PYTHON_FREE = [
     "agg_energy_distance",
     "agg_gumbel_block_maxima",
     "join_waterfall_enrichment",
+    # ---- round-4 session waves (139-148) ----
+    "events_exponential_survival_mle",
+    "graph_partition_conductance",
+    "text_watermark_greenlist_detect",
+    "join_null_aware_anti_in",
+    "events_retention_powerlaw_fit",
+    "agg_wilcoxon_signed_rank",
+    "graph_harmonic_centrality",
+    "events_circular_hour_stats",
+    "customer_decile_migration",
+    "agg_ljung_box",
+    "pipeline_audit_hash_chain",
+    "sim_jl_projection_distortion",
+    "agg_mann_kendall",
+    "agg_theil_sen_trend",
+    "text_langid_macro_f1",
+    "agg_runs_test",
+    "agg_kruskal_wallis",
+    "agg_levene_test",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -273,6 +292,18 @@ PYTHON_FREE = [
 #: cross joins) — everything NOT listed must be free of both
 BNLJ_ALLOWED = frozenset(
     {
+        # waves 139-148: 1-row stats/bounds/ties frames and the tiny
+        # pair-grid cross joins (calendar-bounded series, 5-class grids)
+        "agg_mann_kendall",
+        "agg_theil_sen_trend",
+        "text_langid_macro_f1",
+        # 1-row total-volume frame crossJoined onto the 4-part table
+        "graph_partition_conductance",
+        "agg_runs_test",
+        "agg_kruskal_wallis",
+        "join_null_aware_anti_in",
+        "events_retention_powerlaw_fit",
+
         # round-4 session: 1-row scalar/stat frames (bounds, totals,
         # fitted params, LM totals, centroid/grid tables) glued by
         # crossJoin — constant-size build sides at any scale

@@ -135,6 +135,12 @@ QUERIES = [
     "agg_ljung_box",
     "pipeline_audit_hash_chain",
     "sim_jl_projection_distortion",
+    "agg_mann_kendall",
+    "agg_theil_sen_trend",
+    "text_langid_macro_f1",
+    "agg_runs_test",
+    "agg_kruskal_wallis",
+    "agg_levene_test",
 ]
 
 
