@@ -208,6 +208,11 @@ BENCH_QUERIES = [
     "agg_runs_test",
     "agg_kruskal_wallis",
     "agg_levene_test",
+    "dedup_cdc_chunks",
+    "feature_gini_best_split",
+    "feature_chi2_term_selection",
+    "agg_cohens_d",
+    "agg_cliffs_delta",
 ]
 
 

@@ -285,6 +285,11 @@ PYTHON_FREE = [
     "agg_runs_test",
     "agg_kruskal_wallis",
     "agg_levene_test",
+    "dedup_cdc_chunks",
+    "feature_gini_best_split",
+    "feature_chi2_term_selection",
+    "agg_cohens_d",
+    "agg_cliffs_delta",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -292,6 +297,9 @@ PYTHON_FREE = [
 #: cross joins) — everything NOT listed must be free of both
 BNLJ_ALLOWED = frozenset(
     {
+        # vocabulary-sized chi2 grid / 1-row frames (waves 150-151)
+        "feature_chi2_term_selection",
+
         # waves 139-148: 1-row stats/bounds/ties frames and the tiny
         # pair-grid cross joins (calendar-bounded series, 5-class grids)
         "agg_mann_kendall",
