@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "feature_chi2_term_selection",
     "agg_cohens_d",
     "agg_cliffs_delta",
+    "agg_goodman_kruskal_gamma",
+    "agg_cramers_v",
 ]
 
 

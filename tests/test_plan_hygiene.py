@@ -290,6 +290,8 @@ PYTHON_FREE = [
     "feature_chi2_term_selection",
     "agg_cohens_d",
     "agg_cliffs_delta",
+    "agg_goodman_kruskal_gamma",
+    "agg_cramers_v",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -297,6 +299,10 @@ PYTHON_FREE = [
 #: cross joins) — everything NOT listed must be free of both
 BNLJ_ALLOWED = frozenset(
     {
+        # 50-cell contingency self-join / 1-row marginal frames (wave 152)
+        "agg_goodman_kruskal_gamma",
+        "agg_cramers_v",
+
         # vocabulary-sized chi2 grid / 1-row frames (waves 150-151)
         "feature_chi2_term_selection",
 

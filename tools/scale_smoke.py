@@ -146,6 +146,8 @@ QUERIES = [
     "feature_chi2_term_selection",
     "agg_cohens_d",
     "agg_cliffs_delta",
+    "agg_goodman_kruskal_gamma",
+    "agg_cramers_v",
 ]
 
 
