@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "agg_cliffs_delta",
     "agg_goodman_kruskal_gamma",
     "agg_cramers_v",
+    "pipeline_source_freshness_alert",
+    "window_rolling_corr",
 ]
 
 

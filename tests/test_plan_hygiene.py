@@ -292,6 +292,8 @@ PYTHON_FREE = [
     "agg_cliffs_delta",
     "agg_goodman_kruskal_gamma",
     "agg_cramers_v",
+    "pipeline_source_freshness_alert",
+    "window_rolling_corr",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -299,6 +301,9 @@ PYTHON_FREE = [
 #: cross joins) — everything NOT listed must be free of both
 BNLJ_ALLOWED = frozenset(
     {
+        # 1-row frontier frame (wave 153)
+        "pipeline_source_freshness_alert",
+
         # 50-cell contingency self-join / 1-row marginal frames (wave 152)
         "agg_goodman_kruskal_gamma",
         "agg_cramers_v",
