@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "agg_cramers_v",
     "pipeline_source_freshness_alert",
     "window_rolling_corr",
+    "agg_somers_d",
+    "agg_kendall_tau_c",
 ]
 
 

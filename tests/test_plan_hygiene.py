@@ -294,6 +294,8 @@ PYTHON_FREE = [
     "agg_cramers_v",
     "pipeline_source_freshness_alert",
     "window_rolling_corr",
+    "agg_somers_d",
+    "agg_kendall_tau_c",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -301,6 +303,10 @@ PYTHON_FREE = [
 #: cross joins) — everything NOT listed must be free of both
 BNLJ_ALLOWED = frozenset(
     {
+        # 50-cell contingency self-joins (wave 155)
+        "agg_somers_d",
+        "agg_kendall_tau_c",
+
         # 1-row frontier frame (wave 153)
         "pipeline_source_freshness_alert",
 

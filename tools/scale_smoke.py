@@ -150,6 +150,8 @@ QUERIES = [
     "agg_cramers_v",
     "pipeline_source_freshness_alert",
     "window_rolling_corr",
+    "agg_somers_d",
+    "agg_kendall_tau_c",
 ]
 
 
