@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "window_rolling_corr",
     "agg_somers_d",
     "agg_kendall_tau_c",
+    "pipeline_sampled_integrity_audit",
 ]
 
 

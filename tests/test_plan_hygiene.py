@@ -296,6 +296,7 @@ PYTHON_FREE = [
     "window_rolling_corr",
     "agg_somers_d",
     "agg_kendall_tau_c",
+    "pipeline_sampled_integrity_audit",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
