@@ -309,14 +309,23 @@ def main() -> None:
         key=lambda n: -timings[n],
     )
     keep = headline + rest
+    # empty-timings / oversized-headline fallbacks: always have a line
+    line = json.dumps({**meta, "queries": {}}, separators=(",", ":"))
     while keep:
-        line = json.dumps(
+        cand = json.dumps(
             {**meta, "queries": {n: timings[n] for n in keep}},
             separators=(",", ":"),
         )
-        if len(line) <= 1900:
+        if len(cand) <= 1900:
+            line = cand
             break
         keep.pop()  # drop the fastest remaining non-headline query
+    if len(line) > 1900:  # even the queries-free meta is too big
+        line = json.dumps(
+            {"metric": meta.get("metric"), "value": meta.get("value"),
+             "unit": "sec"},
+            separators=(",", ":"),
+        )
     print(line)
 
 

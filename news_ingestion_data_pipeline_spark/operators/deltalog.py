@@ -1,0 +1,193 @@
+"""Delta Lake transaction-log reader (open-format interop).
+
+Implements the READ side of the public Delta protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): a table is
+a directory of immutable parquet data files plus ``_delta_log/`` holding
+ordered JSON commits (``%020d.json``), each a sequence of newline-
+delimited actions (``protocol`` / ``metaData`` / ``add`` / ``remove``).
+The snapshot at version V = replay of all commits <= V; a data file is
+live iff its LAST action in that range is an ``add``.
+
+Scale shape: the log is metadata — kilobytes per commit, parsed
+driver-side exactly like production Delta readers resolve snapshots
+(the engine's own manifest-pointer tables in operators/upsert.py make
+the same metadata/payload split). The DATA stays distributed: the live
+file list feeds one ``spark.read.parquet(*files)``, so predicate
+pushdown / column pruning / partition parallelism all apply unchanged.
+Checkpoint-parquet support is unnecessary for correctness (checkpoints
+are an optimization; the JSON commits are authoritative) and omitted.
+
+No Delta code is used or required — this is a clean-room parser of the
+published JSON action schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def list_commit_versions(root: str) -> list[int]:
+    """Sorted commit versions present in ``_delta_log/`` (ignores
+    checkpoints, CRCs and temp files)."""
+    log_dir = os.path.join(root, "_delta_log")
+    out = []
+    for name in os.listdir(log_dir):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and len(stem) == 20 and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def delta_snapshot_files(root: str, version: int | None = None) -> list[str]:
+    """Absolute paths of the data files live at ``version`` (default:
+    latest). Replays add/remove actions in commit order; within a
+    commit, later actions win (per the protocol, a commit is an ordered
+    atomic batch)."""
+    versions = list_commit_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits under {root}/_delta_log")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    live: dict[str, bool] = {}
+    for v in versions:
+        if v > version:
+            break
+        commit = os.path.join(root, "_delta_log", f"{v:020d}.json")
+        with open(commit, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = True
+                elif "remove" in action:
+                    live[action["remove"]["path"]] = False
+    return [
+        os.path.join(root, p) for p, alive in sorted(live.items()) if alive
+    ]
+
+
+def read_delta(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """DataFrame over the Delta table's snapshot at ``version`` (latest
+    when None) — one distributed parquet scan over exactly the live
+    files, so pushdown/pruning behave as on any parquet read."""
+    files = delta_snapshot_files(root, version)
+    return spark.read.parquet(*files)
+
+
+def _write_single_parquet(df: DataFrame, root: str, name: str) -> None:
+    """Materialize ``df`` as ONE parquet file ``root/name`` (Delta data
+    files are plain files, not directories): coalesce(1) into a temp
+    dir, then move the part file into place."""
+    import shutil
+
+    tmp = os.path.join(root, f"._tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        n for n in os.listdir(tmp)
+        if n.endswith(".parquet") and not n.startswith(".")
+    )
+    shutil.move(os.path.join(tmp, part), os.path.join(root, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _commit(root: str, version: int, actions: list[dict]) -> None:
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def write_delta_fixture(spark: SparkSession, docs: DataFrame, root: str) -> str:
+    """Build a two-commit Delta table from the documents frame (the
+    fixture the scan_delta_* queries parse):
+
+      * v0: adds file-0 (lang <> 'fr') and file-1 (lang = 'fr');
+      * v1: a quality rewrite of the French slice — removes file-1,
+        adds file-2 holding only fr docs with n_chars >= 600.
+
+    Data files carry (doc_id, lang, n_chars, content_h = md5(text)) so
+    snapshot checksums certify content, not just counts."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    slim = docs.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
+    )
+    _write_single_parquet(slim.filter(F.col("lang") != "fr"), root, "file-0.parquet")
+    _write_single_parquet(slim.filter(F.col("lang") == "fr"), root, "file-1.parquet")
+    _write_single_parquet(
+        slim.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 600)),
+        root,
+        "file-2.parquet",
+    )
+
+    def _add(name: str) -> dict:
+        st = os.stat(os.path.join(root, name))
+        return {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }
+        }
+
+    meta = {
+        "metaData": {
+            "id": "spark-graft-delta-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+                        {"name": "n_chars", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "content_h", "type": "string", "nullable": True, "metadata": {}},
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            _add("file-0.parquet"),
+            _add("file-1.parquet"),
+        ],
+    )
+    _commit(
+        root,
+        1,
+        [
+            {
+                "remove": {
+                    "path": "file-1.parquet",
+                    "deletionTimestamp": 1700000000000,
+                    "dataChange": True,
+                }
+            },
+            _add("file-2.parquet"),
+        ],
+    )
+    return root

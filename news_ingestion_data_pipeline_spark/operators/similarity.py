@@ -222,6 +222,8 @@ def ivf_topk(
     pre-partitioned. Candidate search is an equi-join on ``cell`` exactly
     like the LSH path.
     """
+    # bcast-ok: exactly n_cells rows survive the id < n_cells filter — the
+    # centroid set is k-row by construction, SF-independent.
     cent = F.broadcast(
         corpus.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cent_id"),
@@ -476,3 +478,102 @@ def gemm_eps_pairs(
         )
 
     return tiles.groupBy("bi", "bj").applyInPandas(tile_pairs, "u long, w long")
+
+
+def gemm_cos_pairs(
+    corpus: DataFrame,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b) with cosine >= ``min_cos`` via the
+    same block-partitioned Arrow/numpy GEMM tiling as ``gemm_eps_pairs`` —
+    the scale shape for a full-corpus near-dup sweep that previously
+    required broadcasting the whole embedding table into a theta join.
+
+    Scale shape: B·(B+1)/2 block-pair tiles, each one applyInPandas group;
+    shuffle volume O(n·B), per-task memory two n/B tiles, nothing in the
+    task closure, raising ``n_blocks`` scales the identical plan to any
+    corpus size. Emitted ``cos`` is the raw numpy double — callers apply
+    their own rounding/threshold JVM-side; the tile stage pre-filters with
+    a 1e-9 slack so a boundary pair can never be lost to summation-order
+    noise (numpy pairwise sum vs a sequential fold differs by ~1 ulp).
+    """
+    import pandas as pd
+
+    B = int(n_blocks)
+    if B <= 0:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    slack = float(min_cos) - 1e-9
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"),
+    )
+    a_side = base.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        F.lit("a").alias("side"),
+        "id",
+        "vec",
+    )
+    b_side = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("b").alias("side"),
+        "id",
+        "vec",
+    )
+    tiles = a_side.unionByName(b_side)
+
+    def tile_pairs(key, pdf):
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ia = a["id"].to_numpy(dtype=np.int64)
+        ib = b["id"].to_numpy(dtype=np.int64)
+        Vb = np.asarray(np.stack(b["vec"].to_numpy()), dtype=np.float64)
+        Va_all = np.asarray(np.stack(a["vec"].to_numpy()), dtype=np.float64)
+        nb = np.sqrt((Vb * Vb).sum(-1))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(Va_all), 256):
+            Va, iac = Va_all[s : s + 256], ia[s : s + 256]
+            na = np.sqrt((Va * Va).sum(-1))
+            cos = (Va @ Vb.T) / (na[:, None] * nb[None, :])
+            ui, wi = np.nonzero(cos >= slack)
+            u, w, c = iac[ui], ib[wi], cos[ui, wi]
+            keep = u != w
+            u, w, c = u[keep], w[keep], c[keep]
+            if len(u):
+                lo = np.minimum(u, w)
+                hi = np.maximum(u, w)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(c)
+        if not out_a:
+            return empty
+        res = pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+        # the diagonal tile sees each unordered pair twice (full matrix);
+        # off-diagonal tiles exactly once — dedup is a per-tile local op
+        return res.drop_duplicates(subset=["id_a", "id_b"])
+
+    return tiles.groupBy("bi", "bj").applyInPandas(
+        tile_pairs, "id_a long, id_b long, cos double"
+    )

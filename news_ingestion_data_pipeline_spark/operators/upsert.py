@@ -82,7 +82,14 @@ def _acquire_lock(table_path: str, timeout: float = 30.0) -> str:
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > _STALE_SEC:
-                    os.remove(lock)  # crashed holder
+                    # crashed holder: steal via rename-to-unique so only ONE
+                    # of several concurrent stealers wins (a bare os.remove
+                    # could delete the winner's freshly created lock and let
+                    # two processes into the critical section); the loser's
+                    # rename raises and it loops back to the O_EXCL create.
+                    stale = f"{lock}.stale-{uuid.uuid4().hex}"
+                    os.rename(lock, stale)
+                    os.remove(stale)
                     continue
             except OSError:
                 continue  # holder released between exists-check and stat
@@ -200,13 +207,15 @@ def upsert_articles(
             except OSError:
                 pass
             continue
+        _gc_snapshots(
+            table_path, keep={snap} | ({prev_snap} if prev_snap else set())
+        )
+        # the in-flight marker outlives our GC: a concurrent writer whose
+        # keep-set predates our commit still sees it and spares our snapshot
         try:
             os.remove(marker)
         except OSError:
             pass
-        _gc_snapshots(
-            table_path, keep={snap} | ({prev_snap} if prev_snap else set())
-        )
         return
     raise RuntimeError(
         f"upsert lost the commit race {_MAX_RETRIES + 1} times: {table_path}"
@@ -233,7 +242,29 @@ def _gc_snapshots(table_path: str, keep: set[str]) -> None:
     legacy flat-layout parquet files; best-effort (a failed GC only leaks
     space, never correctness). Snapshots another writer has in flight
     (live ``.inflight-*`` marker) are spared — a crashed writer's marker
-    goes stale after ``_STALE_SEC`` and its orphan is swept then."""
+    goes stale after ``_STALE_SEC`` and its orphan is swept then.
+
+    Runs UNDER the commit lock with the current manifest re-read inside
+    it: without that, a concurrent writer could commit (and drop its
+    in-flight marker) between this writer's keep-set computation and its
+    sweep, and the sweep would delete the now-current snapshot (the GC
+    TOCTOU race). Holding the lock means no commit can land mid-sweep;
+    if the lock is busy, GC is simply skipped — the next commit sweeps.
+    """
+    try:
+        lock = _acquire_lock(table_path, timeout=5.0)
+    except (TimeoutError, OSError):
+        return
+    try:
+        cur = _current_snapshot(table_path)
+        if cur:
+            keep = keep | {cur}
+        _gc_snapshots_locked(table_path, keep)
+    finally:
+        _release_lock(lock)
+
+
+def _gc_snapshots_locked(table_path: str, keep: set[str]) -> None:
     def _inflight_live(snap_name: str) -> bool:
         m = _inflight_marker(table_path, snap_name)
         try:
@@ -359,13 +390,15 @@ def delete_where(spark: SparkSession, table_path: str, condition) -> None:
             except OSError:
                 pass
             continue
+        _gc_snapshots(
+            table_path, keep={snap} | ({prev_snap} if prev_snap else set())
+        )
+        # the in-flight marker outlives our GC: a concurrent writer whose
+        # keep-set predates our commit still sees it and spares our snapshot
         try:
             os.remove(marker)
         except OSError:
             pass
-        _gc_snapshots(
-            table_path, keep={snap} | ({prev_snap} if prev_snap else set())
-        )
         return
     raise RuntimeError(
         f"delete lost the commit race {_MAX_RETRIES + 1} times: {table_path}"
@@ -521,11 +554,12 @@ def upsert_partitioned(
             except OSError:
                 pass
             continue
+        _gc_partitioned(table_path)
+        # marker removed only after GC — see _gc_snapshots' TOCTOU note
         try:
             os.remove(marker)
         except OSError:
             pass
-        _gc_partitioned(table_path)
         return affected
     raise RuntimeError(
         f"partitioned upsert lost the commit race "
@@ -574,22 +608,39 @@ def read_partitioned(spark: SparkSession, table_path: str) -> DataFrame | None:
 def _gc_partitioned(table_path: str) -> None:
     """Sweep snapshots referenced by NEITHER the current nor the
     previous manifest (kept for in-flight readers), sparing live
-    in-flight writers — same policy as the flat table's GC."""
-    keep = set(_read_pmanifest(table_path).get("parts", {}).values()) | set(
-        _read_pmanifest(table_path, _PMANIFEST_PREV).get("parts", {}).values()
-    )
+    in-flight writers — same policy as the flat table's GC.
 
-    def _live(snap_name: str) -> bool:
-        mk = _inflight_marker(table_path, snap_name)
-        try:
-            return time.time() - os.path.getmtime(mk) <= _STALE_SEC
-        except OSError:
-            return False
+    Like :func:`_gc_snapshots`, the manifest read AND the sweep run
+    under the commit lock so a concurrent writer cannot commit (and
+    drop its marker) between keep-set computation and rmtree — the
+    window in which this GC would delete a freshly current snapshot.
+    Lock busy -> skip; the next commit sweeps."""
+    try:
+        lock = _acquire_lock(table_path, timeout=5.0)
+    except (TimeoutError, OSError):
+        return
+    try:
+        keep = set(
+            _read_pmanifest(table_path).get("parts", {}).values()
+        ) | set(
+            _read_pmanifest(table_path, _PMANIFEST_PREV)
+            .get("parts", {})
+            .values()
+        )
 
-    for name in os.listdir(table_path):
-        if not name.startswith("snap-") or name in keep or _live(name):
-            continue
-        shutil.rmtree(os.path.join(table_path, name), ignore_errors=True)
+        def _live(snap_name: str) -> bool:
+            mk = _inflight_marker(table_path, snap_name)
+            try:
+                return time.time() - os.path.getmtime(mk) <= _STALE_SEC
+            except OSError:
+                return False
+
+        for name in os.listdir(table_path):
+            if not name.startswith("snap-") or name in keep or _live(name):
+                continue
+            shutil.rmtree(os.path.join(table_path, name), ignore_errors=True)
+    finally:
+        _release_lock(lock)
 
 
 def delete_where_partitioned(
@@ -684,11 +735,12 @@ def delete_where_partitioned(
             except OSError:
                 pass
             continue
+        _gc_partitioned(table_path)
+        # marker removed only after GC — see _gc_snapshots' TOCTOU note
         try:
             os.remove(marker)
         except OSError:
             pass
-        _gc_partitioned(table_path)
         return affected
     raise RuntimeError(
         f"partitioned delete lost the commit race "
@@ -801,11 +853,12 @@ def compact_partitions(
             except OSError:
                 pass
             continue
+        _gc_partitioned(table_path)
+        # marker removed only after GC — see _gc_snapshots' TOCTOU note
         try:
             os.remove(marker)
         except OSError:
             pass
-        _gc_partitioned(table_path)
         return todo
     raise RuntimeError(
         f"compaction lost the commit race {_MAX_RETRIES + 1} times: "

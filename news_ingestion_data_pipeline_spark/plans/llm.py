@@ -318,7 +318,7 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "dedup"),
 )
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_fingerprints(t(spark, sf_dir, "documents")).orderBy("id")
+    return DD.simhash_fingerprints(t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +447,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(
         t(spark, sf_dir, "documents"), num_hashes=32, bands=8
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -613,32 +613,20 @@ SELECT a.vec_id AS id_a, q.vec_id AS id_b, {_SQL_COS} AS cos_sim
 FROM e a JOIN e q ON a.vec_id < q.vec_id
 WHERE {_SQL_COS} >= 0.45
 """,
-    description="All embedding pairs with cosine ≥ 0.45 (near-dup sweep; "
-    "full self-join baseline — the LSH-bucketed variant is the scale path).",
+    description="All embedding pairs with cosine ≥ 0.45 (near-dup sweep) "
+    "via block-partitioned GEMM tiles — the exact full-sweep at its scale "
+    "shape: B·(B+1)/2 tile tasks, O(n·B) shuffle, no corpus broadcast.",
     tags=("llm", "similarity", "dedup"),
 )
 def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.tables import spread
 
     emb = spread(t(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        V.norm(F.col("embedding")).alias("na"),
-    )
-    b = F.broadcast(
-        emb.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("embedding").alias("vb"),
-            V.norm(F.col("embedding")).alias("nb"),
-        )
-    )
-    cos = F.round(
-        V.cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
-    )
+    pairs = SIM.gemm_cos_pairs(emb, min_cos=0.45, n_blocks=8)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
+        pairs.select(
+            "id_a", "id_b", F.round(F.col("cos"), 6).alias("cos_sim")
+        )
         .filter(F.col("cos_sim") >= 0.45)
     )
 
@@ -727,7 +715,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.synthesize_media_real(docs).repartition(
         spark.sparkContext.defaultParallelism, "media_id"
     )
-    return mm.extract_image_features(media, decoder="real").orderBy("media_id")
+    return mm.extract_image_features(media, decoder="real")
 
 
 @register(
@@ -751,7 +739,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         "frame_ms",
         F.md5(F.lower(F.hex("frame_payload"))).alias("frame_md5"),
-    ).orderBy("media_id", "frame_no")
+    )
 
 
 _SQL_CELL_SIM = (
@@ -875,7 +863,7 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.synthesize_media_real(docs, kind="audio").repartition(8, "media_id")
     return mm.extract_audio_features(media, window_ms=250, decoder="real").select(
         "media_id", "win_no", "win_start_ms", "rms", "zero_crossings", "peak"
-    ).orderBy("media_id", "win_no")
+    )
 
 
 @register(
@@ -1017,7 +1005,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.4)
         .select("id_a", "id_b", "n_bands_matched", "jaccard")
-        .orderBy("id_a", "id_b")
+        
     )
 
 
@@ -1145,4 +1133,4 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_hamming_pairs(
         t(spark, sf_dir, "documents"), max_hamming=6, bands=4
-    ).orderBy("id_a", "id_b")
+    )

@@ -132,7 +132,7 @@ def events_entropy_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_types",
         F.round(entropy, 6).alias("entropy_bits"),
-    ).orderBy("user_id")
+    )
 
 
 def _mmr_oracle(k: int = 5, lam: str = "0.7") -> str:

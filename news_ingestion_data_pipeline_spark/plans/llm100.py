@@ -121,7 +121,7 @@ def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_corrupt", F.lit(extra + bad_int).cast("bigint"))
         .withColumn("n_extra_col", F.lit(extra).cast("bigint"))
         .withColumn("n_bad_int", F.lit(bad_int).cast("bigint"))
-        .orderBy("lang")
+        
     )
 
 
@@ -232,4 +232,4 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / 50).alias("recall_at_5"),
         F.lit(10).cast("bigint").alias("n_queries"),
-    ).orderBy("n_probe")
+    )

@@ -126,7 +126,7 @@ def storage_point_lookup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_files_read", F.lit(len(paths)).cast("bigint"))
         .withColumn("n_files_total", F.lit(_N_FILES).cast("bigint"))
-        .orderBy("doc_id")
+        
     )
 
 
@@ -188,5 +188,5 @@ def pipeline_dim_correction_backfill(
             .cast("double")
             .alias("moved_revenue"),
         )
-        .orderBy("old_seg", "new_seg")
+        
     )

@@ -105,7 +105,7 @@ def pipeline_refetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("fetch_rank"),
         )
-        .orderBy("fetch_rank")
+        
     )
 
 
@@ -198,5 +198,5 @@ def pipeline_robots_compliance_audit(
                 "first_offending_path"
             ),
         )
-        .orderBy("source")
+        
     )

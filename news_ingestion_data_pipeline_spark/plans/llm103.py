@@ -127,7 +127,7 @@ def pipeline_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_defaulted"),
         )
-        .orderBy("lang")
+        
     )
 
 
@@ -208,5 +208,5 @@ def storage_partition_spec_evolution(
             .alias("n_gen2_sources"),
             F.sum("doc_id").cast("bigint").alias("sum_ids"),
         )
-        .orderBy("lang")
+        
     )

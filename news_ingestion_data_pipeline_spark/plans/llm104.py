@@ -78,7 +78,7 @@ def window_period_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(wm).cast("double").alias("mtd_revenue"),
         F.sum("rev").over(wy).cast("double").alias("ytd_revenue"),
-    ).orderBy("day")
+    )
 
 
 @register(
@@ -130,7 +130,7 @@ def scalar_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("d").cast("int").alias("doy"),
         F.weekofyear("d").cast("int").alias("iso_week"),
         F.expr("weekday(d)").cast("int").alias("weekday_mon0"),
-    ).orderBy("o_orderkey")
+    )
 
 
 _STOP = "('the','a','of','and','to','in')"
@@ -254,4 +254,4 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("phrase").alias("top_phrase"),
         F.col("score").cast("double").alias("rake_score"),
-    ).orderBy("doc_id")
+    )

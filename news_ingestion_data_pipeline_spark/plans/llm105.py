@@ -112,7 +112,7 @@ def storage_dynamic_partition_overwrite(
             F.sum("doc_id").cast("bigint").alias("sum_ids"),
         )
         .withColumn("rewritten", F.array_contains(rewritten_lit, F.col("lang")))
-        .orderBy("lang")
+        
     )
 
 
@@ -205,5 +205,5 @@ def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("promo_code")
+        
     )

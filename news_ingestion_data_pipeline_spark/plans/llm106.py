@@ -106,7 +106,7 @@ def scalar_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_key_len",
             "dim_matched",
         )
-        .orderBy("key")
+        
     )
 
 
@@ -182,5 +182,5 @@ def pipeline_tpch_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_inserted", F.lit(n_inserted).cast("bigint"))
         .withColumn("n_deleted", F.lit(n_deleted).cast("bigint"))
-        .orderBy("o_orderpriority")
+        
     )

@@ -104,7 +104,7 @@ def multimodal_chunked_blob_reassembly(
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
         F.md5("blob").alias("reassembled_md5"),
         (F.md5("blob") == F.col("manifest_md5")).alias("checksum_ok"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -158,5 +158,5 @@ def curation_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
         )
-        .orderBy("shard")
+        
     )

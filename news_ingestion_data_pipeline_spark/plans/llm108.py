@@ -92,7 +92,7 @@ def scan_multi_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("o_orderpriority", "c_mktsegment")
+        
     )
 
 
@@ -167,5 +167,5 @@ def agg_scenario_grid_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_orders"),
             projected.alias("projected_revenue"),
         )
-        .orderBy("o_orderpriority", "price_mult_pct", "demand_drop_pct")
+        
     )

@@ -106,7 +106,7 @@ def scalar_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.to_utc_timestamp(kolkata, "Asia/Kolkata") == F.col("ts")
             ).alias("kolkata_roundtrip_ok"),
         )
-        .orderBy("event_id")
+        
     )
 
 

@@ -153,7 +153,7 @@ def events_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(hhi, 6).alias("hhi"),
         F.round(eff, 6).alias("effective_users"),
-    ).orderBy("event_type")
+    )
 
 
 @register(
@@ -234,5 +234,5 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint_bits",
             F.md5("fingerprint_bits").alias("fp_md5"),
         )
-        .orderBy("media_id")
+        
     )

@@ -110,7 +110,7 @@ def curation_instruction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("resp_tokens").alias("best_resp_tokens"),
             "n_variants",
         )
-        .orderBy("prompt_key", "kept_doc_id")
+        
     )
 
 
@@ -221,4 +221,4 @@ def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("xent_microbits").isNotNull()
             & (F.col("xent_microbits") <= 13000000)
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )

@@ -132,7 +132,7 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
-    return dist.select(F.col("u").alias("user_id"), "dist").orderBy("user_id")
+    return dist.select(F.col("u").alias("user_id"), "dist")
 
 
 _ABS_STATE = "purchase"
@@ -317,5 +317,5 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "removal_effect"
             ),
         )
-        .orderBy("channel")
+        
     )

@@ -90,7 +90,7 @@ def multimodal_frame_containment_dedup(
         )
         .agg(F.countDistinct("a.frame_md5").alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= 2)
-        .orderBy("media_a", "media_b")
+        
     )
 
 
@@ -186,5 +186,5 @@ def sim_pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_assigned"),
             F.sum("vec_id").alias("sum_vec_id"),
         )
-        .orderBy("subspace", "cent_id")
+        
     )

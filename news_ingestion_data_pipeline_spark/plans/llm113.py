@@ -101,7 +101,7 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_orderkey").alias("min_key"),
             F.max("l_orderkey").alias("max_key"),
         )
-        .orderBy("l_returnflag")
+        
     )
 
 
@@ -254,4 +254,4 @@ def pipeline_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "before_v",
         "after_v",
         F.abs(F.col("after_v") - F.col("before_v")).alias("abs_delta"),
-    ).orderBy("metric")
+    )

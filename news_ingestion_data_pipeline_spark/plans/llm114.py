@@ -168,7 +168,7 @@ def lineitem_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("st", 1) / F.element_at("st", 2), 6).alias(
             "rate_per_week"
         ),
-    ).orderBy("p_brand")
+    )
 
 
 @register(
@@ -281,5 +281,5 @@ def events_uplift_tlearner(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (F.col("a_c") + F.col("b_c") * F.col("x"))
             ).alias("uplift"),
         )
-        .orderBy("exposure")
+        
     )

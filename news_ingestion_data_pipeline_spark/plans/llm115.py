@@ -29,7 +29,7 @@ _BIN_W = 100000
     "feature_woe_iv",
     oracle=f"""
 WITH binned AS (
-  SELECT LEAST(CAST(o_totalprice AS BIGINT) // {_BIN_W}, 4) AS bin,
+  SELECT LEAST(CAST(floor(o_totalprice) AS BIGINT) // {_BIN_W}, 4) AS bin,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS bad
   FROM orders
 ),
@@ -79,7 +79,7 @@ ORDER BY bin
 def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = t(spark, sf_dir, "orders").select(
         F.least(
-            F.expr(f"CAST(o_totalprice AS BIGINT) div {_BIN_W}"), F.lit(4)
+            F.expr(f"CAST(floor(o_totalprice) AS BIGINT) div {_BIN_W}"), F.lit(4)
         ).alias("bin"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
         .otherwise(0)
@@ -123,7 +123,7 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("woe9").cast("double").alias("woe"),
             F.col("iv9").cast("double").alias("iv_total"),
         )
-        .orderBy("bin")
+        
     )
 
 
@@ -262,4 +262,4 @@ def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("st", 1), 6).alias("cost_base"),
         F.round(F.element_at("st", 2), 6).alias("cost_burst"),
         F.element_at("st", 3).cast("bigint").alias("n_burst_steps"),
-    ).orderBy("event_type")
+    )

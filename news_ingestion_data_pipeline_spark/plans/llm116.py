@@ -163,7 +163,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return rank.select(
         "node", F.round("rank", 8).alias("ppr")
-    ).orderBy(F.desc("ppr"), "node")
+    )
 
 
 @register(
@@ -255,5 +255,5 @@ def curation_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("quota_spread"),
         )
-        .orderBy("lang")
+        
     )

@@ -79,7 +79,7 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = mm.resample_audio(media, factor=_FACTOR)
     return out.select(
         "media_id", "n_in", "n_out", "rate_out", "sumsq_out", "checksum_out"
-    ).orderBy("media_id")
+    )
 
 
 @register(
@@ -131,5 +131,5 @@ def subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("o_totalprice") > F.col("mn"), 1).otherwise(0)
             ).alias("n_gt_any_urgent"),
         )
-        .orderBy("c_mktsegment")
+        
     )

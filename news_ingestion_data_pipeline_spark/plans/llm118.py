@@ -126,7 +126,7 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.lsh_band_pairs(sigs, num_hashes=32, bands=8)
         .filter(F.col("n_bands_matched") >= 3)
         .select("id_a", "id_b", F.col("n_bands_matched").cast("bigint").alias("n_bands_matched"))
-        .orderBy("id_a", "id_b")
+        
     )
 
 
@@ -245,6 +245,4 @@ def dedup_weighted_jaccard_verified(
             ),
         )
     )
-    return scored.filter(F.col("wjaccard_milli") >= 550).orderBy(
-        "id_a", "id_b"
-    )
+    return scored.filter(F.col("wjaccard_milli") >= 550)

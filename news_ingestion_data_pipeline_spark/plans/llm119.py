@@ -249,4 +249,4 @@ def text_unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_cost_e9"
         ),
         (last % 16).cast("bigint").alias("n_pieces"),
-    ).orderBy("word")
+    )

@@ -82,7 +82,7 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "novelty"
             ),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -131,7 +131,7 @@ def lineitem_vwap_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
             "vwap",
         )
-        .orderBy("week")
+        
     )
 
 
@@ -194,4 +194,4 @@ def scan_binary_files_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS INT), 'codec', 'bmp')"
         ).alias("meta"),
     ).repartition(8, "media_id")
-    return mm.extract_image_features(media, decoder="real").orderBy("media_id")
+    return mm.extract_image_features(media, decoder="real")

@@ -69,9 +69,7 @@ def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_IMG)
     media = mm.synthesize_media_real(docs).repartition(8, "media_id")
-    return mm.extract_patches(media, patch=_PATCH, decoder="real").orderBy(
-        "media_id", "py", "px"
-    )
+    return mm.extract_patches(media, patch=_PATCH, decoder="real")
 
 
 _HUB_CAP = 20
@@ -138,5 +136,5 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_parts"))
         .filter(F.col("n_shared_parts") >= _MIN_SHARED)
-        .orderBy("cust_a", "cust_b")
+        
     )

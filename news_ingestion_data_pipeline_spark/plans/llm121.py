@@ -181,4 +181,4 @@ def events_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             "last_row", (F.col("n_days") + 1).cast("int")
         ).alias("dtw_dist"),
-    ).orderBy("type_a", "type_b")
+    )

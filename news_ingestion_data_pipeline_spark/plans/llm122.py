@@ -117,7 +117,7 @@ def sim_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hamming",
         )
         .filter(F.col("rank") <= _K)
-        .orderBy("qid", "rank")
+        
     )
 
 
@@ -198,5 +198,5 @@ def curation_drop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
             "n_tokens",
         )
-        .orderBy("doc_id")
+        
     )

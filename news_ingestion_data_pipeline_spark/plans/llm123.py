@@ -144,7 +144,7 @@ def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out.orderBy("step")
+    return out
 
 
 _NQ = 10
@@ -283,5 +283,5 @@ def sim_hamming_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .select("qid", "rank", "nid", "hamming", "cosine")
-        .orderBy("qid", "rank")
+        
     )

@@ -159,7 +159,7 @@ def orders_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at("st", (F.col("dow") + 3).cast("int")),
             6,
         ).alias("forecast_next"),
-    ).orderBy("dow")
+    )
 
 
 _ROOT = "/tmp/spark_graft_llm124"
@@ -247,5 +247,5 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("content_md5"),
         )
-        .orderBy("lang")
+        
     )

@@ -166,4 +166,4 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("num").cast("double") / F.lit(float(factorial(_N)))).alias(
             "shapley"
         ),
-    ).orderBy("channel")
+    )

@@ -111,7 +111,7 @@ def events_capped_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.element_at("st", 1).alias("n_sessions"),
         F.element_at("st", 2).alias("last_session_len"),
-    ).orderBy("user_id")
+    )
 
 
 @register(
@@ -217,5 +217,5 @@ def agg_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 != F.signum(F.col("p_urgent") - F.col("p_low"))
             ).alias("reversal"),
         )
-        .orderBy("segment")
+        
     )

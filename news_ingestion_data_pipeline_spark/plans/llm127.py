@@ -168,4 +168,4 @@ def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("mask_rate_milli"),
         F.element_at("st", 4).alias("first_span_start"),
-    ).orderBy("doc_id")
+    )

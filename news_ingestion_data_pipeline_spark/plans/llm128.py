@@ -121,4 +121,4 @@ def stream_capped_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = _drain_to_memory(res, "stream_capped_sess_mem", mode="update")
-    return out.orderBy("user_id")
+    return out

@@ -197,7 +197,7 @@ def pipeline_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         check(
             "orders_custkey_fk",
             orders.join(
-                F.broadcast(customer.select("c_custkey")),
+                customer.select("c_custkey"),
                 orders.o_custkey == F.col("c_custkey"),
                 "left_anti",
             ),
@@ -239,7 +239,7 @@ def pipeline_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)
-    return out.orderBy("check_name")
+    return out
 
 
 @register(
@@ -320,5 +320,5 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_id").alias("nearest_view_id"),
             F.expr("gap_us div 1000000").alias("gap_sec"),
         )
-        .orderBy("purchase_id")
+        
     )

@@ -118,57 +118,62 @@ def pipeline_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.length("h") + 7) / 8).cast("int").alias("n_chunks"),
     )
 
-    def xor_stream(hex_col, prefix_col):
-        # chunk i: 8 hex chars of payload XOR 8 hex chars of
-        # md5(prefix || '-' || i), re-rendered as zero-padded hex
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_chunks")),
-                lambda i: F.lpad(
-                    F.lower(
-                        F.hex(
-                            F.conv(
-                                F.substring(
-                                    F.concat(
-                                        hex_col, F.repeat(F.lit("0"), 8)
-                                    ),
-                                    (i - 1) * 8 + 1,
-                                    8,
-                                ),
-                                16,
-                                10,
-                            )
-                            .cast("bigint")
-                            .bitwiseXOR(
-                                F.conv(
-                                    F.substring(
-                                        F.md5(
-                                            F.concat_ws("-", prefix_col, i)
-                                        ),
-                                        1,
-                                        8,
-                                    ),
-                                    16,
-                                    10,
-                                ).cast("bigint")
-                            )
-                        )
-                    ),
+    def chunk_arr(hex_col):
+        # hex string -> array<bigint> of its 8-hex-char chunk values
+        return F.transform(
+            F.sequence(F.lit(1), F.col("n_chunks")),
+            lambda i: F.conv(
+                F.substring(
+                    F.concat(hex_col, F.repeat(F.lit("0"), 8)),
+                    (i - 1) * 8 + 1,
                     8,
-                    "0",
                 ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+
+    def xor_hex(chunks_col, ks_col):
+        # zip payload chunks against the keystream, re-render as hex
+        return F.array_join(
+            F.zip_with(
+                chunks_col,
+                ks_col,
+                lambda a, b: F.lpad(F.lower(F.hex(a.bitwiseXOR(b))), 8, "0"),
             ),
             "",
         )
 
     key_prefix = F.concat(F.lit("key-"), F.col("source"))
-    enc = hx.select(
+    # The md5 keystream is the expensive part — derive it ONCE per row as
+    # an array column and XOR it against both the payload (encrypt) and
+    # the cipher (decrypt). Because `__ks` is non-cheap and referenced
+    # twice downstream, CollapseProject keeps the producing projection
+    # separate, so the md5 pass runs once instead of once per direction.
+    staged = hx.select(
         "doc_id",
         "source",
         "text",
         "n_chunks",
         F.length("h").alias("h_len"),
-        xor_stream(F.lower(F.col("h")), key_prefix).alias("cipher"),
+        chunk_arr(F.lower(F.col("h"))).alias("__pch"),
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_chunks")),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws("-", key_prefix, i)), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+        ).alias("__ks"),
+    )
+    enc = staged.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chunks",
+        "h_len",
+        "__ks",
+        xor_hex(F.col("__pch"), F.col("__ks")).alias("cipher"),
     )
     dec = enc.join(F.broadcast(keys), "source", "left").select(
         "doc_id",
@@ -179,7 +184,7 @@ def pipeline_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("subject_key").isNotNull().alias("has_key"),
         F.when(
             F.col("subject_key").isNotNull(),
-            xor_stream(F.col("cipher"), key_prefix),
+            xor_hex(chunk_arr(F.col("cipher")), F.col("__ks")),
         ).alias("rec_hex"),
     )
     orig_hex = F.lower(F.hex(F.encode("text", "utf-8")))
@@ -193,4 +198,4 @@ def pipeline_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("has_key"), rec_trim == orig_hex)
         .otherwise(F.lit(False))
         .alias("roundtrip_ok"),
-    ).orderBy("doc_id")
+    )

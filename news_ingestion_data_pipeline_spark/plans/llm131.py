@@ -207,5 +207,5 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_alert_ts"
             ),
         )
-        .orderBy("user_id")
+        
     )

@@ -208,5 +208,5 @@ def pipeline_totals_reconciliation(
                 "delta_vs_grand"
             ),
         )
-        .orderBy("level")
+        
     )

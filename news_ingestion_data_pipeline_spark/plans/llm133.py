@@ -116,7 +116,7 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(MAX(m_end - m_start) div 1000000 AS BIGINT)"
             ).alias("longest_sec"),
         )
-        .orderBy("user_id")
+        
     )
 
 
@@ -191,4 +191,4 @@ def scalar_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr("(span div 7) * 5") + rem_days
         ).cast("bigint").alias("business_days"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )

@@ -156,7 +156,7 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("v").cast("double") / F.count(F.lit(1))
             ).alias("trimmed_mean"),
         )
-        .orderBy("prio")
+        
     )
 
 
@@ -259,4 +259,4 @@ def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_sharp boolean"
         ),
     )
-    return out.orderBy("media_id")
+    return out

@@ -142,7 +142,7 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("jaccard_milli"),
         )
-        .orderBy("type_a", "type_b")
+        
     )
 
 

@@ -89,7 +89,7 @@ def pipeline_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = spark.read.parquet(staging)
     audit_row = (
         staged.join(
-            F.broadcast(cust), staged.o_custkey == cust.c_custkey, "left"
+            cust, staged.o_custkey == cust.c_custkey, "left"
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -238,5 +238,5 @@ def sim_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_z",
             "sumsq_z",
         )
-        .orderBy("dim")
+        
     )

@@ -81,8 +81,11 @@ FROM pair
     "quadratic statistic costs one window pass — and because values are "
     "exact decimals the pairwise sums are EXACT, no sampling, no float "
     "drift (within-group sums use the same identity; the x2 in E|X-X'| "
-    "cancels against ordered-pair counting). Scale: one "
-    "repartitionByRange-style global sort, then arithmetic.",
+    "cancels against ordered-pair counting). Scale: the global prefix "
+    "sums decompose over value-range buckets (the distributed_row_number "
+    "two-pass shape): per-bucket partial counts/sums roll into histogram-"
+    "sized cumulative offsets, then each bucket computes its local prefix "
+    "window in parallel — no single-partition sort anywhere.",
     tags=("agg", "stats"),
 )
 def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,18 +100,70 @@ def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("k"),
         )
     )
-    w = (
-        Window.orderBy("v", "k")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     zero2 = F.lit(0).cast("decimal(18,2)")
-    ordered = vals.select(
+    zero38b = F.lit(0).cast("decimal(38,2)")
+    # bucket = range-quantized v: coarse-monotone in the (v, k) order
+    # (equal v always shares a bucket), so global prefix state below a
+    # row = cumulative per-bucket totals of all LOWER buckets + the local
+    # in-bucket prefix window. ~300 buckets at any SF (value range, not
+    # row count, sets the bucket count; raise the divisor for wider data).
+    b = vals.withColumn("__b", F.floor(F.col("v") / 2048).cast("long"))
+    per = b.groupBy("__b").agg(
+        F.sum(F.when(F.col("g") == "x", 1).otherwise(0)).alias("bcx"),
+        F.sum(F.when(F.col("g") == "y", 1).otherwise(0)).alias("bcy"),
+        F.sum(
+            F.when(F.col("g") == "x", F.col("v")).otherwise(zero2)
+        ).alias("bsx"),
+        F.sum(
+            F.when(F.col("g") == "y", F.col("v")).otherwise(zero2)
+        ).alias("bsy"),
+    )
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off = per.select(
+        "__b",
+        F.coalesce(F.sum("bcx").over(wb), F.lit(0)).alias("ocx"),
+        F.coalesce(F.sum("bcy").over(wb), F.lit(0)).alias("ocy"),
+        F.coalesce(
+            F.sum("bsx").over(wb).cast("decimal(38,2)"), zero38b
+        ).alias("osx"),
+        F.coalesce(
+            F.sum("bsy").over(wb).cast("decimal(38,2)"), zero38b
+        ).alias("osy"),
+    )
+    wloc = Window.partitionBy("__b").orderBy("v", "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ordered = b.join(F.broadcast(off), "__b").select(
         "g",
         "v",
-        F.sum(F.when(F.col("g") == "x", 1).otherwise(0)).over(w).alias("cx"),
-        F.sum(F.when(F.col("g") == "y", 1).otherwise(0)).over(w).alias("cy"),
-        F.sum(F.when(F.col("g") == "x", F.col("v"))).over(w).alias("sx"),
-        F.sum(F.when(F.col("g") == "y", F.col("v"))).over(w).alias("sy"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("g") == "x", 1).otherwise(0)).over(wloc),
+                F.lit(0),
+            )
+            + F.col("ocx")
+        ).alias("cx"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("g") == "y", 1).otherwise(0)).over(wloc),
+                F.lit(0),
+            )
+            + F.col("ocy")
+        ).alias("cy"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("g") == "x", F.col("v"))).over(wloc),
+                zero2,
+            ).cast("decimal(38,2)")
+            + F.col("osx")
+        ).alias("sx"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("g") == "y", F.col("v"))).over(wloc),
+                zero2,
+            ).cast("decimal(38,2)")
+            + F.col("osy")
+        ).alias("sy"),
     )
     x_term = F.coalesce("cy", F.lit(0)) * F.col("v") - F.coalesce(
         "sy", zero2
@@ -229,5 +284,5 @@ def scan_gzip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("content_md5"),
         )
-        .orderBy("lang")
+        
     )

@@ -151,9 +151,11 @@ def join_waterfall_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cust.select("c_custkey", "c_mktsegment")
     enriched = (
         orders.join(
-            F.broadcast(c), orders.o_custkey == c.c_custkey, "left"
+            c, orders.o_custkey == c.c_custkey, "left"
         )
         .join(
+            # bcast-ok: legacy is an aggregate over c_custkey % 100 — at most
+            # 100 rows at any SF, genuinely SF-independent.
             F.broadcast(legacy),
             orders.o_custkey % 100 == legacy.legacy_key,
             "left",
@@ -175,5 +177,5 @@ def join_waterfall_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.min("o_orderkey").alias("min_key"),
         )
-        .orderBy("match_via", "segment")
+        
     )

@@ -239,5 +239,5 @@ def graph_partition_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div LEAST(vol, vol_all - vol) AS BIGINT)"
             ).alias("conductance_milli"),
         )
-        .orderBy("part")
+        
     )

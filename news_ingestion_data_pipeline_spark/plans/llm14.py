@@ -100,4 +100,4 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
-    return visited.orderBy("user_id")
+    return visited

@@ -121,5 +121,5 @@ def text_watermark_greenlist_detect(
             .otherwise(F.lit(False))
             .alias("flagged_watermarked"),
         )
-        .orderBy("doc_id")
+        
     )

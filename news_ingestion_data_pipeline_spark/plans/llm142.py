@@ -247,5 +247,5 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("harmonic_milli"),
         )
-        .orderBy("user_id")
+        
     )

@@ -108,7 +108,7 @@ def events_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(r / F.col("n"), 6).alias("resultant_length"),
         F.round(mean_hr, 6).alias("mean_hour"),
-    ).orderBy("event_type")
+    )
 
 
 _SPLIT = "1998-01-01"
@@ -181,5 +181,5 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deciled.groupBy("dec_early", "dec_late")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("dec_early", "dec_late")
+        
     )

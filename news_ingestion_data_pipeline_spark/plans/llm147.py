@@ -162,7 +162,7 @@ def text_langid_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f19").cast("double").alias("f1"),
             "macro_f1",
         )
-        .orderBy("lang")
+        
     )
 
 

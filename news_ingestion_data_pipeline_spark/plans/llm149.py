@@ -222,4 +222,4 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0).cast("bigint"))
         .alias("dedup_ratio_milli"),
-    ).orderBy("doc_id")
+    )

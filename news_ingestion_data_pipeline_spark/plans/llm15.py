@@ -213,5 +213,5 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("jsd_term").cast("double").alias("jsd_bits"),
             F.count(F.lit(1)).alias("n_terms"),
         )
-        .orderBy("source")
+        
     )

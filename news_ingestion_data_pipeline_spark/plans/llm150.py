@@ -30,7 +30,7 @@ _GRID = 10000  # candidate thresholds every 10k of order value
     "feature_gini_best_split",
     oracle=f"""
 WITH labeled AS (
-  SELECT CAST(o_totalprice AS BIGINT) // {_GRID} AS bucket,
+  SELECT CAST(floor(o_totalprice) AS BIGINT) // {_GRID} AS bucket,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
   FROM orders
 ),
@@ -87,7 +87,7 @@ LIMIT 1
 )
 def feature_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = t(spark, sf_dir, "orders").select(
-        F.expr(f"CAST(o_totalprice AS BIGINT) div {_GRID}").alias("bucket"),
+        F.expr(f"CAST(floor(o_totalprice) AS BIGINT) div {_GRID}").alias("bucket"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
         .otherwise(0)
         .alias("pos"),

@@ -74,5 +74,5 @@ def pipeline_source_freshness_alert(
                 "sla_breached"
             ),
         )
-        .orderBy("source")
+        
     )

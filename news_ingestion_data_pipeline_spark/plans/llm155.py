@@ -25,7 +25,7 @@ from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _CELLS_SQL = """cells AS (
   SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pr,
-         LEAST(CAST(o_totalprice AS BIGINT) // 50000, 9) AS vd,
+         LEAST(CAST(floor(o_totalprice) AS BIGINT) // 50000, 9) AS vd,
          COUNT(*) AS n
   FROM orders GROUP BY 1, 2
 ),
@@ -128,7 +128,7 @@ def _pair_counts(spark: SparkSession, sf_dir: str):
         .groupBy(
             F.substring("o_orderpriority", 1, 1).cast("bigint").alias("pr"),
             F.least(
-                F.expr("CAST(o_totalprice AS BIGINT) div 50000"), F.lit(9)
+                F.expr("CAST(floor(o_totalprice) AS BIGINT) div 50000"), F.lit(9)
             ).alias("vd"),
         )
         .agg(F.count(F.lit(1)).alias("n"))

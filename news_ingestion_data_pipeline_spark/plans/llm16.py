@@ -106,7 +106,7 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(st, 1) + F.element_at(st, 2), 6).alias(
             "forecast_next"
         ),
-    ).orderBy("event_type")
+    )
 
 
 def _phash_cluster_oracle() -> str:
@@ -159,5 +159,5 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("min_media_id"),
             F.max("media_id").alias("max_media_id"),
         )
-        .orderBy(F.desc("n_images"), "phash")
+        
     )

@@ -84,7 +84,7 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p_exp", 6).alias("p_exp"),
             F.round(F.abs(p_obs - F.col("p_exp")), 6).alias("abs_dev"),
         )
-        .orderBy("digit")
+        
     )
 
 
@@ -154,5 +154,5 @@ def window_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cum_value"), 6).alias("peak_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        
     )

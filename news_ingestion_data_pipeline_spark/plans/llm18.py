@@ -90,5 +90,5 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "residual"
             ),
         )
-        .orderBy("hour")
+        
     )

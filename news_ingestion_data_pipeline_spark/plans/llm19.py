@@ -167,4 +167,4 @@ def join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "user_a", "user_b", F.round("dist_km", 6).alias("dist_km")
-    ).orderBy("user_a", "user_b")
+    )

@@ -132,7 +132,7 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_assigned"),
             F.sum("vec_id").alias("sum_vec_id"),
         )
-        .orderBy("cent_id")
+        
     )
 
 
@@ -235,7 +235,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "media_id"
     )
     resized = mm.resize_images(media, 32, 32, decoder="real")
-    return mm.extract_image_features(resized, decoder="real").orderBy("media_id")
+    return mm.extract_image_features(resized, decoder="real")
 
 
 @register(

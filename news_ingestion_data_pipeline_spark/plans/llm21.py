@@ -140,5 +140,5 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("doc_id").alias("sum_ids"),
         )
-        .orderBy("change_type")
+        
     )

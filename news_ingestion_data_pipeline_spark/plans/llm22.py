@@ -77,5 +77,5 @@ def events_twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_sec").alias("total_sec"),
             F.round(twap, 6).alias("twap"),
         )
-        .orderBy("user_id")
+        
     )

@@ -230,5 +230,5 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cell_cnt").cast("bigint").alias("cms_estimate"),
             (F.min("cell_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
         )
-        .orderBy(F.desc("exact_cnt"), "l_suppkey")
+        
     )

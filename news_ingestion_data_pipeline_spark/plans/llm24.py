@@ -77,7 +77,7 @@ def join_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_a",
             "rows_b",
         )
-        .orderBy("name_a", "name_b")
+        
     )
 
 
@@ -270,5 +270,5 @@ def storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_area_frac"),
         )
-        .orderBy("layout")
+        
     )

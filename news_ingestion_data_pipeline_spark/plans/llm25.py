@@ -102,7 +102,7 @@ def curation_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(""))
             .alias("new_text_md5"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -215,5 +215,5 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_pairs"),
             F.round(num / F.sqrt(dx * dy), 6).alias("acf"),
         )
-        .orderBy("lag")
+        
     )

@@ -121,7 +121,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("clustering_coeff"),
         )
-        .orderBy("user_id")
+        
     )
 
 
@@ -210,7 +210,7 @@ def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cluster_purity"
             ),
         )
-        .orderBy("cent_id")
+        
     )
 
 
@@ -253,5 +253,5 @@ def window_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
         )
         .distinct()
-        .orderBy("l_returnflag", "quantity")
+        
     )

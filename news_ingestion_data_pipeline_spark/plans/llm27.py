@@ -76,7 +76,7 @@ def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min("n_chars").cast("bigint").alias("min_chars"),
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
-        .orderBy("split", "lang")
+        
     )
 
 
@@ -225,5 +225,5 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "oov_rate"
             ),
         )
-        .orderBy("doc_id")
+        
     )

@@ -102,7 +102,7 @@ def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("norm_chars"),
         )
-        .orderBy("doc_id")
+        
     )
 
 

@@ -184,7 +184,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100.0
             ).alias("ltv_per_customer"),
         )
-        .orderBy("cohort_month", "months_since")
+        
     )
 
 
@@ -278,5 +278,5 @@ def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("slope"),
         )
-        .orderBy("event_type", "hour")
+        
     )

@@ -212,7 +212,7 @@ def curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k", "doc_id")  # TakeOrderedAndProject: per-partition heap
         .limit(50)
         .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
+        
     )
 
 
@@ -285,7 +285,7 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.coalesce("mx_a", "mx_b"), F.coalesce("mx_b", "mx_a")),
             "yyyy-MM-dd",
         ).alias("last_order"),
-    ).orderBy("o_orderpriority")
+    )
 
 
 # Bloom parameters: 3 hash functions into a 4096-bit filter packed as 64
@@ -387,7 +387,7 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             dsum("l_quantity").alias("total_qty"),
         )
-        .orderBy("l_suppkey")
+        
     )
 
 

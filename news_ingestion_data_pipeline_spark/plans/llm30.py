@@ -107,7 +107,7 @@ def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "credit"
             ),
         )
-        .orderBy("channel")
+        
     )
 
 

@@ -102,5 +102,5 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         und.groupBy(F.col("u").alias("user_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .orderBy("user_id")
+        
     )

@@ -221,5 +221,5 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("bigint").alias("n_events"),
             surv.alias("survival"),
         )
-        .orderBy("t_days")
+        
     )

@@ -100,7 +100,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .where(F.col("n_members") >= 2)
-        .orderBy(F.desc("n_members"), "community")
+        
     )
 
 

@@ -105,7 +105,7 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(100.0) * F.col("num") / F.col("den"), 4).alias(
             "laspeyres_index"
         ),
-    ).orderBy("month")
+    )
 
 
 _EQD_BUCKETS = 10
@@ -193,7 +193,7 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(vd).cast("string").cast("double").alias("hi"),
             F.sum(vd).cast("string").cast("double").alias("bucket_sum"),
         )
-        .orderBy("bucket")
+        
     )
 
 

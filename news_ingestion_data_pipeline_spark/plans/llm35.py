@@ -190,4 +190,4 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("cluster"),
         )
     )
-    return assigned.unionByName(noise).orderBy("vec_id")
+    return assigned.unionByName(noise)

@@ -69,7 +69,7 @@ def curation_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "share_of_actual"
             ),
         )
-        .orderBy("actual_lang", "pred_lang")
+        
     )
 
 
@@ -183,7 +183,7 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("post_m") - F.col("pre_m"), 6).alias("delta"),
             F.round("did", 6).alias("did_estimate"),
         )
-        .orderBy("treated")
+        
     )
 
 
@@ -239,5 +239,5 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.sum("price").cast("string").cast("double").alias("open_value"),
         )
-        .orderBy("age_bucket")
+        
     )

@@ -142,7 +142,7 @@ def orders_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") + F.col("r") + F.col("e") + F.col("co") + F.col("ch"))
             / 100.0
         ).alias("net_change"),
-    ).orderBy("yr", "mo")
+    )
 
 
 _Z = 1.959963984540054  # 97.5th normal quantile (95% two-sided)
@@ -221,7 +221,7 @@ def events_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("rate"),
         F.round((p + z * z / (2 * n) - half) / denom, 6).alias("wilson_lower"),
         F.round((p + z * z / (2 * n) + half) / denom, 6).alias("wilson_upper"),
-    ).orderBy(F.desc("wilson_lower"), "channel")
+    )
 
 
 _CBS_K = 10
@@ -306,5 +306,5 @@ def curation_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFr
             F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
             F.sum("vec_id").cast("bigint").alias("sampled_id_sum"),
         )
-        .orderBy("cell")
+        
     )

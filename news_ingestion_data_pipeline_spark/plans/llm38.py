@@ -169,4 +169,4 @@ def scalar_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("rec.meta.prio"), F.lit("#"), F.col("rec.cust").cast("string")
         ).alias("packed_key"),
-    ).orderBy("o_orderkey")
+    )

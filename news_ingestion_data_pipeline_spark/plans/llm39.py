@@ -174,5 +174,5 @@ def pipeline_watermark_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
             ts_str(F.coalesce("wm_day", epoch)).alias("watermark_day"),
             F.col("latest").isNotNull().alias("has_history"),
         )
-        .orderBy("source")
+        
     )

@@ -43,9 +43,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = DD.minhash_signatures(docs, num_hashes=32).withColumn(
         "is_delta", (F.col("id") % 10) < 3
     )
-    return DD.lsh_band_pairs_incremental(sigs, num_hashes=32, bands=8).orderBy(
-        "id_a", "id_b"
-    )
+    return DD.lsh_band_pairs_incremental(sigs, num_hashes=32, bands=8)
 
 
 @register(
@@ -178,5 +176,5 @@ def scan_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             dsum("l_quantity").alias("sum_qty"),
         )
-        .orderBy("l_returnflag")
+        
     )

@@ -67,7 +67,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_price"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        
     )
 
 
@@ -112,5 +112,5 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid",
             "n_rows",
         )
-        .orderBy("gid", "flag", "status")
+        
     )

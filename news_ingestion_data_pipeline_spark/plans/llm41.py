@@ -74,7 +74,7 @@ def window_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hi").cast("double"), 6).alias("high"),
         F.round(F.col("lo").cast("double"), 6).alias("low"),
         F.round(F.col("last_row.v").cast("double"), 6).alias("close"),
-    ).orderBy("event_type", "bar_start")
+    )
 
 
 @register(
@@ -117,6 +117,5 @@ def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 o_orderkey)
         )
         WHERE spend_rank <= 3
-        ORDER BY o_custkey, spend_rank
         """
     )

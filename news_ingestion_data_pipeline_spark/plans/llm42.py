@@ -100,7 +100,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("smape_seasonal"),
         )
-        .orderBy("event_type")
+        
     )
 
 

@@ -73,5 +73,5 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("pos") <= _HEAD)
         .select("epoch", F.col("pos").cast("int").alias("pos"), "doc_id")
-        .orderBy("epoch", "pos")
+        
     )

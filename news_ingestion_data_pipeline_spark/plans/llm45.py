@@ -120,7 +120,7 @@ def events_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_users"),
         F.round(r, 6).alias("ratio"),
         F.round(F.sqrt(var), 8).alias("ratio_se"),
-    ).orderBy("variant")
+    )
 
 
 @register(
@@ -175,4 +175,4 @@ def pipeline_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (24 - F.col("hours_present")).cast("bigint").alias("hours_missing"),
         (F.col("hours_present") == 24).alias("complete"),
         "present_hours",
-    ).orderBy("day")
+    )

@@ -77,5 +77,5 @@ def curation_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("first_doc"),
             F.sum("doc_id").cast("bigint").alias("hit_id_sum"),
         )
-        .orderBy("canary_id")
+        
     )

@@ -219,7 +219,7 @@ def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(sq(F.col("nc"), F.col("cv"))), 6).alias("shift"),
             F.round(F.sqrt(nrm), 6).alias("new_norm"),
         )
-        .orderBy("cent_id")
+        
     )
 
 
@@ -316,7 +316,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
             (F.col("true_label") == F.col("pred_label")).alias("correct"),
         )
-        .orderBy("query_id")
+        
     )
 
 

@@ -98,7 +98,7 @@ def storage_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out.orderBy("candidate")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -212,5 +212,5 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ie.cast("double") / F.col("m").cast("double") - dd * dd, 6
             ).alias("q_contrib"),
         )
-        .orderBy("community")
+        
     )

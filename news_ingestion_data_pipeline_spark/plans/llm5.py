@@ -92,7 +92,7 @@ def pipeline_upsert_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = UP.read_previous_snapshot(spark, path)
     return fingerprint(cur, "current").unionByName(
         fingerprint(prev, "previous")
-    ).orderBy("snapshot")
+    )
 
 
 @register(
@@ -243,7 +243,7 @@ def join_dpp_runtime_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("event_type")
+        
     )
 
 

@@ -128,7 +128,7 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_grams") + _SPAN_K - 1).cast("bigint").alias("span_tokens"),
         )
         .filter(F.col("span_tokens") >= _SPAN_MIN_TOK)
-        .orderBy("doc_a", "doc_b", "start_a")
+        
     )
 
 
@@ -281,7 +281,7 @@ def agg_kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct"),
             4,
         ).alias("rel_error"),
-    ).orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -88,7 +88,7 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_hit",
         F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
-    ).orderBy("query_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +169,7 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cum_pairs").cast("double") / F.col("total_pairs"), 6
             ).alias("cum_share"),
         )
-        .orderBy("rank")
+        
     )
 
 
@@ -221,7 +221,7 @@ def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k < _KANON_K).alias("at_risk"),
             F.min("doc_id").cast("bigint").alias("sample_doc"),
         )
-        .orderBy("lang", "source", "len_bucket")
+        
     )
 
 
@@ -308,5 +308,5 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(between, 6).alias("between_contrib"),
             F.round(sy / tsy, 6).alias("income_share"),
         )
-        .orderBy("category")
+        
     )

@@ -117,7 +117,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             cb.cast("bigint").alias("n_live"),
             F.round((pb - pa) * F.round(F.log(pb / pa), 9), 6).alias("psi_contrib"),
         )
-        .orderBy("bin")
+        
     )
 
 
@@ -310,5 +310,5 @@ def curation_neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_share"),
         )
         .drop("total_pairs")
-        .orderBy("source_lo", "source_hi")
+        
     )

@@ -198,7 +198,7 @@ def curation_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pad_waste"),
         )
-        .orderBy("bucket", "batch_id")
+        
     )
 
 
@@ -357,5 +357,5 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _LLR_TOP)
-        .orderBy("rnk")
+        
     )

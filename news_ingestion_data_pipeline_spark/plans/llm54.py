@@ -87,7 +87,7 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
             "rnk",
         )
-        .orderBy("window_start", "rnk")
+        
     )
 
 
@@ -202,7 +202,7 @@ def sim_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall"
             ),
         )
-        .orderBy("query_id")
+        
     )
 
 
@@ -280,6 +280,7 @@ def curation_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
     )
     return (
+        # bcast-ok: `corpus` here is the ungrouped COUNT(*) — a 1-row frame.
         df.crossJoin(F.broadcast(corpus))
         .filter(F.col("n_docs_with") >= F.col("n_docs") * _BP_FRAC)
         .select(
@@ -290,5 +291,5 @@ def curation_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_docs_with").cast("double") / F.col("n_docs"), 6
             ).alias("doc_frac"),
         )
-        .orderBy(F.col("doc_frac").desc(), "gram")
+        
     )

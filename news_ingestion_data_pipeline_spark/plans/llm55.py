@@ -73,7 +73,7 @@ def feature_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("prior_spend_90d"),
         )
-        .orderBy("o_orderkey")
+        
     )
 
 
@@ -257,4 +257,4 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("metric_var"),
         n_arm.alias("n_per_arm"),
         (n_arm * 2 <= F.col("n")).alias("feasible_now"),
-    ).orderBy("rel_mde")
+    )

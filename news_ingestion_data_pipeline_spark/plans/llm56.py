@@ -149,7 +149,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adist.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _PQ_K)
         .select("query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank")
-        .orderBy("query_id", "rank")
+        
     )
 
 
@@ -237,5 +237,5 @@ def lineitem_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cv"), 6).alias("max_cv"),
             F.min("l_partkey").cast("bigint").alias("sample_part"),
         )
-        .orderBy("xyz_class")
+        
     )

@@ -150,7 +150,7 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("a") / F.col("sa"), 8).alias("authority"),
             F.round(F.col("h") / F.col("sh"), 8).alias("hub"),
         )
-        .orderBy(F.desc("authority"), "node")
+        
     )
     edges.unpersist()
     nodes.unpersist()

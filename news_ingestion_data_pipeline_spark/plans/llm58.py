@@ -131,7 +131,7 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = p.select(
         F.col("node").alias("state"),
         F.round("p", 8).alias(f"p_absorb_{_ABS_STEPS}"),
-    ).orderBy(F.desc(f"p_absorb_{_ABS_STEPS}"), "state")
+    )
     trans.unpersist()
     nodes.unpersist()
     return out

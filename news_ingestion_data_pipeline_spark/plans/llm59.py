@@ -90,7 +90,7 @@ def curation_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(tw, 6).alias("temp_weight"),
             F.round(tw / nat, 6).alias("upsample_factor"),
         )
-        .orderBy("source")
+        
     )
 
 

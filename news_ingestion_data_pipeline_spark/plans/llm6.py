@@ -61,7 +61,7 @@ def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_events"),
             F.sum("s").cast("decimal(20,10)").cast("double").alias("sum_value"),
         )
-        .orderBy("day")
+        
     )
 
 
@@ -265,4 +265,4 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         # complete-mode sink: sum already cast; re-emit deterministic cols
         F.col("sum_value"),
-    ).orderBy("event_type")
+    )

@@ -169,7 +169,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ov_start.cast("bigint").alias("overlap_start_us"),
             ov.cast("bigint").alias("overlap_us"),
         )
-        .orderBy("user_id", "sess", "incident_rank")
+        
     )
 
 
@@ -250,4 +250,4 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_polysyl").cast("double") / F.col("n_words"), 6).alias(
             "polysyl_frac"
         ),
-    ).orderBy("doc_id")
+    )

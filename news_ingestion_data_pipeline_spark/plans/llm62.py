@@ -177,5 +177,5 @@ def curation_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("keep")
             .alias("decision"),
         )
-        .orderBy("doc_id")
+        
     )

@@ -234,5 +234,5 @@ def sim_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_silhouette"),
             F.round(F.min(F.col("s").cast("double")), 6).alias("min_silhouette"),
         )
-        .orderBy("cent_id")
+        
     )

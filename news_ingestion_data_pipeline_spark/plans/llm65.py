@@ -164,5 +164,5 @@ def join_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _GK_K)
-        .orderBy("user_a", "rank")
+        
     )

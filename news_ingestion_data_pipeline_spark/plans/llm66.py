@@ -272,6 +272,6 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("coverage"),
         )
-        .orderBy("top_n")
+        
     )
     return out

@@ -112,7 +112,7 @@ def curation_epoch_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_budget"),
             (F.col("rn") <= F.col("missing")).alias("got_remainder"),
         )
-        .orderBy("source")
+        
     )
 
 

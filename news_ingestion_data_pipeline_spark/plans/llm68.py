@@ -98,7 +98,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("fresh"), ts_str("m_ts")).alias("last_view_ts"),
         F.when(F.col("fresh"), F.col("m_value")).alias("last_view_value"),
         (F.col("matched") & ~F.col("fresh")).alias("dropped_stale"),
-    ).orderBy("event_id")
+    )
 
 
 _RP_MAX_K = 10
@@ -160,5 +160,5 @@ def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 at_k1.cast("double") / F.nullif(at_k.cast("double"), F.lit(0.0)), 6
             ).alias("next_order_prob"),
         )
-        .orderBy("k")
+        
     )

@@ -213,5 +213,5 @@ def orders_abc_xyz_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_partkey").cast("bigint").alias("sample_part"),
         )
         .drop("tot")
-        .orderBy("abc_class", "xyz_class")
+        
     )

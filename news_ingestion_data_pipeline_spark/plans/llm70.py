@@ -313,4 +313,4 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("docs_in").cast("double"), F.lit(0.0)),
             6,
         ).alias("drop_rate"),
-    ).orderBy("stage_idx")
+    )

@@ -96,7 +96,7 @@ def agg_spc_individuals_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ucl, 6).alias("ucl"),
             ((F.col("x") < lcl) | (F.col("x") > ucl)).alias("out_of_control"),
         )
-        .orderBy("day")
+        
     )
 
 

@@ -289,5 +289,5 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("detail_share"),
         )
-        .orderBy("level")
+        
     )

@@ -166,7 +166,7 @@ def agg_hdr_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("exact_over_bucket"),
         )
-        .orderBy("p")
+        
     )
 
 
@@ -281,4 +281,4 @@ def pipeline_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
             "violation_rate"
         ),
         (F.col("n_bad") == 0).alias("passed"),
-    ).orderBy("check_name")
+    )

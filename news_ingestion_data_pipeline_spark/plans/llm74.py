@@ -138,5 +138,5 @@ def events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("bound", 6).alias("obf_bound"),
             (F.abs("z") > F.col("bound")).alias("crossed"),
         )
-        .orderBy("look")
+        
     )

@@ -108,5 +108,5 @@ def events_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.abs(F.col("fc") - F.col("act")), 6).alias("base_abs_err"),
             F.round(F.abs(rec - F.col("act")), 6).alias("reconciled_abs_err"),
         )
-        .orderBy("event_type")
+        
     )

@@ -133,7 +133,7 @@ def text_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_terms_matched").cast("bigint").alias("n_terms_matched"),
             "rnk",
         )
-        .orderBy("rnk")
+        
     )
 
 
@@ -239,5 +239,5 @@ def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lists").cast("bigint").alias("n_lists"),
             "fused_rank",
         )
-        .orderBy("query_id", "fused_rank")
+        
     )

@@ -111,7 +111,7 @@ def agg_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("t_idx") - _ROC_MIN_TRAIN),
             6,
         ).alias("running_mae"),
-    ).orderBy("fold")
+    )
 
 
 _QT_THRESHOLDS = [0.0, 0.25, 0.5, 0.75, 0.9]
@@ -210,5 +210,5 @@ def curation_quality_token_tradeoff(spark: SparkSession, sf_dir: str) -> DataFra
                 6,
             ).alias("mean_quality_kept"),
         )
-        .orderBy("quality_percentile_cut")
+        
     )

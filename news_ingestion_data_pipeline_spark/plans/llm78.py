@@ -157,7 +157,7 @@ def graph_most_probable_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d").cast("double"), 6).alias("neg_log_prob"),
             F.round(F.exp(-F.col("d").cast("double")), 6).alias("best_path_prob"),
         )
-        .orderBy("neg_log_prob", "state")
+        
     )
     edges.unpersist()
     nodes.unpersist()

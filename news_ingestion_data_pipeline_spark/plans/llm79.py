@@ -80,7 +80,7 @@ def text_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
             F.min("p0_").cast("bigint").alias("first_pos"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -199,5 +199,5 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("frac_shipped_30d"),
         )
-        .orderBy("o_orderpriority")
+        
     )

@@ -93,7 +93,7 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_id").alias("sum_ids"),
         )
-        .orderBy("lang")
+        
     )
 
 
@@ -159,5 +159,5 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
             "n_events",
         )
-        .orderBy("event_type")
+        
     )

@@ -92,7 +92,7 @@ def sim_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("var_val") / F.col("tv"), 6).alias("var_share"),
             (F.col("var_val") < _EDS_DEAD_VAR).alias("dead"),
         )
-        .orderBy("dim")
+        
     )
 
 
@@ -187,5 +187,5 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("entropy_efficiency"),
         )
-        .orderBy("doc_id")
+        
     )

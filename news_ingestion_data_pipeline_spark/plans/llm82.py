@@ -133,7 +133,7 @@ def events_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(eff, 6).alias("stratum_effect"),
             F.round(eff * F.col("n1") / F.col("t1"), 6).alias("att_contribution"),
         )
-        .orderBy("stratum")
+        
     )
 
 

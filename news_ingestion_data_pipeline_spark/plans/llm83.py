@@ -117,7 +117,7 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lateness_minutes"
             ),
         )
-        .orderBy("p")
+        
     )
 
 
@@ -202,5 +202,5 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mix_effect"
             ),
         )
-        .orderBy("prio")
+        
     )

@@ -177,7 +177,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rank", 8).alias("textrank"),
             "rnk",
         )
-        .orderBy("rnk")
+        
     )
     edges.unpersist()
     nodes.unpersist()

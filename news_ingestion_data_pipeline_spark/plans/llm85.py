@@ -179,5 +179,5 @@ def agg_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk") <= F.col("k")).alias("significant_fdr"),
             (F.col("az") >= 1.959964).alias("naive_significant"),
         )
-        .orderBy("rnk")
+        
     )

@@ -127,5 +127,5 @@ def agg_quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("empirical_coverage"),
         )
-        .orderBy("event_type")
+        
     )

@@ -143,5 +143,5 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.round(F.col("dcg") / F.col("idcg"), 6))
             .alias("ndcg"),
         )
-        .orderBy("query_id")
+        
     )

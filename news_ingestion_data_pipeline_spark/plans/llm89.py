@@ -121,7 +121,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct("raw_url").cast("bigint").alias("n_raw_variants"),
         )
-        .orderBy("canonical_url")
+        
     )
 
 
@@ -170,7 +170,7 @@ def curation_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
         )
-        .orderBy("batch_id")
+        
     )
 
 
@@ -258,7 +258,7 @@ def pipeline_upsert_partition_pruned(
         )
         .withColumn("rewritten", F.array_contains(moved_lit, F.col("lang")))
         .select("lang", "n_rows", "n_new", "sum_ids", "rewritten")
-        .orderBy("lang")
+        
     )
 
 
@@ -368,7 +368,7 @@ def stream_incremental_minhash_dedup(
             F.col("dup_of").isNotNull().alias("is_dup"),
             F.col("dup_of").cast("bigint").alias("dup_of"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -478,7 +478,7 @@ def stream_minhash_dedup_late_data(
             F.col("dup_of").isNotNull().alias("is_dup"),
             F.col("dup_of").cast("bigint").alias("dup_of"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -615,5 +615,5 @@ def curation_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct",
             F.round(F.col("n_docs") * F.lit(100.0) / F.lit(total), 4),
         )
-        .orderBy("stage")
+        
     )

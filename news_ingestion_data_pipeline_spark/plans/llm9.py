@@ -203,4 +203,4 @@ def agg_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
-    ).orderBy("event_type")
+    )

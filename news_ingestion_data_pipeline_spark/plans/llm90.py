@@ -114,7 +114,7 @@ def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chars_removed"),
             F.md5(clean).alias("clean_md5"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -193,7 +193,7 @@ def dedup_homoglyph_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("handle") > 1).alias("spoof_suspect"),
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
         )
-        .orderBy("skeleton")
+        
     )
 
 
@@ -301,5 +301,5 @@ def scan_weblog_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("request_user").cast("bigint").alias("n_users"),
             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         )
-        .orderBy("status_class", "top_path")
+        
     )

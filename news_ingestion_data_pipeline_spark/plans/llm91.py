@@ -99,7 +99,7 @@ def curation_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_distinct",
         entropy.alias("entropy_l"),
         (F.col("l_distinct") >= 2).alias("diverse_ok"),
-    ).orderBy("source", "len_band")
+    )
 
 
 @register(
@@ -174,7 +174,7 @@ def curation_reid_risk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "expected_reid_share"
             ),
         )
-        .orderBy("risk_bucket")
+        
     )
 
 
@@ -240,4 +240,4 @@ def curation_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_n").cast("bigint").alias("true_n"),
         noisy.alias("noisy_n"),
         F.lit(1.0).alias("epsilon"),
-    ).orderBy("lang")
+    )

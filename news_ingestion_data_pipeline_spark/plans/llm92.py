@@ -123,7 +123,7 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_windows",
             "peak_rms",
         )
-        .orderBy("media_id", "seg_no")
+        
     )
 
 
@@ -209,5 +209,5 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(w.rowsBetween(Window.unboundedPreceding, 0))
             .cast("bigint"),
         )
-        .orderBy("media_id", "frame_no")
+        
     )

@@ -86,5 +86,5 @@ def storage_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("snaps_before_vacuum", F.lit(before).cast("bigint"))
         .withColumn("snaps_removed", F.lit(removed).cast("bigint"))
         .withColumn("snaps_after_vacuum", F.lit(after).cast("bigint"))
-        .orderBy("version")
+        
     )

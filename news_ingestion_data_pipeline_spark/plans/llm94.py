@@ -201,4 +201,4 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream.awaitTermination()
     stream.stop()
-    return spark.table(name).orderBy("window_start", "event_type")
+    return spark.table(name)

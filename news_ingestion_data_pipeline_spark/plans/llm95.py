@@ -82,7 +82,7 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("kept_chars"),
         )
-        .orderBy("source")
+        
     )
 
 
@@ -161,5 +161,5 @@ def pipeline_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.sum("price_v").cast("double").alias("believed_revenue"),
         )
-        .orderBy("o_orderpriority")
+        
     )

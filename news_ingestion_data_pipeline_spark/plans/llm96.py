@@ -134,7 +134,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = spark.createDataFrame(
         merges, "step int, merged_pair string, pair_count bigint"
     )
-    return rules.crossJoin(F.broadcast(vocab)).orderBy("step")
+    return rules.crossJoin(F.broadcast(vocab))
 
 
 def _syms_col():
@@ -253,5 +253,5 @@ def events_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_violation"
             ),
         )
-        .orderBy("user_id")
+        
     )

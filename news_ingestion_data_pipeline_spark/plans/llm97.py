@@ -137,7 +137,7 @@ def stream_update_mode_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream.awaitTermination()
     stream.stop()
-    return spark.table(name).orderBy("event_type", "n_events")
+    return spark.table(name)
 
 
 @register(
@@ -217,4 +217,4 @@ def feature_rolling_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dv").cast("double").alias("v_1d"),
         F.sum("dv").over(w7).cast("double").alias("v_7d"),
         F.sum("dv").over(w28).cast("double").alias("v_28d"),
-    ).orderBy("user_id", "day")
+    )

@@ -89,7 +89,7 @@ def multimodal_augment_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_w",
         F.md5(hx).alias("crop_md5"),
         crop_sum.alias("crop_sum"),
-    ).orderBy("media_id", "aug")
+    )
 
 
 def _bpe_compression_oracle() -> str:
@@ -184,5 +184,5 @@ def curation_bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.col("total_chars").cast("double") / F.col("total_tokens"), 6
             ),
         )
-        .orderBy("lang")
+        
     )

@@ -116,7 +116,7 @@ def storage_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("doc_id").cast("bigint").alias("sum_ids"),
         )
         .withColumn("n_deleted", F.lit(n_deleted).cast("bigint"))
-        .orderBy("lang")
+        
     )
 
 
@@ -226,7 +226,7 @@ def pipeline_column_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed AS n_removed_rows",
         "n_added AS n_added_rows",
     )
-    return unpivoted.orderBy("col")
+    return unpivoted
 
 
 @register(
@@ -296,5 +296,5 @@ def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("run_len").cast("bigint").alias("streak_len"),
             F.col("n").cast("bigint").alias("n_events"),
         )
-        .orderBy("user_id")
+        
     )

@@ -92,7 +92,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec("l_extendedprice") * (1 - dec("l_discount", "decimal(4,2)"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -258,7 +258,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_within_eps"),
         "exact_customers",
         "n_orders",
-    ).orderBy("o_orderpriority")
+    )
 
 
 @register(

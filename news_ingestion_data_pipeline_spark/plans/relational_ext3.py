@@ -122,9 +122,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(
@@ -178,8 +178,8 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     amount = _disc_price() - dec(F.lit(10.00), "decimal(4,2)") * dec("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
@@ -256,7 +256,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 F.lit(100.00)
@@ -304,7 +304,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = t(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(max_rev), F.col("rev_dec") == F.col("max_rev"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
         )
@@ -336,7 +336,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 14, 23, 45)
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -368,7 +368,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part_avg, F.col("avg_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -419,7 +419,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     return (
         big_orders.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -458,7 +458,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     b1 = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 5)
@@ -825,10 +825,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _disc_price()
     joined = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("n1_region"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
     )
     nation_vol = F.when(
@@ -914,7 +914,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = t(spark, sf_dir, "supplier")
     return (
-        sole_late.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        sole_late.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -1042,7 +1042,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ps.join(tot, "l_partkey")
         .filter(F.col("qty").cast("double") > 0.15 * F.col("tqty").cast("double"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
     )
@@ -1082,8 +1082,8 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = t(spark, sf_dir, "supplier")
     j = (
-        rel.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        rel.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal")
     )
     w = Window.partitionBy("p_partkey")

@@ -840,7 +840,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_exact",
         "p99_exact",
         "n_rows",
-    ).orderBy("l_returnflag")
+    )
 
 
 @register(
@@ -918,7 +918,7 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         "node", F.round("rank", 8).alias("pagerank")
-    ).orderBy(F.desc("pagerank"), "node")
+    )
 
 
 @register(
@@ -1049,7 +1049,7 @@ def pipeline_backfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         expected.join(observed, "h", "left_anti")
         .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("missing_hour"))
-        .orderBy("missing_hour")
+        
     )
 
 
@@ -2089,4 +2089,4 @@ def agg_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05)
         ).alias("est_within_eps"),
         "exact_distinct_docs",
-    ).orderBy("source")
+    )

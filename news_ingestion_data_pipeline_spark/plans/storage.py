@@ -72,7 +72,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
             dsum("l_quantity").alias("sum_qty"),
         )
-        .orderBy("o_orderpriority")
+        
     )
 
 
@@ -112,7 +112,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("day")
+        
     )
 
 
@@ -177,7 +177,7 @@ def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_good"),
             F.sum("n_chars").alias("sum_chars"),
         )
-        .orderBy("lang")
+        
     )
 
 
@@ -224,5 +224,5 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("revenue"),
         )
-        .orderBy("o_orderpriority")
+        
     )

@@ -75,7 +75,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             dsum("o_totalprice").alias("revenue"),
         )
-        .orderBy("o_orderpriority")
+        
     )
 
 
@@ -115,7 +115,7 @@ def storage_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("event_type")
+        
     )
 
 
@@ -159,5 +159,5 @@ def pipeline_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("Article_id").alias("sum_ids"),
         )
-        .orderBy("lang")
+        
     )

@@ -1,0 +1,89 @@
+"""Protocol-level tests for the clean-room Delta log reader
+(operators/deltalog.py): add/remove replay, commit ordering, version
+pinning, and error surfaces — independent of the registry queries."""
+
+import json
+import os
+
+import pytest
+
+from news_ingestion_data_pipeline_spark.operators import deltalog as DL
+
+
+def _mk_table(tmp_path, commits):
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    for v, actions in commits.items():
+        with open(
+            os.path.join(root, "_delta_log", f"{v:020d}.json"),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    return root
+
+
+def _add(p):
+    return {"add": {"path": p, "partitionValues": {}, "size": 1,
+                    "modificationTime": 0, "dataChange": True}}
+
+
+def _rm(p):
+    return {"remove": {"path": p, "deletionTimestamp": 0,
+                       "dataChange": True}}
+
+
+def test_replay_add_then_remove(tmp_path):
+    root = _mk_table(tmp_path, {0: [_add("a.parquet"), _add("b.parquet")],
+                                1: [_rm("a.parquet")]})
+    assert [os.path.basename(f) for f in DL.delta_snapshot_files(root)] == [
+        "b.parquet"
+    ]
+    # time travel: v0 still sees both
+    assert [os.path.basename(f) for f in DL.delta_snapshot_files(root, 0)] == [
+        "a.parquet",
+        "b.parquet",
+    ]
+
+
+def test_re_add_after_remove_is_live(tmp_path):
+    root = _mk_table(
+        tmp_path,
+        {0: [_add("a.parquet")], 1: [_rm("a.parquet")], 2: [_add("a.parquet")]},
+    )
+    assert [os.path.basename(f) for f in DL.delta_snapshot_files(root)] == [
+        "a.parquet"
+    ]
+    assert DL.delta_snapshot_files(root, 1) == []
+
+
+def test_within_commit_order_wins(tmp_path):
+    # a remove followed by an add of the same path in ONE commit = live
+    root = _mk_table(tmp_path, {0: [_add("a.parquet")],
+                                1: [_rm("a.parquet"), _add("a.parquet")]})
+    assert [os.path.basename(f) for f in DL.delta_snapshot_files(root)] == [
+        "a.parquet"
+    ]
+
+
+def test_ignores_checkpoints_and_crc(tmp_path):
+    root = _mk_table(tmp_path, {0: [_add("a.parquet")]})
+    log = os.path.join(root, "_delta_log")
+    open(os.path.join(log, f"{0:020d}.checkpoint.parquet"), "w").close()
+    open(os.path.join(log, f"{0:020d}.crc"), "w").close()
+    open(os.path.join(log, "_last_checkpoint"), "w").close()
+    assert DL.list_commit_versions(root) == [0]
+
+
+def test_unknown_version_raises(tmp_path):
+    root = _mk_table(tmp_path, {0: [_add("a.parquet")]})
+    with pytest.raises(ValueError):
+        DL.delta_snapshot_files(root, 7)
+
+
+def test_empty_log_raises(tmp_path):
+    root = str(tmp_path / "tbl2")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with pytest.raises(FileNotFoundError):
+        DL.delta_snapshot_files(root)

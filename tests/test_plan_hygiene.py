@@ -641,3 +641,66 @@ def test_oracle_output_types_are_driver_portable():
         "oracle output columns with driver-unportable DuckDB types "
         f"(cast to BIGINT/DOUBLE in the final projection): {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint hygiene (round-4 verdict finding): an explicit F.broadcast
+# on an SF-proportional frame (customer/part/supplier/orders/lineitem/
+# documents/events/embeddings or a derivative) overrides
+# autoBroadcastJoinThreshold and OOMs executors at 100x — AQE already
+# broadcasts any side that actually fits, so the hint buys nothing at small
+# SF and breaks the plan at large SF. The hint is allowed only on frames
+# that are SF-independent by construction: an ungrouped/k-key aggregate
+# (arg contains `.agg(`), a `.limit(`-bounded frame, or a site adjudicated
+# with a `# bcast-ok:` comment explaining why the cardinality cannot grow
+# with SF (allowlisted names like nation/region never match).
+# ---------------------------------------------------------------------------
+
+_SF_PROPORTIONAL = __import__("re").compile(
+    r"\b(customer|cust|orders|lineitem|li|part|supplier|supp|sup|"
+    r"documents|docs|events|embeddings|emb|corpus|staged|legacy)\b"
+)
+
+
+def _broadcast_sites(text: str):
+    """Yield (line_no, argument_source) for every F.broadcast( call,
+    capturing the balanced-paren argument across line breaks."""
+    import re
+
+    for m in re.finditer(r"F\.broadcast\(", text):
+        i = m.end()
+        depth, j = 1, i
+        while depth and j < len(text) and j - i < 1000:
+            c = text[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        yield text[: m.start()].count("\n") + 1, " ".join(text[i : j - 1].split())
+
+
+def test_no_broadcast_hints_on_sf_proportional_frames():
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "news_ingestion_data_pipeline_spark"
+    )
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        text = p.read_text()
+        lines = text.splitlines()
+        for line, arg in _broadcast_sites(text):
+            if not _SF_PROPORTIONAL.search(arg):
+                continue
+            if ".agg(" in arg or ".limit(" in arg:
+                continue  # reduced to a scalar/k-row frame inline
+            ctx = "\n".join(lines[max(0, line - 4) : line])
+            if "bcast-ok" in ctx:
+                continue
+            offenders.append(f"{p.relative_to(root.parent)}:{line}  {arg[:90]}")
+    assert not offenders, (
+        "F.broadcast hint on an SF-proportional frame (drop the hint and "
+        "let AQE decide, or adjudicate with a `# bcast-ok:` comment above "
+        "the call):\n" + "\n".join(offenders)
+    )
