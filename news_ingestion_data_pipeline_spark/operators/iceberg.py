@@ -1,0 +1,243 @@
+"""Apache Iceberg table reader (open-format interop, clean-room).
+
+Implements the READ side of the public Iceberg table spec
+(https://iceberg.apache.org/spec/): a table directory holds
+``metadata/vN.metadata.json`` (current snapshot id + snapshot list,
+each snapshot naming its MANIFEST LIST), manifest lists and manifest
+files are Avro containers (decoded by ``operators/avro_lite.py``, a
+clean-room minimal Avro codec), and a manifest's entries carry a
+``status`` (0 EXISTING / 1 ADDED / 2 DELETED) plus the ``data_file``
+record. The files live at a snapshot are the non-DELETED entries across
+all manifests reachable from that snapshot's manifest list.
+
+Scale shape: like the Delta reader, metadata is kilobytes resolved
+driver-side (exactly what production Iceberg readers do before
+planning); the data path is one distributed parquet scan over the live
+files, so pushdown/pruning/parallelism are untouched. Snapshot-id
+time travel = resolving an older snapshot's manifest list from the
+SAME metadata file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from news_ingestion_data_pipeline_spark.operators import avro_lite as AV
+
+_STATUS_DELETED = 2
+
+
+def current_metadata(root: str) -> dict:
+    """Parse the highest-versioned ``metadata/vN.metadata.json``."""
+    mdir = os.path.join(root, "metadata")
+    versions = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".metadata.json"):
+            stem = name[1 : -len(".metadata.json")]
+            if stem.isdigit():
+                versions.append(int(stem))
+    if not versions:
+        raise FileNotFoundError(f"no vN.metadata.json under {mdir}")
+    with open(
+        os.path.join(mdir, f"v{max(versions)}.metadata.json"),
+        encoding="utf-8",
+    ) as fh:
+        return json.load(fh)
+
+
+def snapshot_files(root: str, snapshot_id: int | None = None) -> list[str]:
+    """Paths of the data files live at ``snapshot_id`` (default: the
+    metadata's current-snapshot-id), via manifest-list -> manifest ->
+    entry-status replay."""
+    meta = current_metadata(root)
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in {sorted(snaps)} for {root}"
+        )
+    mlist_path = _resolve(root, snaps[snapshot_id]["manifest-list"])
+    _, manifests = AV.read_container(mlist_path)
+    live: list[str] = []
+    for m in manifests:
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            live.append(_resolve(root, e["data_file"]["file_path"]))
+    return sorted(live)
+
+
+def read_iceberg(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """DataFrame over the Iceberg snapshot — one distributed parquet
+    scan of exactly the live files."""
+    return spark.read.parquet(*snapshot_files(root, snapshot_id))
+
+
+def _resolve(root: str, path: str) -> str:
+    # spec paths may be absolute URIs; fixture paths are table-relative
+    if path.startswith("/") or "://" in path:
+        return path
+    return os.path.join(root, path)
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (the test table the scan_iceberg_* queries parse)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def write_iceberg_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> tuple[int, int]:
+    """Build a two-snapshot Iceberg table from the documents frame:
+
+      * snapshot 1: appends file-0 (lang <> 'fr') and file-1 (lang='fr')
+        through manifest m1 (both ADDED);
+      * snapshot 2: the French quality rewrite — manifest m2 marks
+        file-0 EXISTING and file-1 DELETED, manifest m3 adds file-2
+        (fr docs with n_chars >= 600).
+
+    Returns (snapshot_id_1, snapshot_id_2). Data files carry
+    (doc_id, lang, n_chars, content_h = md5(text))."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    slim = docs.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
+    )
+    _write_single_parquet(
+        slim.filter(F.col("lang") != "fr"), root, "data/file-0.parquet"
+    )
+    _write_single_parquet(
+        slim.filter(F.col("lang") == "fr"), root, "data/file-1.parquet"
+    )
+    _write_single_parquet(
+        slim.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 600)),
+        root,
+        "data/file-2.parquet",
+    )
+
+    def _entry(status: int, snap: int, name: str) -> dict:
+        p = os.path.join(root, name)
+        return {
+            "status": status,
+            "snapshot_id": snap,
+            "data_file": {
+                "file_path": name,
+                "file_format": "PARQUET",
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        }
+
+    snap1, snap2 = 1001, 1002
+
+    def _manifest(name: str, entries: list[dict]) -> dict:
+        path = os.path.join(root, "metadata", name)
+        AV.write_container(path, _MANIFEST_SCHEMA, entries)
+        return {
+            "manifest_path": f"metadata/{name}",
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": None,
+        }
+
+    m1 = _manifest(
+        "m1.avro",
+        [
+            _entry(1, snap1, "data/file-0.parquet"),
+            _entry(1, snap1, "data/file-1.parquet"),
+        ],
+    )
+    m2 = _manifest(
+        "m2.avro",
+        [
+            _entry(0, snap1, "data/file-0.parquet"),  # EXISTING
+            _entry(2, snap2, "data/file-1.parquet"),  # DELETED
+        ],
+    )
+    m3 = _manifest("m3.avro", [_entry(1, snap2, "data/file-2.parquet")])
+
+    AV.write_container(
+        os.path.join(root, "metadata", "snap-1.avro"),
+        _MANIFEST_LIST_SCHEMA,
+        [m1],
+    )
+    AV.write_container(
+        os.path.join(root, "metadata", "snap-2.avro"),
+        _MANIFEST_LIST_SCHEMA,
+        [m2, m3],
+    )
+
+    meta = {
+        "format-version": 2,
+        "table-uuid": "spark-graft-iceberg-fixture",
+        "location": root,
+        "current-snapshot-id": snap2,
+        "snapshots": [
+            {
+                "snapshot-id": snap1,
+                "manifest-list": "metadata/snap-1.avro",
+                "summary": {"operation": "append"},
+            },
+            {
+                "snapshot-id": snap2,
+                "manifest-list": "metadata/snap-2.avro",
+                "summary": {"operation": "overwrite"},
+            },
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v2.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(meta, fh)
+    return snap1, snap2

@@ -1,0 +1,159 @@
+"""Unit tests for the clean-room Avro codec and Iceberg metadata
+resolution (operators/avro_lite.py, operators/iceberg.py)."""
+
+import json
+import os
+
+import pytest
+
+from news_ingestion_data_pipeline_spark.operators import avro_lite as AV
+from news_ingestion_data_pipeline_spark.operators import iceberg as IB
+
+
+def test_avro_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "b", "type": "boolean"},
+            {"name": "d", "type": "double"},
+            {
+                "name": "rec",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {"s": "héllo", "n": -(1 << 40), "u": None, "arr": [1, -2, 3],
+         "m": {"a": "b"}, "b": True, "d": 3.5, "rec": {"x": 7}},
+        {"s": "", "n": 0, "u": 42, "arr": [], "m": {}, "b": False,
+         "d": -1.25, "rec": {"x": -1}},
+    ]
+    p = str(tmp_path / "t.avro")
+    AV.write_container(p, schema, recs)
+    schema2, out = AV.read_container(p)
+    assert out == recs
+    assert schema2 == schema
+
+
+def test_avro_zigzag_edge_values(tmp_path):
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": "long"}]}
+    vals = [0, -1, 1, 63, 64, -64, -65, (1 << 62), -(1 << 62)]
+    p = str(tmp_path / "z.avro")
+    AV.write_container(p, schema, [{"v": v} for v in vals])
+    _, out = AV.read_container(p)
+    assert [r["v"] for r in out] == vals
+
+
+def test_avro_rejects_non_avro(tmp_path):
+    p = str(tmp_path / "x.bin")
+    open(p, "wb").write(b"PAR1not-avro")
+    with pytest.raises(ValueError):
+        AV.read_container(p)
+
+
+def test_avro_empty_container(tmp_path):
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": "long"}]}
+    p = str(tmp_path / "e.avro")
+    AV.write_container(p, schema, [])
+    _, out = AV.read_container(p)
+    assert out == []
+
+
+def _mk_iceberg(tmp_path, statuses_by_snapshot):
+    """Tiny synthetic table: one manifest per snapshot, entries given as
+    {snapshot_id: [(status, path), ...]}, current = max snapshot id."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "metadata"))
+    snapshots = []
+    for sid, entries in statuses_by_snapshot.items():
+        mname = f"m{sid}.avro"
+        AV.write_container(
+            os.path.join(root, "metadata", mname),
+            IB._MANIFEST_SCHEMA,
+            [
+                {
+                    "status": st,
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "record_count": 0,
+                        "file_size_in_bytes": 0,
+                    },
+                }
+                for st, p in entries
+            ],
+        )
+        lname = f"snap-{sid}.avro"
+        AV.write_container(
+            os.path.join(root, "metadata", lname),
+            IB._MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": f"metadata/{mname}",
+                    "manifest_length": 1,
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": sid,
+                }
+            ],
+        )
+        snapshots.append(
+            {"snapshot-id": sid, "manifest-list": f"metadata/{lname}"}
+        )
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": max(statuses_by_snapshot),
+        "snapshots": snapshots,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    return root
+
+
+def test_iceberg_status_replay(tmp_path):
+    root = _mk_iceberg(
+        tmp_path,
+        {
+            1: [(1, "data/a.parquet"), (1, "data/b.parquet")],
+            2: [(0, "data/a.parquet"), (2, "data/b.parquet")],
+        },
+    )
+    latest = [os.path.basename(f) for f in IB.snapshot_files(root)]
+    assert latest == ["a.parquet"]
+    v1 = [os.path.basename(f) for f in IB.snapshot_files(root, 1)]
+    assert v1 == ["a.parquet", "b.parquet"]
+
+
+def test_iceberg_unknown_snapshot_raises(tmp_path):
+    root = _mk_iceberg(tmp_path, {1: [(1, "data/a.parquet")]})
+    with pytest.raises(ValueError):
+        IB.snapshot_files(root, 99)
+
+
+def test_iceberg_picks_highest_metadata_version(tmp_path):
+    root = _mk_iceberg(tmp_path, {1: [(1, "data/a.parquet")]})
+    # a newer metadata version supersedes: point it at nothing live
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"}
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v10.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    assert IB.current_metadata(root)["current-snapshot-id"] == 1
