@@ -220,6 +220,13 @@ BENCH_QUERIES = [
     "agg_somers_d",
     "agg_kendall_tau_c",
     "pipeline_sampled_integrity_audit",
+    # round 5
+    "scan_delta_log_table",
+    "scan_delta_time_travel",
+    "scan_iceberg_table",
+    "scan_iceberg_time_travel",
+    "curation_gopher_quality_rules",
+    "curation_dsir_importance",
 ]
 
 

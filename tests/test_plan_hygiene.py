@@ -297,6 +297,11 @@ PYTHON_FREE = [
     "agg_somers_d",
     "agg_kendall_tau_c",
     "pipeline_sampled_integrity_audit",
+    # round-5 waves
+    "curation_gopher_quality_rules",
+    "curation_dsir_importance",
+    "scan_delta_log_table",
+    "scan_iceberg_table",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -304,6 +309,10 @@ PYTHON_FREE = [
 #: cross joins) — everything NOT listed must be free of both
 BNLJ_ALLOWED = frozenset(
     {
+        # 1-row corpus-totals frame crossed into the 4096-row lambda
+        # table (wave 159) — both sides SF-independent
+        "curation_dsir_importance",
+
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",
         "agg_kendall_tau_c",
