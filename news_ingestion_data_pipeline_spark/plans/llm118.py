@@ -71,6 +71,11 @@ FROM cand WHERE n_bands_matched >= 3 ORDER BY id_a, id_b"""
 def _weighted_elements(docs: DataFrame) -> DataFrame:
     """(id, x) weight-expanded 32-bit element hashes, ready for the
     shared signature aggregate."""
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    # spread: tokenize + md5-per-virtual-element is compute-heavy; a
+    # single-row-group scan would serialize it to one task
+    docs = spread(docs)
     tc = (
         docs.select(
             F.col("doc_id").alias("id"),

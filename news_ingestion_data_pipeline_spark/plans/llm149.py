@@ -111,9 +111,14 @@ ORDER BY doc_id
     tags=("dedup", "text", "llm"),
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
     poly = _POLY
 
-    docs = t(spark, sf_dir, "documents").select(
+    # spread: the rolling-hash boundary scan is the suite's heaviest
+    # per-row expression chain — serialized to ONE task by a single-row-
+    # group parquet fixture without it (7.3 s -> parallel at sf0.1)
+    docs = spread(t(spark, sf_dir, "documents")).select(
         "doc_id", normalize_text(F.col("text")).alias("s")
     )
     coded = docs.select(
