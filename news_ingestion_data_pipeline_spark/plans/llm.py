@@ -203,7 +203,9 @@ FROM coded
     tags=("llm", "text", "dedup"),
 )
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
 
     def codes_of(s):
         # split-to-chars, not substr-per-position: substr(s, i, 1) in a

@@ -68,9 +68,11 @@ ORDER BY media_a, media_b
 def multimodal_frame_containment_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
     from news_ingestion_data_pipeline_spark.operators import multimodal as mm
 
-    docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
+    docs = spread(t(spark, sf_dir, "documents")).orderBy("doc_id").limit(200)
     media = mm.synthesize_media_real(docs, kind="video").repartition(
         8, "media_id"
     )

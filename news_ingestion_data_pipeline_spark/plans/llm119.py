@@ -134,8 +134,10 @@ ORDER BY word
     tags=("text", "llm", "iterative"),
 )
 def text_unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
     words = (
-        t(spark, sf_dir, "documents")
+        spread(t(spark, sf_dir, "documents"))
         .select(
             F.explode(tokens(normalize_text(F.col("text")))).alias("w")
         )

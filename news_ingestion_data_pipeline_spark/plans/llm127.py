@@ -88,7 +88,9 @@ ORDER BY doc_id
     tags=("text", "llm", "curation"),
 )
 def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    docs = spread(t(spark, sf_dir, "documents")).select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
     hx = docs.select(

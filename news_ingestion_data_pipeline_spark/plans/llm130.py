@@ -96,7 +96,11 @@ ORDER BY doc_id
     tags=("pipeline", "privacy", "storage"),
 )
 def pipeline_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    # spread: two md5 keystream passes per doc are the suite's heaviest
+    # scalar chain — don't let a one-row-group scan serialize them
+    docs = spread(t(spark, sf_dir, "documents"))
     keys = (
         docs.select("source")
         .distinct()

@@ -79,7 +79,9 @@ ORDER BY d.doc_id
 def text_watermark_greenlist_detect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    docs = spread(t(spark, sf_dir, "documents"))
     flags = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     ).select(

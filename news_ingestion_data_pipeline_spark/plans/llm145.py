@@ -97,7 +97,9 @@ FROM ratios
 def sim_jl_projection_distortion(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select(
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    e = spread(t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     signs = [

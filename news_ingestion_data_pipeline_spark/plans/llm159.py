@@ -81,7 +81,9 @@ FROM feats
     tags=("curation", "llm", "text"),
 )
 def curation_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
     tk = TX.tokens(F.lower(F.col("text")))
     feats = d.select(
         "doc_id",
@@ -190,7 +192,9 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     tags=("curation", "llm", "text"),
 )
 def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
     tk = TX.tokens(F.lower(F.col("text")))
     bg = d.select(
         "doc_id",

@@ -57,7 +57,9 @@ ORDER BY doc_id
     tags=("curation", "dedup", "text"),
 )
 def curation_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = t(spark, sf_dir, "documents").select(
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    toks = spread(t(spark, sf_dir, "documents")).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     spans = (

@@ -165,7 +165,9 @@ ORDER BY c.cent_id
     tags=("llm", "similarity", "iterative"),
 )
 def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select(
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    e = spread(t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = e.filter(F.col("vec_id") < _KM_K).select(

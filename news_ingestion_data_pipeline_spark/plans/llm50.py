@@ -82,8 +82,10 @@ ORDER BY doc_a, doc_b, start_a
     tags=("llm", "dedup", "text"),
 )
 def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
     toks = F.split("text", " ")
-    docs = t(spark, sf_dir, "documents").select("doc_id", toks.alias("tk"))
+    docs = spread(t(spark, sf_dir, "documents")).select("doc_id", toks.alias("tk"))
     grams = (
         docs.filter(F.size("tk") >= _SPAN_K)
         .select(
