@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "scan_iceberg_time_travel",
     "curation_gopher_quality_rules",
     "curation_dsir_importance",
+    "scan_iceberg_partition_pruned",
 ]
 
 

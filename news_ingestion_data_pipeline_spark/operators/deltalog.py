@@ -95,7 +95,9 @@ def _write_single_parquet(df: DataFrame, root: str, name: str) -> None:
         n for n in os.listdir(tmp)
         if n.endswith(".parquet") and not n.startswith(".")
     )
-    shutil.move(os.path.join(tmp, part), os.path.join(root, name))
+    dest = os.path.join(root, name)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    shutil.move(os.path.join(tmp, part), dest)
     shutil.rmtree(tmp, ignore_errors=True)
 
 

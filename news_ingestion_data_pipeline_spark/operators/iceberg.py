@@ -48,10 +48,22 @@ def current_metadata(root: str) -> dict:
         return json.load(fh)
 
 
-def snapshot_files(root: str, snapshot_id: int | None = None) -> list[str]:
+def snapshot_files(
+    root: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, set] | None = None,
+) -> tuple[list[str], int]:
     """Paths of the data files live at ``snapshot_id`` (default: the
     metadata's current-snapshot-id), via manifest-list -> manifest ->
-    entry-status replay."""
+    entry-status replay.
+
+    ``partition_filter`` maps partition-field name -> allowed values;
+    entries whose ``data_file.partition`` record falls outside it are
+    skipped WITHOUT touching their data files — Iceberg's metadata-level
+    partition pruning, the mechanism that turns a 100 TB scan into a
+    per-partition one. Returns ``(live_files, n_live_total)`` where the
+    second element counts live files BEFORE pruning (the audit number
+    proving files were skipped by metadata alone)."""
     meta = current_metadata(root)
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
@@ -63,21 +75,34 @@ def snapshot_files(root: str, snapshot_id: int | None = None) -> list[str]:
     mlist_path = _resolve(root, snaps[snapshot_id]["manifest-list"])
     _, manifests = AV.read_container(mlist_path)
     live: list[str] = []
+    n_total = 0
     for m in manifests:
         _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
         for e in entries:
             if e["status"] == _STATUS_DELETED:
                 continue
+            n_total += 1
+            part = e["data_file"].get("partition") or {}
+            if partition_filter and any(
+                part.get(k) not in allowed
+                for k, allowed in partition_filter.items()
+            ):
+                continue
             live.append(_resolve(root, e["data_file"]["file_path"]))
-    return sorted(live)
+    return sorted(live), n_total
 
 
 def read_iceberg(
-    spark: SparkSession, root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, set] | None = None,
 ) -> DataFrame:
     """DataFrame over the Iceberg snapshot — one distributed parquet
-    scan of exactly the live files."""
-    return spark.read.parquet(*snapshot_files(root, snapshot_id))
+    scan of exactly the live (and, if filtered, partition-pruned)
+    files."""
+    files, _ = snapshot_files(root, snapshot_id, partition_filter)
+    return spark.read.parquet(*files)
 
 
 def _resolve(root: str, path: str) -> str:
@@ -105,6 +130,16 @@ _MANIFEST_SCHEMA = {
                 "fields": [
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "partition",
+                            "fields": [
+                                {"name": "lang", "type": ["null", "string"]}
+                            ],
+                        },
+                    },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
                 ],
@@ -128,13 +163,15 @@ _MANIFEST_LIST_SCHEMA = {
 def write_iceberg_fixture(
     spark: SparkSession, docs: DataFrame, root: str
 ) -> tuple[int, int]:
-    """Build a two-snapshot Iceberg table from the documents frame:
+    """Build a two-snapshot, lang-partitioned Iceberg table from the
+    documents frame:
 
-      * snapshot 1: appends file-0 (lang <> 'fr') and file-1 (lang='fr')
-        through manifest m1 (both ADDED);
-      * snapshot 2: the French quality rewrite — manifest m2 marks
-        file-0 EXISTING and file-1 DELETED, manifest m3 adds file-2
-        (fr docs with n_chars >= 600).
+      * snapshot 1: appends one data file PER LANGUAGE (hidden-
+        partition layout; each manifest entry carries its partition
+        record {lang}) through manifest m1;
+      * snapshot 2: the French quality rewrite — manifest m2 marks the
+        non-fr files EXISTING and the fr file DELETED, manifest m3 adds
+        the filtered fr replacement (n_chars >= 600).
 
     Returns (snapshot_id_1, snapshot_id_2). Data files carry
     (doc_id, lang, n_chars, content_h = md5(text))."""
@@ -152,19 +189,22 @@ def write_iceberg_fixture(
     slim = docs.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
     )
-    _write_single_parquet(
-        slim.filter(F.col("lang") != "fr"), root, "data/file-0.parquet"
-    )
-    _write_single_parquet(
-        slim.filter(F.col("lang") == "fr"), root, "data/file-1.parquet"
-    )
+    langs = sorted(
+        r[0] for r in slim.select("lang").distinct().collect()
+    )  # metadata-scale: one value per partition
+    for lang in langs:
+        _write_single_parquet(
+            slim.filter(F.col("lang") == lang),
+            root,
+            f"data/lang={lang}/file-1.parquet",
+        )
     _write_single_parquet(
         slim.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 600)),
         root,
-        "data/file-2.parquet",
+        "data/lang=fr/file-2.parquet",
     )
 
-    def _entry(status: int, snap: int, name: str) -> dict:
+    def _entry(status: int, snap: int, name: str, lang: str) -> dict:
         p = os.path.join(root, name)
         return {
             "status": status,
@@ -172,6 +212,7 @@ def write_iceberg_fixture(
             "data_file": {
                 "file_path": name,
                 "file_format": "PARQUET",
+                "partition": {"lang": lang},
                 "record_count": 0,
                 "file_size_in_bytes": os.path.getsize(p),
             },
@@ -192,18 +233,25 @@ def write_iceberg_fixture(
     m1 = _manifest(
         "m1.avro",
         [
-            _entry(1, snap1, "data/file-0.parquet"),
-            _entry(1, snap1, "data/file-1.parquet"),
+            _entry(1, snap1, f"data/lang={lang}/file-1.parquet", lang)
+            for lang in langs
         ],
     )
     m2 = _manifest(
         "m2.avro",
         [
-            _entry(0, snap1, "data/file-0.parquet"),  # EXISTING
-            _entry(2, snap2, "data/file-1.parquet"),  # DELETED
+            _entry(
+                0 if lang != "fr" else 2,  # EXISTING, fr DELETED
+                snap1 if lang != "fr" else snap2,
+                f"data/lang={lang}/file-1.parquet",
+                lang,
+            )
+            for lang in langs
         ],
     )
-    m3 = _manifest("m3.avro", [_entry(1, snap2, "data/file-2.parquet")])
+    m3 = _manifest(
+        "m3.avro", [_entry(1, snap2, "data/lang=fr/file-2.parquet", "fr")]
+    )
 
     AV.write_container(
         os.path.join(root, "metadata", "snap-1.avro"),

@@ -95,3 +95,47 @@ def scan_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("version"), "*"
     )
     return v0.unionByName(v1)
+
+
+@register(
+    "scan_iceberg_partition_pruned",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL}),
+sel AS (SELECT * FROM live WHERE lang IN ('en', 'de')),
+audit AS (
+  SELECT (SELECT COUNT(DISTINCT lang) FROM documents
+          WHERE lang IN ('en', 'de')) AS n_files_scanned,
+         (SELECT COUNT(DISTINCT lang) FROM documents) AS n_files_live
+)
+SELECT sel.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(content_h, '' ORDER BY doc_id)) AS content_md5,
+       CAST(audit.n_files_scanned AS BIGINT) AS n_files_scanned,
+       CAST(audit.n_files_live AS BIGINT) AS n_files_live
+FROM sel CROSS JOIN audit
+GROUP BY sel.lang, audit.n_files_scanned, audit.n_files_live
+""",
+    description="Iceberg metadata-level partition pruning — the "
+    "mechanism that makes the format matter at 100 TB: the table is "
+    "lang-partitioned (one data file per language, each manifest entry "
+    "carrying its partition record), and a lang IN ('en','de') read "
+    "resolves ONLY those entries from the manifests — the other "
+    "languages' data files are never opened, proven by the audit "
+    "columns (files scanned vs files live, counted during metadata "
+    "resolution, matching the oracle's per-language file arithmetic). "
+    "The scan itself then pushes further predicates down into exactly "
+    "the surviving parquet files.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_iceberg_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root, _, _ = _fixture(spark, sf_dir)
+    files, n_live = IB.snapshot_files(
+        root, partition_filter={"lang": {"en", "de"}}
+    )
+    df = spark.read.parquet(*files)
+    return _snapshot_agg(df).select(
+        "*",
+        F.lit(len(files)).cast("bigint").alias("n_files_scanned"),
+        F.lit(n_live).cast("bigint").alias("n_files_live"),
+    )

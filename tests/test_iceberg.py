@@ -89,6 +89,7 @@ def _mk_iceberg(tmp_path, statuses_by_snapshot):
                     "data_file": {
                         "file_path": p,
                         "file_format": "PARQUET",
+                        "partition": {"lang": None},
                         "record_count": 0,
                         "file_size_in_bytes": 0,
                     },
@@ -130,10 +131,11 @@ def test_iceberg_status_replay(tmp_path):
             2: [(0, "data/a.parquet"), (2, "data/b.parquet")],
         },
     )
-    latest = [os.path.basename(f) for f in IB.snapshot_files(root)]
-    assert latest == ["a.parquet"]
-    v1 = [os.path.basename(f) for f in IB.snapshot_files(root, 1)]
-    assert v1 == ["a.parquet", "b.parquet"]
+    files, n_total = IB.snapshot_files(root)
+    assert [os.path.basename(f) for f in files] == ["a.parquet"]
+    assert n_total == 1
+    v1, _ = IB.snapshot_files(root, 1)
+    assert [os.path.basename(f) for f in v1] == ["a.parquet", "b.parquet"]
 
 
 def test_iceberg_unknown_snapshot_raises(tmp_path):
@@ -157,3 +159,30 @@ def test_iceberg_picks_highest_metadata_version(tmp_path):
     ) as fh:
         json.dump(meta, fh)
     assert IB.current_metadata(root)["current-snapshot-id"] == 1
+
+
+def test_iceberg_partition_pruning(tmp_path):
+    root = _mk_iceberg(tmp_path, {1: [(1, "data/a.parquet"),
+                                      (1, "data/b.parquet")]})
+    # tag partitions: rewrite the manifest with lang values
+    AV.write_container(
+        os.path.join(root, "metadata", "m1.avro"),
+        IB._MANIFEST_SCHEMA,
+        [
+            {"status": 1, "snapshot_id": 1,
+             "data_file": {"file_path": "data/a.parquet",
+                           "file_format": "PARQUET",
+                           "partition": {"lang": "en"},
+                           "record_count": 0, "file_size_in_bytes": 0}},
+            {"status": 1, "snapshot_id": 1,
+             "data_file": {"file_path": "data/b.parquet",
+                           "file_format": "PARQUET",
+                           "partition": {"lang": "fr"},
+                           "record_count": 0, "file_size_in_bytes": 0}},
+        ],
+    )
+    files, n_total = IB.snapshot_files(
+        root, partition_filter={"lang": {"en"}}
+    )
+    assert [os.path.basename(f) for f in files] == ["a.parquet"]
+    assert n_total == 2  # pruning happened at metadata level
