@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "curation_gopher_quality_rules",
     "curation_dsir_importance",
     "scan_iceberg_partition_pruned",
+    "agg_kmv_intersection",
+    "sim_hybrid_rrf_retrieval",
 ]
 
 

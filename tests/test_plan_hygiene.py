@@ -302,6 +302,8 @@ PYTHON_FREE = [
     "curation_dsir_importance",
     "scan_delta_log_table",
     "scan_iceberg_table",
+    "agg_kmv_intersection",
+    "sim_hybrid_rrf_retrieval",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -312,6 +314,11 @@ BNLJ_ALLOWED = frozenset(
         # 1-row corpus-totals frame crossed into the 4096-row lambda
         # table (wave 159) — both sides SF-independent
         "curation_dsir_importance",
+
+        # wave 160: 1-row sketch-stats / exact-counts cross joins
+        # (kmv) and the fixed 5-query probe-set cross joins (hybrid)
+        "agg_kmv_intersection",
+        "sim_hybrid_rrf_retrieval",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",
