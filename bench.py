@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "scan_iceberg_partition_pruned",
     "agg_kmv_intersection",
     "sim_hybrid_rrf_retrieval",
+    "sim_mips_topk",
+    "curation_soft_dedup_weights",
 ]
 
 

@@ -304,6 +304,8 @@ PYTHON_FREE = [
     "scan_iceberg_table",
     "agg_kmv_intersection",
     "sim_hybrid_rrf_retrieval",
+    "sim_mips_topk",
+    "curation_soft_dedup_weights",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -319,6 +321,9 @@ BNLJ_ALLOWED = frozenset(
         # (kmv) and the fixed 5-query probe-set cross joins (hybrid)
         "agg_kmv_intersection",
         "sim_hybrid_rrf_retrieval",
+
+        # wave 161: fixed 5-query probe set + 1-row max-norm frame
+        "sim_mips_topk",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",
