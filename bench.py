@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "sim_hybrid_rrf_retrieval",
     "sim_mips_topk",
     "curation_soft_dedup_weights",
+    "scan_delta_checkpoint",
 ]
 
 

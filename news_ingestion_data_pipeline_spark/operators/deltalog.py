@@ -14,8 +14,11 @@ driver-side exactly like production Delta readers resolve snapshots
 the same metadata/payload split). The DATA stays distributed: the live
 file list feeds one ``spark.read.parquet(*files)``, so predicate
 pushdown / column pruning / partition parallelism all apply unchanged.
-Checkpoint-parquet support is unnecessary for correctness (checkpoints
-are an optimization; the JSON commits are authoritative) and omitted.
+Checkpoint support (the protocol's log compaction) is implemented at
+the bottom of this module: a ``%020d.checkpoint.parquet`` materializes
+the live-add state so readers start there and replay only the JSON
+commits after it — the difference between one compacted file + a tail
+and an unbounded log replay.
 
 No Delta code is used or required — this is a clean-room parser of the
 published JSON action schema.
@@ -193,3 +196,106 @@ def write_delta_fixture(spark: SparkSession, docs: DataFrame, root: str) -> str:
         ],
     )
     return root
+
+
+# ---------------------------------------------------------------------------
+# checkpoint support (log compaction per the Delta protocol)
+# ---------------------------------------------------------------------------
+
+
+def _last_checkpoint(root: str) -> dict | None:
+    p = os.path.join(root, "_delta_log", "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def write_checkpoint(root: str, version: int) -> str:
+    """Materialize the snapshot state at ``version`` as a
+    ``%020d.checkpoint.parquet`` (one row per live add action, the
+    protocol's log-compaction artifact) plus the ``_last_checkpoint``
+    pointer. Written with pyarrow — the checkpoint is metadata-scale,
+    and keeping the log layer Spark-free mirrors how production
+    readers resolve snapshots before any cluster work starts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = delta_snapshot_files(root, version)
+    rel = [os.path.relpath(f, root) for f in files]
+    table = pa.table(
+        {
+            "add": [
+                {"path": p, "dataChange": True} for p in rel
+            ],
+            "remove": pa.array(
+                [None] * len(rel),
+                type=pa.struct(
+                    [("path", pa.string()), ("dataChange", pa.bool_())]
+                ),
+            ),
+        }
+    )
+    cp = os.path.join(
+        root, "_delta_log", f"{version:020d}.checkpoint.parquet"
+    )
+    pq.write_table(table, cp)
+    with open(
+        os.path.join(root, "_delta_log", "_last_checkpoint"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump({"version": version, "size": len(rel)}, fh)
+    return cp
+
+
+def delta_snapshot_files_checkpointed(
+    root: str, version: int | None = None
+) -> tuple[list[str], int, int]:
+    """Like :func:`delta_snapshot_files` but resolving THROUGH the
+    checkpoint when one covers the requested version: the live-file
+    baseline comes from the checkpoint parquet and only the JSON
+    commits AFTER it are replayed. Returns
+    ``(files, checkpoint_version_used, n_json_commits_replayed)`` —
+    -1 for the version when no checkpoint applies (full JSON replay).
+    At scale this is the difference between reading one compacted
+    file + a handful of tail commits and replaying an unbounded log."""
+    import pyarrow.parquet as pq
+
+    versions = list_commit_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits under {root}/_delta_log")
+    if version is None:
+        version = versions[-1]
+    cp = _last_checkpoint(root)
+    if cp is None or cp["version"] > version:
+        files = delta_snapshot_files(root, version)
+        return files, -1, len([v for v in versions if v <= version])
+    cp_version = cp["version"]
+    cp_path = os.path.join(
+        root, "_delta_log", f"{cp_version:020d}.checkpoint.parquet"
+    )
+    live: dict[str, bool] = {}
+    for row in pq.read_table(cp_path, columns=["add"]).to_pylist():
+        if row["add"] is not None:
+            live[row["add"]["path"]] = True
+    replayed = 0
+    for v in versions:
+        if v <= cp_version or v > version:
+            continue
+        replayed += 1
+        commit = os.path.join(root, "_delta_log", f"{v:020d}.json")
+        with open(commit, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = True
+                elif "remove" in action:
+                    live[action["remove"]["path"]] = False
+    files = [
+        os.path.join(root, p) for p, alive in sorted(live.items()) if alive
+    ]
+    return files, cp_version, replayed

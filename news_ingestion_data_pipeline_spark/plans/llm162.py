@@ -1,0 +1,125 @@
+"""Hundred-sixty-second wave: Delta checkpoint resolution (log
+compaction) — the read path a long-lived table actually exercises.
+
+A Delta table that has committed thousands of times cannot make every
+reader replay the whole JSON log; the protocol compacts state into
+``N.checkpoint.parquet`` plus a ``_last_checkpoint`` pointer, and a
+reader resolves: checkpoint baseline -> replay only the JSON commits
+after it. This wave extends the fixture with a third commit (a second
+French rewrite narrowing to n_chars in [600, 900)), checkpoints at
+version 1, and certifies that checkpoint-based resolution produces
+byte-identical content to the full-replay answer — with audit columns
+proving the reader really started from the checkpoint and replayed
+exactly one tail commit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.operators import deltalog as DL
+from news_ingestion_data_pipeline_spark.plans.llm157 import (
+    _AGG_SQL,
+    _snapshot_agg,
+)
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+_ROOT = "/tmp/spark_graft_llm162"
+
+_LIVE3_SQL = """
+  SELECT doc_id, lang, n_chars, md5(text) AS content_h
+  FROM documents WHERE lang <> 'fr'
+  UNION ALL
+  SELECT doc_id, lang, n_chars, md5(text)
+  FROM documents WHERE lang = 'fr' AND n_chars >= 600 AND n_chars < 900
+"""
+
+
+def _fixture(spark: SparkSession, sf_dir: str) -> str:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_cp_{sfx}"
+    docs = t(spark, sf_dir, "documents")
+    DL.write_delta_fixture(spark, docs, root)
+    # third commit: narrow the French slice again (remove + re-add)
+    slim = docs.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
+    )
+    DL._write_single_parquet(
+        slim.filter(
+            (F.col("lang") == "fr")
+            & (F.col("n_chars") >= 600)
+            & (F.col("n_chars") < 900)
+        ),
+        root,
+        "file-3.parquet",
+    )
+    import os
+
+    DL._commit(
+        root,
+        2,
+        [
+            {
+                "remove": {
+                    "path": "file-2.parquet",
+                    "deletionTimestamp": 1700000001000,
+                    "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": "file-3.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(root, "file-3.parquet")
+                    ),
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    # compact the log at version 1: readers baseline there, replay v2
+    DL.write_checkpoint(root, 1)
+    return root
+
+
+@register(
+    "scan_delta_checkpoint",
+    oracle=f"""
+WITH live AS ({_LIVE3_SQL}),
+agg AS ({_AGG_SQL.format(extra="", extra_grp="", src="live")})
+SELECT agg.*,
+       CAST(1 AS BIGINT) AS checkpoint_version,
+       CAST(1 AS BIGINT) AS json_commits_replayed
+FROM agg
+""",
+    description="Delta checkpoint resolution — log compaction, the "
+    "read path of any long-lived table: the fixture commits three "
+    "times, compacts at version 1 (checkpoint parquet + "
+    "_last_checkpoint pointer), and the reader resolves the latest "
+    "snapshot from the CHECKPOINT baseline plus exactly ONE tail JSON "
+    "commit instead of replaying the whole log — at 100 TB and "
+    "thousands of commits, the difference between O(1) metadata reads "
+    "and an unbounded replay. Audit columns record the checkpoint "
+    "version used and the tail-commit count; per-lang counts + content "
+    "checksum certify the compacted resolution is byte-identical to "
+    "the full-replay answer (and to the generating SQL).",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _fixture(spark, sf_dir)
+    files, cp_version, replayed = DL.delta_snapshot_files_checkpointed(root)
+    # belt-and-suspenders: compacted resolution == full JSON replay
+    assert files == DL.delta_snapshot_files(root), (
+        "checkpoint resolution diverged from full replay"
+    )
+    df = spark.read.parquet(*files)
+    return _snapshot_agg(df).select(
+        "*",
+        F.lit(cp_version).cast("bigint").alias("checkpoint_version"),
+        F.lit(replayed).cast("bigint").alias("json_commits_replayed"),
+    )

@@ -87,3 +87,32 @@ def test_empty_log_raises(tmp_path):
     os.makedirs(os.path.join(root, "_delta_log"))
     with pytest.raises(FileNotFoundError):
         DL.delta_snapshot_files(root)
+
+
+def test_checkpoint_resolution_matches_full_replay(tmp_path):
+    import pyarrow  # noqa: F401  (checkpoint codec dependency)
+
+    root = _mk_table(
+        tmp_path,
+        {
+            0: [_add("a.parquet"), _add("b.parquet")],
+            1: [_rm("a.parquet"), _add("c.parquet")],
+            2: [_rm("b.parquet"), _add("d.parquet")],
+        },
+    )
+    DL.write_checkpoint(root, 1)
+    files, cp_v, replayed = DL.delta_snapshot_files_checkpointed(root)
+    assert cp_v == 1 and replayed == 1
+    assert files == DL.delta_snapshot_files(root)
+    assert [os.path.basename(f) for f in files] == ["c.parquet", "d.parquet"]
+    # a version BEFORE the checkpoint falls back to pure JSON replay
+    files0, cp_v0, replayed0 = DL.delta_snapshot_files_checkpointed(root, 0)
+    assert cp_v0 == -1 and replayed0 == 1
+    assert [os.path.basename(f) for f in files0] == ["a.parquet", "b.parquet"]
+
+
+def test_checkpoint_exactly_at_requested_version(tmp_path):
+    root = _mk_table(tmp_path, {0: [_add("a.parquet")], 1: [_rm("a.parquet")]})
+    DL.write_checkpoint(root, 1)
+    files, cp_v, replayed = DL.delta_snapshot_files_checkpointed(root, 1)
+    assert cp_v == 1 and replayed == 0 and files == []
