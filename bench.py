@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "sim_mips_topk",
     "curation_soft_dedup_weights",
     "scan_delta_checkpoint",
+    "pipeline_delta_export_merge",
 ]
 
 

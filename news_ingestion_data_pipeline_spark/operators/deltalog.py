@@ -299,3 +299,91 @@ def delta_snapshot_files_checkpointed(
         os.path.join(root, p) for p, alive in sorted(live.items()) if alive
     ]
     return files, cp_version, replayed
+
+
+# ---------------------------------------------------------------------------
+# write-side interop: the engine's MERGE committing to a Delta log
+# ---------------------------------------------------------------------------
+
+
+def export_merge_to_delta(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+) -> int:
+    """MERGE ``updates`` into the Delta table at ``root`` (creating it
+    on first call) and commit the result as the next Delta version:
+    write the merged snapshot as a fresh data file, then append one
+    JSON commit that adds it and removes the previous snapshot's files
+    — exactly the rewrite-commit shape a non-partitioned Delta MERGE
+    produces. Matched keys take the incoming row (update-all), new keys
+    insert, untouched rows survive.
+
+    Returns the committed version. The log layer is the same clean-room
+    protocol writer the fixtures use, so anything resolving the public
+    protocol (including this module's reader and checkpoint path) reads
+    the result."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    os.makedirs(root, exist_ok=True)
+    versions = (
+        list_commit_versions(root)
+        if os.path.isdir(os.path.join(root, "_delta_log"))
+        else []
+    )
+    if versions:
+        prev_files = delta_snapshot_files(root)
+        target = spark.read.parquet(*prev_files)
+        keys = updates.select(key).distinct()
+        survivors = target.join(keys, key, "left_anti")
+        merged = survivors.unionByName(updates)
+        version = versions[-1] + 1
+    else:
+        prev_files = []
+        merged = updates
+        version = 0
+    name = f"part-{version:05d}.parquet"
+    _write_single_parquet(merged, root, name)
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": "spark-graft-delta-export",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": []}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            }
+        )
+    st = os.stat(os.path.join(root, name))
+    actions.append(
+        {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }
+        }
+    )
+    for f in prev_files:
+        actions.append(
+            {
+                "remove": {
+                    "path": os.path.relpath(f, root),
+                    "deletionTimestamp": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    _commit(root, version, actions)
+    return version

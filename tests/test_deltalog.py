@@ -116,3 +116,23 @@ def test_checkpoint_exactly_at_requested_version(tmp_path):
     DL.write_checkpoint(root, 1)
     files, cp_v, replayed = DL.delta_snapshot_files_checkpointed(root, 1)
     assert cp_v == 1 and replayed == 0 and files == []
+
+
+def test_export_merge_update_all_semantics(tmp_path, spark):
+    root = str(tmp_path / "exp")
+    b1 = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 1)], "k long, v string, rev int"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "y2", 2), (3, "z", 2)], "k long, v string, rev int"
+    )
+    v0 = DL.export_merge_to_delta(spark, root, b1, key="k")
+    v1 = DL.export_merge_to_delta(spark, root, b2, key="k")
+    assert (v0, v1) == (0, 1)
+    rows = {r.k: (r.v, r.rev) for r in DL.read_delta(spark, root).collect()}
+    assert rows == {1: ("x", 1), 2: ("y2", 2), 3: ("z", 2)}
+    # the superseded v0 file is logically removed but still time-travels
+    rows0 = {r.k: r.v for r in DL.read_delta(spark, root, 0).collect()}
+    assert rows0 == {1: "x", 2: "y"}
+    # exactly one live file after the rewrite commit
+    assert len(DL.delta_snapshot_files(root)) == 1
