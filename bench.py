@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "curation_soft_dedup_weights",
     "scan_delta_checkpoint",
     "pipeline_delta_export_merge",
+    "pipeline_iceberg_export_merge",
 ]
 
 

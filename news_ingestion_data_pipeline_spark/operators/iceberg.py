@@ -289,3 +289,125 @@ def write_iceberg_fixture(
     ) as fh:
         json.dump(meta, fh)
     return snap1, snap2
+
+
+# ---------------------------------------------------------------------------
+# write-side interop: the engine's MERGE committing Iceberg snapshots
+# ---------------------------------------------------------------------------
+
+
+def export_merge_to_iceberg(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+) -> int:
+    """MERGE ``updates`` into the Iceberg table at ``root`` (creating
+    it on first call) and commit the result as the next snapshot:
+    write the merged state as a fresh data file, emit one manifest
+    ADDING it plus one manifest marking the superseded files DELETED,
+    reference both from a new Avro manifest list, and publish a new
+    ``vN.metadata.json`` whose snapshot list RETAINS history (so
+    snapshot-id time travel keeps working). Returns the snapshot id.
+
+    Update-all MERGE semantics identical to the Delta exporter and the
+    native upsert: matched keys take the incoming row, new keys insert,
+    untouched rows survive."""
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    try:
+        meta = current_metadata(root)
+    except FileNotFoundError:
+        meta = None
+    if meta is not None:
+        prev_files, _ = snapshot_files(root)
+        target = spark.read.parquet(*prev_files)
+        keys = updates.select(key).distinct()
+        merged = target.join(keys, key, "left_anti").unionByName(updates)
+        snap_id = meta["current-snapshot-id"] + 1
+        version = 1 + max(
+            int(n[1 : -len(".metadata.json")])
+            for n in os.listdir(os.path.join(root, "metadata"))
+            if n.startswith("v") and n.endswith(".metadata.json")
+        )
+        snapshots = list(meta["snapshots"])
+    else:
+        prev_files = []
+        merged = updates
+        snap_id, version, snapshots = 1001, 1, []
+    name = f"data/part-{snap_id}.parquet"
+    _write_single_parquet(merged, root, name)
+
+    def _entry(status: int, path: str) -> dict:
+        full = os.path.join(root, path)
+        return {
+            "status": status,
+            "snapshot_id": snap_id,
+            "data_file": {
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {"lang": None},
+                "record_count": 0,
+                "file_size_in_bytes": (
+                    os.path.getsize(full) if os.path.exists(full) else 0
+                ),
+            },
+        }
+
+    manifests = []
+    m_add = f"m-{snap_id}-add.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", m_add),
+        _MANIFEST_SCHEMA,
+        [_entry(1, name)],
+    )
+    manifests.append(m_add)
+    if prev_files:
+        m_del = f"m-{snap_id}-del.avro"
+        AV.write_container(
+            os.path.join(root, "metadata", m_del),
+            _MANIFEST_SCHEMA,
+            [_entry(2, os.path.relpath(f, root)) for f in prev_files],
+        )
+        manifests.append(m_del)
+    mlist = f"snap-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", mlist),
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": f"metadata/{m}",
+                "manifest_length": os.path.getsize(
+                    os.path.join(root, "metadata", m)
+                ),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snap_id,
+            }
+            for m in manifests
+        ],
+    )
+    snapshots.append(
+        {
+            "snapshot-id": snap_id,
+            "manifest-list": f"metadata/{mlist}",
+            "summary": {"operation": "overwrite" if prev_files else "append"},
+        }
+    )
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": "spark-graft-iceberg-export",
+        "location": root,
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots,
+    }
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return snap_id

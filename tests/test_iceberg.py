@@ -186,3 +186,24 @@ def test_iceberg_partition_pruning(tmp_path):
     )
     assert [os.path.basename(f) for f in files] == ["a.parquet"]
     assert n_total == 2  # pruning happened at metadata level
+
+
+def test_export_merge_iceberg_roundtrip(tmp_path, spark):
+    root = str(tmp_path / "exp")
+    b1 = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 1)], "k long, v string, rev int"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "y2", 2), (3, "z", 2)], "k long, v string, rev int"
+    )
+    s1 = IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    s2 = IB.export_merge_to_iceberg(spark, root, b2, key="k")
+    assert s2 == s1 + 1
+    rows = {r.k: (r.v, r.rev) for r in IB.read_iceberg(spark, root).collect()}
+    assert rows == {1: ("x", 1), 2: ("y2", 2), 3: ("z", 2)}
+    # time travel into the pre-merge snapshot via the retained history
+    rows1 = {r.k: r.v for r in IB.read_iceberg(spark, root, s1).collect()}
+    assert rows1 == {1: "x", 2: "y"}
+    # exactly one live file after the rewrite snapshot
+    files, n_total = IB.snapshot_files(root)
+    assert len(files) == 1 and n_total == 1
