@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "scan_delta_checkpoint",
     "pipeline_delta_export_merge",
     "pipeline_iceberg_export_merge",
+    "stream_delta_append_sink",
 ]
 
 

@@ -387,3 +387,89 @@ def export_merge_to_delta(
         )
     _commit(root, version, actions)
     return version
+
+
+# ---------------------------------------------------------------------------
+# streaming sink: per-batch append commits with txn exactly-once guard
+# ---------------------------------------------------------------------------
+
+
+def txn_last_version(root: str, app_id: str) -> int:
+    """Highest ``txn.version`` committed by ``app_id`` across the log —
+    the protocol's idempotent-writer bookkeeping (a streaming sink
+    replaying a micro-batch after restart sees its own txn and skips).
+    Returns -1 when the app never committed."""
+    last = -1
+    log_dir = os.path.join(root, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return last
+    for v in list_commit_versions(root):
+        with open(
+            os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8"
+        ) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    last = max(last, int(txn["version"]))
+    return last
+
+
+def append_batch_to_delta(
+    spark: SparkSession,
+    root: str,
+    batch_df: DataFrame,
+    app_id: str,
+    batch_id: int,
+) -> bool:
+    """Commit one micro-batch as a Delta APPEND version carrying a
+    ``txn`` action — the exactly-once streaming-sink protocol: if this
+    ``(app_id, batch_id)`` already committed (restart replay), the call
+    is a no-op. Returns True when a commit happened."""
+    if txn_last_version(root, app_id) >= batch_id:
+        return False  # replayed batch — already durable
+    os.makedirs(root, exist_ok=True)
+    versions = (
+        list_commit_versions(root)
+        if os.path.isdir(os.path.join(root, "_delta_log"))
+        else []
+    )
+    version = (versions[-1] + 1) if versions else 0
+    name = f"batch-{app_id}-{batch_id:05d}.parquet"
+    _write_single_parquet(batch_df, root, name)
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": f"spark-graft-delta-sink-{app_id}",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": []}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            }
+        )
+    actions.append({"txn": {"appId": app_id, "version": batch_id}})
+    st = os.stat(os.path.join(root, name))
+    actions.append(
+        {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }
+        }
+    )
+    _commit(root, version, actions)
+    return True
