@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "pipeline_delta_export_merge",
     "pipeline_iceberg_export_merge",
     "stream_delta_append_sink",
+    "agg_ddsketch_quantiles",
 ]
 
 

@@ -306,6 +306,7 @@ PYTHON_FREE = [
     "sim_hybrid_rrf_retrieval",
     "sim_mips_topk",
     "curation_soft_dedup_weights",
+    "agg_ddsketch_quantiles",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -324,6 +325,10 @@ BNLJ_ALLOWED = frozenset(
 
         # wave 161: fixed 5-query probe set + 1-row max-norm frame
         "sim_mips_topk",
+
+        # wave 166: 3-row quantile probe frame crossed into the
+        # histogram-sized bucket table and the ranked values
+        "agg_ddsketch_quantiles",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",
