@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "pipeline_iceberg_export_merge",
     "stream_delta_append_sink",
     "agg_ddsketch_quantiles",
+    "scan_iceberg_equality_deletes",
 ]
 
 

@@ -411,3 +411,163 @@ def export_merge_to_iceberg(
     ) as fh:
         json.dump(new_meta, fh)
     return snap_id
+
+
+# ---------------------------------------------------------------------------
+# format v2 merge-on-read: equality-delete files
+# ---------------------------------------------------------------------------
+
+#: manifest-list entry schema carrying the spec's ``content`` field
+#: (0 = data manifests, 1 = delete manifests)
+_MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def snapshot_files_v2(
+    root: str, snapshot_id: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(data_files, equality_delete_files) live at the snapshot — the
+    format-v2 resolution where delete manifests (content=1) ride the
+    same manifest list as data manifests (content=0)."""
+    meta = current_metadata(root)
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in {sorted(snaps)} for {root}"
+        )
+    _, manifests = AV.read_container(
+        _resolve(root, snaps[snapshot_id]["manifest-list"])
+    )
+    data, deletes = [], []
+    for m in manifests:
+        bucket = deletes if m.get("content", 0) == 1 else data
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            bucket.append(_resolve(root, e["data_file"]["file_path"]))
+    return sorted(data), sorted(deletes)
+
+
+def read_iceberg_merge_on_read(
+    spark: SparkSession,
+    root: str,
+    equality_field: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Snapshot read applying equality-delete files — Iceberg v2
+    merge-on-read: data files are NOT rewritten on delete; the reader
+    anti-joins the delete files' key column at scan time (at 100 TB the
+    delete side is tiny and broadcast, exactly the MERGE-on-read cost
+    model that makes frequent deletes affordable)."""
+    data, deletes = snapshot_files_v2(root, snapshot_id)
+    df = spark.read.parquet(*data)
+    if not deletes:
+        return df
+    dels = spark.read.parquet(*deletes).select(equality_field).distinct()
+    return df.join(dels, equality_field, "left_anti")
+
+
+def append_equality_delete(
+    spark: SparkSession,
+    root: str,
+    delete_keys: DataFrame,
+    equality_field: str,
+) -> int:
+    """Commit a new snapshot whose ONLY change is an equality-delete
+    file (merge-on-read DELETE: zero data files touched). The new
+    manifest list re-references the previous snapshot's data manifests
+    (content=0) and adds one delete manifest (content=1)."""
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    meta = current_metadata(root)
+    prev = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _, prev_manifests = AV.read_container(
+        _resolve(root, snaps[prev]["manifest-list"])
+    )
+    snap_id = prev + 1
+    name = f"data/eqdel-{snap_id}.parquet"
+    _write_single_parquet(
+        delete_keys.select(equality_field).distinct(), root, name
+    )
+    m_del = f"m-{snap_id}-eqdel.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", m_del),
+        _MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": name,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, name)
+                    ),
+                },
+            }
+        ],
+    )
+    mlist_entries = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m["partition_spec_id"],
+            "content": m.get("content", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+        }
+        for m in prev_manifests
+    ] + [
+        {
+            "manifest_path": f"metadata/{m_del}",
+            "manifest_length": os.path.getsize(
+                os.path.join(root, "metadata", m_del)
+            ),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    mlist = f"snap-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", mlist),
+        _MANIFEST_LIST_SCHEMA_V2,
+        mlist_entries,
+    )
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "manifest-list": f"metadata/{mlist}",
+            "summary": {"operation": "delete"},
+        }
+    ]
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return snap_id

@@ -207,3 +207,24 @@ def test_export_merge_iceberg_roundtrip(tmp_path, spark):
     # exactly one live file after the rewrite snapshot
     files, n_total = IB.snapshot_files(root)
     assert len(files) == 1 and n_total == 1
+
+
+def test_equality_delete_merge_on_read(tmp_path, spark):
+    root = str(tmp_path / "mor")
+    b1 = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, v string"
+    )
+    IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    n_data_before = len(IB.snapshot_files_v2(root)[0])
+    dels = spark.createDataFrame([(2,)], "k long")
+    snap = IB.append_equality_delete(spark, root, dels, equality_field="k")
+    data, del_files = IB.snapshot_files_v2(root, snap)
+    assert len(data) == n_data_before  # zero data files rewritten
+    assert len(del_files) == 1
+    rows = {r.k for r in
+            IB.read_iceberg_merge_on_read(spark, root, "k").collect()}
+    assert rows == {1, 3}
+    # the PRE-delete snapshot still reads everything
+    prev = {r.k for r in
+            IB.read_iceberg_merge_on_read(spark, root, "k", snap - 1).collect()}
+    assert prev == {1, 2, 3}
