@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "stream_delta_append_sink",
     "agg_ddsketch_quantiles",
     "scan_iceberg_equality_deletes",
+    "scan_iceberg_positional_deletes",
 ]
 
 

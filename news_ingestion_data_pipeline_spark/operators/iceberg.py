@@ -571,3 +571,153 @@ def append_equality_delete(
     ) as fh:
         json.dump(new_meta, fh)
     return snap_id
+
+
+# ---------------------------------------------------------------------------
+# format v2 merge-on-read: positional delete files
+# ---------------------------------------------------------------------------
+
+
+def _with_position(spark: SparkSession, root: str, data_files: list[str]):
+    """Data read annotated with the spec's positional identity: the
+    table-relative data-file path and the physical row ordinal — both
+    straight from the parquet reader's metadata columns
+    (``_metadata.file_path`` / ``_metadata.row_index``), so positions
+    are real file ordinals, not synthesized ranks, and the read stays
+    one distributed scan."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*data_files)
+    rel = F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+        "^" + root.rstrip("/") + "/",
+        "",
+    )
+    return df.select(
+        "*",
+        rel.alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+
+
+def append_positional_delete(
+    spark: SparkSession, root: str, condition
+) -> tuple[int, int]:
+    """Commit a merge-on-read positional DELETE: rows of the CURRENT
+    snapshot matching ``condition`` become (file_path, pos) records in
+    one delete file + a content=1 manifest; zero data files rewritten.
+    Returns (snapshot_id, n_deleted_positions)."""
+    from pyspark.sql import functions as F
+
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    meta = current_metadata(root)
+    prev = meta["current-snapshot-id"]
+    data_files, _ = snapshot_files(root, prev)
+    positions = (
+        _with_position(spark, root, data_files)
+        .filter(condition)
+        .select(
+            F.col("__file").alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+    )
+    n_del = positions.count()
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _, prev_manifests = AV.read_container(
+        _resolve(root, snaps[prev]["manifest-list"])
+    )
+    snap_id = prev + 1
+    name = f"data/posdel-{snap_id}.parquet"
+    _write_single_parquet(positions, root, name)
+    m_del = f"m-{snap_id}-posdel.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", m_del),
+        _MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": name,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": n_del,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, name)
+                    ),
+                },
+            }
+        ],
+    )
+    mlist_entries = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m["partition_spec_id"],
+            "content": m.get("content", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+        }
+        for m in prev_manifests
+    ] + [
+        {
+            "manifest_path": f"metadata/{m_del}",
+            "manifest_length": os.path.getsize(
+                os.path.join(root, "metadata", m_del)
+            ),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    mlist = f"snap-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", mlist),
+        _MANIFEST_LIST_SCHEMA_V2,
+        mlist_entries,
+    )
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "manifest-list": f"metadata/{mlist}",
+            "summary": {"operation": "delete"},
+        }
+    ]
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return snap_id, n_del
+
+
+def read_iceberg_positional(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Snapshot read applying positional-delete files: one distributed
+    scan with the parquet reader's (file, row_index) identity columns,
+    anti-joined against the delete files — no data rewritten, no
+    per-file driver loop."""
+    data, deletes = snapshot_files_v2(root, snapshot_id)
+    df = _with_position(spark, root, data)
+    if deletes:
+        dels = spark.read.parquet(*deletes).select(
+            "file_path", "pos"
+        )
+        df = df.join(
+            dels,
+            (df["__file"] == dels["file_path"])
+            & (df["__pos"] == dels["pos"]),
+            "left_anti",
+        )
+    return df.drop("__file", "__pos")

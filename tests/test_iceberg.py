@@ -228,3 +228,26 @@ def test_equality_delete_merge_on_read(tmp_path, spark):
     prev = {r.k for r in
             IB.read_iceberg_merge_on_read(spark, root, "k", snap - 1).collect()}
     assert prev == {1, 2, 3}
+
+
+def test_positional_delete_merge_on_read(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "posdel")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    snap, n_del = IB.append_positional_delete(
+        spark, root, F.col("k") % 2 == 0
+    )
+    assert n_del == 2
+    rows = {r.k for r in IB.read_iceberg_positional(spark, root).collect()}
+    assert rows == {1, 3}
+    # data files untouched (merge-on-read), one delete file added
+    data, dels = IB.snapshot_files_v2(root, snap)
+    assert len(data) == 1 and len(dels) == 1
+    # pre-delete snapshot still complete
+    prev = {r.k for r in
+            IB.read_iceberg_positional(spark, root, snap - 1).collect()}
+    assert prev == {1, 2, 3, 4}
