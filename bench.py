@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "agg_ddsketch_quantiles",
     "scan_iceberg_equality_deletes",
     "scan_iceberg_positional_deletes",
+    "dedup_lsh_scurve_eval",
 ]
 
 
