@@ -10,12 +10,13 @@ one hash-aggregate of integer bucket counts — mergeable across
 partitions/days/clusters by addition, which is what makes it THE
 production latency-percentile structure.
 
-Determinism discipline: bucketing does NOT evaluate logs per row (two
-libm implementations drift 1 ulp and a 150k-row exposure would flip
-boundary values between engines). Instead the gamma^i boundary ladder
-is precomputed ONCE in Python and embedded as the SAME double literals
-in both plans; bucket index = count of boundaries strictly below x —
-pure double comparisons, bit-identical everywhere.
+Determinism discipline: a raw per-row ``ceil(ln(x)/ln(gamma))`` would
+let two libm implementations disagree on boundary values (1-ulp drift,
+150k-row exposure). Here the libm log only GUESSES the bucket (off by
+at most one); the final assignment is settled by three comparisons
+against the gamma^i boundary ladder, precomputed ONCE in Python and
+embedded as the SAME double literals in both plans — O(1) per row AND
+bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ _DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
 #: 100 TB the ladder is still O(log range / alpha), independent of rows
 _DD_IMAX = int(math.ceil(math.log(1e7) / math.log(_DD_GAMMA)))
 _DD_BNDS = [_DD_GAMMA**i for i in range(_DD_IMAX + 1)]
+_DD_LOG_G = repr(math.log(_DD_GAMMA))
 _DD_QS = (0.5, 0.9, 0.99)
 
 _SQL_BNDS = "[" + ", ".join(repr(b) for b in _DD_BNDS) + "]"
@@ -44,10 +46,24 @@ _SQL_QLIST = ", ".join(str(q) for q in _DD_QS)
     oracle=f"""
 WITH vals AS (
   SELECT o_orderpriority AS prio, o_totalprice AS x FROM orders
-), bucketed AS (
-  SELECT prio,
-         len(list_filter({_SQL_BNDS}, v -> v < x)) AS b
+), guessed AS (
+  -- O(1) bucket: libm log gives a guess; the embedded literal ladder
+  -- decides the final bucket with pure comparisons (engine-identical)
+  SELECT prio, x,
+         CAST(ceil(ln(x) / {_DD_LOG_G}) AS BIGINT) AS b0
   FROM vals
+), bucketed AS (
+  -- bucket i satisfies ladder[i] < x <= ladder[i+1] (1-indexed ladder,
+  -- ladder[k] = gamma^(k-1)); the libm guess is off by at most one, so
+  -- three literal comparisons settle it identically in both engines
+  SELECT prio,
+         CASE
+           WHEN x > {_SQL_BNDS}[CAST(b0 AS INT)]
+                AND x <= {_SQL_BNDS}[CAST(b0 + 1 AS INT)] THEN b0
+           WHEN x <= {_SQL_BNDS}[CAST(b0 AS INT)] THEN b0 - 1
+           ELSE b0 + 1
+         END AS b
+  FROM guessed
 ), sk AS (
   SELECT prio, b, COUNT(*) AS c FROM bucketed GROUP BY prio, b
 ), cum AS (
@@ -88,10 +104,10 @@ FROM hits h JOIN exact e ON e.prio = h.prio AND e.q = h.q
     "integer bucket counts over an O(log range / alpha) = 807-rung "
     "boundary ladder — mergeable across partitions/days by addition. "
     "Exact quantiles ride along and the within_alpha flag CERTIFIES "
-    "the guarantee on every row. No per-row logs anywhere: the gamma^i "
-    "ladder is precomputed once and embedded as identical double "
-    "literals in both engines, so bucket assignment is pure comparison "
-    "arithmetic, bit-identical across libms.",
+    "the guarantee on every row. Bucket assignment is O(1) and libm-"
+    "proof: the per-row log only guesses the bucket; three comparisons "
+    "against the precomputed gamma^i ladder (identical double literals "
+    "in both engines) settle it bit-identically.",
     tags=("agg", "sketch", "approx"),
 )
 def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +116,15 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("x"),
     )
     bnds = F.array(*[F.lit(b) for b in _DD_BNDS])
-    b = F.size(F.filter(bnds, lambda v: v < F.col("x")))
+    b0 = F.ceil(F.log(F.col("x")) / F.lit(float(_DD_LOG_G))).cast("long")
+    at_b0 = F.element_at(bnds, b0.cast("int"))
+    at_b0p = F.element_at(bnds, (b0 + 1).cast("int"))
+    x = F.col("x")
+    b = (
+        F.when((x > at_b0) & (x <= at_b0p), b0)
+        .when(x <= at_b0, b0 - 1)
+        .otherwise(b0 + 1)
+    )
     sk = vals.select("prio", b.alias("b")).groupBy("prio", "b").agg(
         F.count(F.lit(1)).alias("c")
     )
