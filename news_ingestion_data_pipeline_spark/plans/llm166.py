@@ -38,7 +38,7 @@ _DD_LOG_G = repr(math.log(_DD_GAMMA))
 _DD_QS = (0.5, 0.9, 0.99)
 
 _SQL_BNDS = "[" + ", ".join(repr(b) for b in _DD_BNDS) + "]"
-_SQL_QLIST = ", ".join(str(q) for q in _DD_QS)
+_SQL_QLIST = ", ".join(f"CAST({q} AS DOUBLE)" for q in _DD_QS)
 
 
 @register(

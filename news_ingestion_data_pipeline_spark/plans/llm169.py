@@ -31,7 +31,9 @@ _SC_R, _SC_B = 4, 8  # rows per band, bands (32 permutations)
 _SC_ANALYTIC = [
     round(1 - (1 - ((k + 0.5) / 10) ** _SC_R) ** _SC_B, 4) for k in range(10)
 ]
-_SQL_ANALYTIC = "[" + ", ".join(repr(v) for v in _SC_ANALYTIC) + "]"
+_SQL_ANALYTIC = (
+    "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _SC_ANALYTIC) + "]"
+)
 _MINHASH_P = 2147483647
 
 
