@@ -153,6 +153,12 @@ QUERIES = [
     "agg_somers_d",
     "agg_kendall_tau_c",
     "pipeline_sampled_integrity_audit",
+    # round-5 additions (fact-table queries only; documents/embeddings
+    # are DIMS in this harness - their scaling evidence is the
+    # sf0.01 -> sf0.1 bench ratio)
+    "agg_kmv_intersection",
+    "stream_delta_append_sink",
+    "agg_ddsketch_quantiles",
 ]
 
 
