@@ -106,27 +106,40 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hashed = keys.select("event_type", _h01(F.col("k")).alias("h"))
-    wt = Window.partitionBy("event_type").orderBy("h")
-    sk = (
-        hashed.withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= _KI_K)
-        .select("event_type", "h")
-    )
+
+    # Per-type bottom-k via orderBy().limit() = TakeOrderedAndProject:
+    # every partition keeps its local k smallest hashes and the driver
+    # merges k*P numbers — no global sort of the SF-proportional distinct
+    # user-day domain (the former 2-partition row_number window capped
+    # parallelism at the number of event types regardless of cluster
+    # size). The event_type filter sits on a grouping column, so Catalyst
+    # pushes it below the distinct and down to the parquet scan.
+    def _bottomk(typ: str) -> DataFrame:
+        return (
+            keys.filter(F.col("event_type") == typ)
+            .select(_h01(F.col("k")).alias("h"))
+            .orderBy("h")
+            .limit(_KI_K)
+        )
+
+    a_set = _bottomk(_KI_A)
+    b_set = _bottomk(_KI_B)
+    # The merged union sketch is bottom-k over at most 2k rows — again
+    # TakeOrderedAndProject, never a windowed global sort.
     merged = (
-        sk.select("h")
+        a_set.unionByName(b_set)
         .distinct()
-        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("rn") <= _KI_K)
+        .orderBy("h")
+        .limit(_KI_K)
         .select("h")
-    )
-    a_set = sk.filter(F.col("event_type") == _KI_A).select("h")
-    b_set = sk.filter(F.col("event_type") == _KI_B).select(
-        F.col("h").alias("h_b")
     )
     both = (
         merged.join(a_set, "h", "left_semi")
-        .join(b_set, merged["h"] == F.col("h_b"), "left_semi")
+        .join(
+            b_set.select(F.col("h").alias("h_b")),
+            F.col("h") == F.col("h_b"),
+            "left_semi",
+        )
     )
     stats = merged.agg(
         F.count(F.lit(1)).alias("m_in"), F.max("h").alias("h_k")
