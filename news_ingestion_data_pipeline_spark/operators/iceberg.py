@@ -77,6 +77,12 @@ def snapshot_files(
     live: list[str] = []
     n_total = 0
     for m in manifests:
+        if m.get("content", 0) == 1:
+            # spec: content=1 marks a DELETE manifest — its entries are
+            # equality/positional delete files, never live data. Without
+            # this skip a v2 snapshot carrying delete manifests would
+            # return delete-file rows as data (or fail on mixed schemas).
+            continue
         _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
         for e in entries:
             if e["status"] == _STATUS_DELETED:
@@ -324,8 +330,12 @@ def export_merge_to_iceberg(
     except FileNotFoundError:
         meta = None
     if meta is not None:
+        # prev_files = the data files this commit marks DELETED; the
+        # merge TARGET must come through the delete-applying resolver,
+        # else a MERGE chained after an equality/positional delete
+        # would resurrect the deleted rows into the compacted file.
         prev_files, _ = snapshot_files(root)
-        target = spark.read.parquet(*prev_files)
+        target = read_iceberg_resolved(spark, root)
         keys = updates.select(key).distinct()
         merged = target.join(keys, key, "left_anti").unionByName(updates)
         snap_id = meta["current-snapshot-id"] + 1
@@ -479,6 +489,56 @@ def read_iceberg_merge_on_read(
     return df.join(dels, equality_field, "left_anti")
 
 
+def _classify_deletes(
+    deletes: list[str],
+) -> tuple[list[str], dict[tuple, list[str]]]:
+    """Split delete files into positional (schema exactly the spec's
+    ``(file_path, pos)``) vs equality groups keyed by their own column
+    tuple — footer-only reads, metadata-scale."""
+    import pyarrow.parquet as pq
+
+    pos_files: list[str] = []
+    eq_groups: dict[tuple, list[str]] = {}
+    for f in deletes:
+        names = tuple(sorted(pq.read_schema(f).names))
+        if names == ("file_path", "pos"):
+            pos_files.append(f)
+        else:
+            eq_groups.setdefault(names, []).append(f)
+    return pos_files, eq_groups
+
+
+def read_iceberg_resolved(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Live rows of the snapshot with ALL v2 delete files applied —
+    positional deletes (delete files whose columns are exactly the
+    spec's ``(file_path, pos)``) through the parquet metadata-identity
+    anti-join, equality deletes through an anti-join on the delete
+    file's own key columns (the file schema IS the equality spec, so no
+    caller-supplied field name is needed). Internal reads that chain
+    commits (the MERGE exporter's previous-state load, a second delete)
+    MUST use this resolver — resolving through raw data files would
+    resurrect deleted rows."""
+    data, deletes = snapshot_files_v2(root, snapshot_id)
+    pos_files, eq_groups = _classify_deletes(deletes)
+    if pos_files:
+        df = _with_position(spark, root, data)
+        dels = spark.read.parquet(*pos_files).select("file_path", "pos")
+        df = df.join(
+            dels,
+            (df["__file"] == dels["file_path"])
+            & (df["__pos"] == dels["pos"]),
+            "left_anti",
+        ).drop("__file", "__pos")
+    else:
+        df = spark.read.parquet(*data)
+    for names in sorted(eq_groups):
+        keys = spark.read.parquet(*eq_groups[names]).distinct()
+        df = df.join(keys, list(names), "left_anti")
+    return df
+
+
 def append_equality_delete(
     spark: SparkSession,
     root: str,
@@ -588,11 +648,15 @@ def _with_position(spark: SparkSession, root: str, data_files: list[str]):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(*data_files)
-    rel = F.regexp_replace(
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
-        "^" + root.rstrip("/") + "/",
-        "",
-    )
+    # Strip the root by plain prefix arithmetic, never by interpolating
+    # the path into a regex — a root containing regex metacharacters
+    # (., +, [, ( are routine in tmp dirs) would silently mis-strip and
+    # record non-table-relative file_path values in delete files.
+    p = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+    prefix = root.rstrip("/") + "/"
+    rel = F.when(
+        p.startswith(F.lit(prefix)), F.substring(p, len(prefix) + 1, 1 << 20)
+    ).otherwise(p)
     return df.select(
         "*",
         rel.alias("__file"),
@@ -615,10 +679,26 @@ def append_positional_delete(
 
     meta = current_metadata(root)
     prev = meta["current-snapshot-id"]
-    data_files, _ = snapshot_files(root, prev)
+    # Positions are computed over LIVE rows only: resolve the previous
+    # snapshot's delete files first, so a chained second delete never
+    # re-records (and re-counts) rows an earlier equality/positional
+    # delete already removed.
+    data_files, prev_deletes = snapshot_files_v2(root, prev)
+    live = _with_position(spark, root, data_files)
+    prev_pos, prev_eq = _classify_deletes(prev_deletes)
+    if prev_pos:
+        dels = spark.read.parquet(*prev_pos).select("file_path", "pos")
+        live = live.join(
+            dels,
+            (live["__file"] == dels["file_path"])
+            & (live["__pos"] == dels["pos"]),
+            "left_anti",
+        )
+    for names in sorted(prev_eq):
+        keys = spark.read.parquet(*prev_eq[names]).distinct()
+        live = live.join(keys, list(names), "left_anti")
     positions = (
-        _with_position(spark, root, data_files)
-        .filter(condition)
+        live.filter(condition)
         .select(
             F.col("__file").alias("file_path"),
             F.col("__pos").alias("pos"),

@@ -251,3 +251,72 @@ def test_positional_delete_merge_on_read(tmp_path, spark):
     prev = {r.k for r in
             IB.read_iceberg_positional(spark, root, snap - 1).collect()}
     assert prev == {1, 2, 3, 4}
+
+
+def test_snapshot_files_skips_delete_manifests(tmp_path, spark):
+    # ADVICE r5 (medium): a v2 snapshot carrying a content=1 manifest
+    # must never surface delete files as live data through the
+    # content-unaware snapshot_files path.
+    root = str(tmp_path / "skipdel")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    dels = spark.createDataFrame([(2,)], "k long")
+    IB.append_equality_delete(spark, root, dels, equality_field="k")
+    files, _ = IB.snapshot_files(root)
+    assert all("eqdel" not in f for f in files)
+    data, del_files = IB.snapshot_files_v2(root)
+    assert sorted(files) == sorted(data) and len(del_files) == 1
+
+
+def test_merge_after_equality_delete_no_resurrection(tmp_path, spark):
+    root = str(tmp_path / "chain1")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    dels = spark.createDataFrame([(2,)], "k long")
+    IB.append_equality_delete(spark, root, dels, equality_field="k")
+    # MERGE after the delete: k=2 must stay gone, k=4 inserts, k=3 updates
+    b2 = spark.createDataFrame([(3, "c2"), (4, "d")], "k long, v string")
+    IB.export_merge_to_iceberg(spark, root, b2, key="k")
+    rows = {r.k: r.v for r in IB.read_iceberg(spark, root).collect()}
+    assert rows == {1: "a", 3: "c2", 4: "d"}
+
+
+def test_positional_after_equality_delete_counts_live_only(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "chain2")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    dels = spark.createDataFrame([(2,)], "k long")
+    IB.append_equality_delete(spark, root, dels, equality_field="k")
+    # k % 2 == 0 matches {2, 4}, but 2 is already equality-deleted:
+    # only the live row k=4 may be recorded/counted.
+    snap, n_del = IB.append_positional_delete(
+        spark, root, F.col("k") % 2 == 0
+    )
+    assert n_del == 1
+    rows = {r.k for r in IB.read_iceberg_resolved(spark, root).collect()}
+    assert rows == {1, 3}
+    # pre-chain snapshot still complete through the resolver
+    assert {
+        r.k for r in IB.read_iceberg_resolved(spark, root, snap - 2).collect()
+    } == {1, 2, 3, 4}
+
+
+def test_resolved_reader_mixed_delete_kinds(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "mixed")
+    b1 = spark.createDataFrame(
+        [(i, chr(96 + i)) for i in range(1, 7)], "k long, v string"
+    )
+    IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    IB.append_positional_delete(spark, root, F.col("k") == 5)
+    dels = spark.createDataFrame([(1,), (6,)], "k long")
+    IB.append_equality_delete(spark, root, dels, equality_field="k")
+    rows = {r.k for r in IB.read_iceberg_resolved(spark, root).collect()}
+    assert rows == {2, 3, 4}
