@@ -6,8 +6,9 @@ metadata needs: the container framing (magic ``Obj\\x01``, file-metadata
 map carrying ``avro.schema``/``avro.codec``, sync-marker-delimited data
 blocks) and the binary encoding of records, strings, bytes, int/long
 (zigzag varint), boolean, float/double, null, arrays, maps and unions.
-Codec ``null`` only (no compression) — which is what we emit and all the
-spec requires a minimal reader to accept.
+Codecs ``null`` and ``deflate`` (raw RFC-1951 block bodies, per the
+spec's "required codecs") — Spark/Flink/Trino write Iceberg metadata
+deflate-compressed by default, so foreign-written tables parse too.
 
 No Avro library is used or required; the generic reader walks the
 writer schema embedded in the file header, so it reads any container
@@ -20,6 +21,7 @@ import io
 import json
 import os
 import struct
+import zlib
 
 _MAGIC = b"Obj\x01"
 
@@ -176,15 +178,24 @@ def _decode(schema, buf: io.BytesIO):
 # ---------------------------------------------------------------------------
 
 
-def write_container(path: str, schema: dict, records: list[dict]) -> None:
-    """Write records as one null-codec Avro Object Container File."""
+def write_container(
+    path: str, schema: dict, records: list[dict], codec: str = "null"
+) -> None:
+    """Write records as one Avro Object Container File (codec ``null``
+    or ``deflate``)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     sync = os.urandom(16)
     body = b"".join(_encode(schema, r) for r in records)
+    if codec == "deflate":
+        # spec: deflate block bodies are raw RFC-1951 (no zlib header)
+        z = zlib.compressobj(wbits=-15)
+        body = z.compress(body) + z.flush()
     with open(path, "wb") as fh:
         fh.write(_MAGIC)
         meta = {
             "avro.schema": json.dumps(schema).encode("utf-8"),
-            "avro.codec": b"null",
+            "avro.codec": codec.encode("ascii"),
         }
         fh.write(
             _encode(
@@ -208,17 +219,21 @@ def read_container(path: str) -> tuple[dict, list[dict]]:
     if buf.read(4) != _MAGIC:
         raise ValueError(f"not an Avro container file: {path}")
     meta = _decode({"type": "map", "values": "bytes"}, buf)
-    codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b""):
+    codec = meta.get("avro.codec", b"null") or b"null"
+    if codec not in (b"null", b"deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = buf.read(16)
     records: list[dict] = []
     while buf.tell() < len(raw):
         n = _zigzag_decode(buf)
-        _size = _zigzag_decode(buf)
+        size = _zigzag_decode(buf)
+        body = buf.read(size)
+        if codec == b"deflate":
+            body = zlib.decompress(body, -15)  # raw RFC-1951 per spec
+        bbuf = io.BytesIO(body)
         for _ in range(n):
-            records.append(_decode(schema, buf))
+            records.append(_decode(schema, bbuf))
         block_sync = buf.read(16)
         if block_sync != sync:
             raise ValueError(f"sync marker mismatch in {path}")
