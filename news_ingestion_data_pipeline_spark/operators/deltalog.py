@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import json
 import os
+import uuid as _uuidlib
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,11 +46,13 @@ def list_commit_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def delta_snapshot_files(root: str, version: int | None = None) -> list[str]:
-    """Absolute paths of the data files live at ``version`` (default:
-    latest). Replays add/remove actions in commit order; within a
-    commit, later actions win (per the protocol, a commit is an ordered
-    atomic batch)."""
+def _replay(
+    root: str, version: int | None = None
+) -> tuple[dict[str, dict], dict | None, dict | None]:
+    """Replay the log up to ``version`` -> (live adds keyed by path,
+    last protocol action, last metaData action). Within a commit, later
+    actions win (per the protocol, a commit is an ordered atomic
+    batch)."""
     versions = list_commit_versions(root)
     if not versions:
         raise FileNotFoundError(f"no Delta commits under {root}/_delta_log")
@@ -56,7 +60,9 @@ def delta_snapshot_files(root: str, version: int | None = None) -> list[str]:
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    live: dict[str, bool] = {}
+    adds: dict[str, dict] = {}
+    protocol: dict | None = None
+    metadata: dict | None = None
     for v in versions:
         if v > version:
             break
@@ -68,12 +74,64 @@ def delta_snapshot_files(root: str, version: int | None = None) -> list[str]:
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    live[action["add"]["path"]] = True
+                    adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    live[action["remove"]["path"]] = False
-    return [
-        os.path.join(root, p) for p, alive in sorted(live.items()) if alive
-    ]
+                    adds.pop(action["remove"]["path"], None)
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    metadata = action["metaData"]
+    return adds, protocol, metadata
+
+
+def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
+    """Gate on the protocol action's reader requirements instead of
+    silently mis-reading: reader version 2 is safe only when column
+    mapping is off; version 3 is safe only when every readerFeature is
+    one we actually implement (deletionVectors)."""
+    if protocol is None:
+        return
+    mrv = protocol.get("minReaderVersion", 1)
+    if mrv <= 1:
+        return
+    if mrv == 2:
+        mode = ((metadata or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in (None, "none"):
+            raise ValueError(
+                f"unsupported Delta reader requirement: "
+                f"columnMapping mode {mode!r}"
+            )
+        return
+    if mrv == 3:
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = sorted(feats - {"deletionVectors"})
+        if unsupported:
+            raise ValueError(
+                f"unsupported Delta reader features {unsupported} "
+                "(supported: deletionVectors)"
+            )
+        return
+    raise ValueError(f"unsupported Delta minReaderVersion {mrv}")
+
+
+def delta_snapshot_files(root: str, version: int | None = None) -> list[str]:
+    """Absolute paths of the data files live at ``version`` (default:
+    latest). Raises on protocol requirements this reader does not
+    implement, and on deletion-vector-carrying snapshots — a bare file
+    list cannot express "this file minus these rows", so callers that
+    may face DV tables must go through :func:`read_delta`."""
+    adds, protocol, metadata = _replay(root, version)
+    _check_protocol(protocol, metadata)
+    with_dv = sorted(p for p, a in adds.items() if a.get("deletionVector"))
+    if with_dv:
+        raise ValueError(
+            f"snapshot carries deletion vectors on {with_dv}; a file "
+            "list would silently include deleted rows — read through "
+            "read_delta()"
+        )
+    return [os.path.join(root, p) for p in sorted(adds)]
 
 
 def read_delta(
@@ -81,9 +139,43 @@ def read_delta(
 ) -> DataFrame:
     """DataFrame over the Delta table's snapshot at ``version`` (latest
     when None) — one distributed parquet scan over exactly the live
-    files, so pushdown/pruning behave as on any parquet read."""
-    files = delta_snapshot_files(root, version)
-    return spark.read.parquet(*files)
+    files, so pushdown/pruning behave as on any parquet read. When add
+    actions carry deletion vectors, the decoded (file, row_index)
+    positions are anti-joined against the scan's parquet metadata
+    identity — the merge-on-read semantics the protocol specifies; the
+    bitmap decode itself is metadata-scale (bounded by DV cardinality),
+    exactly like the log replay."""
+    from pyspark.sql import functions as F
+
+    adds, protocol, metadata = _replay(root, version)
+    _check_protocol(protocol, metadata)
+    files = [os.path.join(root, p) for p in sorted(adds)]
+    df = spark.read.parquet(*files)
+    dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
+    if not dv_adds:
+        return df
+    rows = []
+    for p in sorted(dv_adds):
+        for idx in _dv_indexes(root, dv_adds[p]["deletionVector"]):
+            rows.append((p, idx))
+    dels = spark.createDataFrame(rows, "file_path string, pos long")
+    pcol = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+    prefix = root.rstrip("/") + "/"
+    rel = F.when(
+        pcol.startswith(F.lit(prefix)),
+        F.substring(pcol, len(prefix) + 1, 1 << 20),
+    ).otherwise(pcol)
+    tagged = df.select(
+        "*",
+        rel.alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    return tagged.join(
+        dels,
+        (tagged["__file"] == dels["file_path"])
+        & (tagged["__pos"] == dels["pos"]),
+        "left_anti",
+    ).drop("__file", "__pos")
 
 
 def _write_single_parquet(df: DataFrame, root: str, name: str) -> None:
@@ -199,6 +291,307 @@ def write_delta_fixture(spark: SparkSession, docs: DataFrame, root: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# deletion vectors (clean-room decode/encode per PROTOCOL.md "Deletion
+# Vectors" + the public RoaringFormatSpec)
+# ---------------------------------------------------------------------------
+
+#: PROTOCOL.md: serialized DVs start with this little-endian magic.
+_DV_MAGIC = 1681511377
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_IDX = {c: i for i, c in enumerate(_Z85)}
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+
+
+def _z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError(f"z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i : i + 5]:
+            v = v * 85 + _Z85_IDX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _z85_encode(b: bytes) -> str:
+    if len(b) % 4:
+        raise ValueError(f"z85 input length {len(b)} not a multiple of 4")
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roaring32_deserialize(data: bytes, pos: int) -> tuple[list[int], int]:
+    """One 32-bit roaring bitmap in the portable format -> (values,
+    next offset). Array, bitmap and run containers per the spec."""
+    cookie = int.from_bytes(data[pos : pos + 4], "little")
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nbytes = (n + 7) // 8
+        runbits = data[pos : pos + nbytes]
+        pos += nbytes
+
+        def has_run(i: int) -> int:
+            return runbits[i // 8] >> (i % 8) & 1
+
+        has_offsets = n >= 4
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        pos += 4
+        n = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+
+        def has_run(i: int) -> int:
+            return 0
+
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    keys_cards = []
+    for _ in range(n):
+        key = int.from_bytes(data[pos : pos + 2], "little")
+        card = int.from_bytes(data[pos + 2 : pos + 4], "little") + 1
+        pos += 4
+        keys_cards.append((key, card))
+    if has_offsets:
+        pos += 4 * n  # containers follow in order; offsets redundant
+    vals: list[int] = []
+    for i, (key, card) in enumerate(keys_cards):
+        base = key << 16
+        if has_run(i):
+            nruns = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+            for _ in range(nruns):
+                start = int.from_bytes(data[pos : pos + 2], "little")
+                length = int.from_bytes(data[pos + 2 : pos + 4], "little")
+                pos += 4
+                vals.extend(range(base + start, base + start + length + 1))
+        elif card <= 4096:
+            for _ in range(card):
+                vals.append(
+                    base + int.from_bytes(data[pos : pos + 2], "little")
+                )
+                pos += 2
+        else:
+            words = data[pos : pos + 8192]
+            pos += 8192
+            for bi, b in enumerate(words):
+                while b:
+                    bit = (b & -b).bit_length() - 1
+                    vals.append(base + bi * 8 + bit)
+                    b &= b - 1
+    return vals, pos
+
+
+def _roaring32_serialize(values: list[int]) -> bytes:
+    """Portable no-run-cookie serialization (array/bitmap containers)."""
+    containers: dict[int, list[int]] = {}
+    for v in sorted(values):
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    n = len(containers)
+    head = bytearray()
+    head += _SERIAL_COOKIE_NO_RUN.to_bytes(4, "little")
+    head += n.to_bytes(4, "little")
+    bodies = []
+    for key in sorted(containers):
+        vals = containers[key]
+        head += key.to_bytes(2, "little")
+        head += (len(vals) - 1).to_bytes(2, "little")
+        if len(vals) <= 4096:
+            bodies.append(b"".join(v.to_bytes(2, "little") for v in vals))
+        else:
+            arr = bytearray(8192)
+            for v in vals:
+                arr[v // 8] |= 1 << (v % 8)
+            bodies.append(bytes(arr))
+    off = len(head) + 4 * n
+    for b in bodies:
+        head += off.to_bytes(4, "little")
+        off += len(b)
+    return bytes(head) + b"".join(bodies)
+
+
+def _roaring_array_deserialize(data: bytes) -> list[int]:
+    """Magic-prefixed 64-bit RoaringBitmapArray -> sorted row indexes."""
+    if int.from_bytes(data[0:4], "little") != _DV_MAGIC:
+        raise ValueError("bad deletion-vector magic")
+    n_bitmaps = int.from_bytes(data[4:12], "little")
+    pos = 12
+    out: list[int] = []
+    for hi in range(n_bitmaps):
+        vals, pos = _roaring32_deserialize(data, pos)
+        out.extend((hi << 32) + v for v in vals)
+    return out
+
+
+def _roaring_array_serialize(indexes: list[int]) -> bytes:
+    groups: dict[int, list[int]] = {}
+    for v in sorted(indexes):
+        groups.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    n_bitmaps = (max(groups) + 1) if groups else 0
+    out = bytearray()
+    out += _DV_MAGIC.to_bytes(4, "little")
+    out += n_bitmaps.to_bytes(8, "little")
+    for hi in range(n_bitmaps):
+        out += _roaring32_serialize(groups.get(hi, []))
+    return bytes(out)
+
+
+def _dv_indexes(root: str, dv: dict) -> list[int]:
+    """Decode a deletionVector descriptor -> deleted row indexes.
+    storageType 'i' = z85 inline, 'u' = UUID-named file under the table
+    (optional random prefix), 'p' = absolute path; file form carries a
+    1-byte format version, then per DV a big-endian size, the
+    magic-prefixed bitmap, and a big-endian CRC-32."""
+    st = dv["storageType"]
+    if st == "i":
+        return _roaring_array_deserialize(_z85_decode(dv["pathOrInlineDv"]))
+    if st == "p":
+        path = dv["pathOrInlineDv"]
+    elif st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, tail = enc[:-20], enc[-20:]
+        u = _uuidlib.UUID(bytes=_z85_decode(tail))
+        path = os.path.join(root, prefix, f"deletion_vector_{u}.bin")
+    else:
+        raise ValueError(f"unsupported DV storageType {st!r}")
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if raw[0] != 1:
+        raise ValueError(f"unsupported DV file format version {raw[0]}")
+    off = dv["offset"]
+    size = int.from_bytes(raw[off : off + 4], "big")
+    data = raw[off + 4 : off + 4 + size]
+    crc = int.from_bytes(raw[off + 4 + size : off + 8 + size], "big")
+    if zlib.crc32(data) != crc:
+        raise ValueError("deletion-vector checksum mismatch")
+    return _roaring_array_deserialize(data)
+
+
+def delete_where_with_dv(
+    spark: SparkSession, root: str, condition
+) -> tuple[int, int]:
+    """Merge-on-read DELETE via deletion vectors: rows of the current
+    snapshot matching ``condition`` become per-file row-index bitmaps in
+    ONE new DV file; each affected data file is re-added with its
+    (merged) DV descriptor and the superseded add removed — zero data
+    files rewritten, the exact commit shape the protocol specifies for
+    DV writes. Upgrades the table protocol to reader 3 / writer 7 with
+    the deletionVectors feature. Returns (version, n_newly_deleted)."""
+    from pyspark.sql import functions as F
+
+    adds, protocol, metadata = _replay(root)
+    _check_protocol(protocol, metadata)
+    existing: dict[str, list[int]] = {
+        p: _dv_indexes(root, a["deletionVector"])
+        for p, a in adds.items()
+        if a.get("deletionVector")
+    }
+    # live rows with identity = current scan minus existing DVs
+    pcol = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+    prefix = root.rstrip("/") + "/"
+    rel = F.when(
+        pcol.startswith(F.lit(prefix)),
+        F.substring(pcol, len(prefix) + 1, 1 << 20),
+    ).otherwise(pcol)
+    # read_delta dropped its identity cols; re-derive on the same scan
+    files = [os.path.join(root, p) for p in sorted(adds)]
+    tagged = (
+        spark.read.parquet(*files)
+        .select(
+            "*",
+            rel.alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    )
+    if existing:
+        old = spark.createDataFrame(
+            [(p, i) for p, idxs in existing.items() for i in idxs],
+            "file_path string, pos long",
+        )
+        tagged = tagged.join(
+            old,
+            (tagged["__file"] == old["file_path"])
+            & (tagged["__pos"] == old["pos"]),
+            "left_anti",
+        )
+    hit = (
+        tagged.filter(condition)
+        .select("__file", "__pos")
+        .collect()  # DV construction is metadata-scale, like the log
+    )
+    new_by_file: dict[str, list[int]] = {}
+    for r in hit:
+        new_by_file.setdefault(r["__file"], []).append(r["__pos"])
+    n_new = len(hit)
+    version = list_commit_versions(root)[-1] + 1
+    u = _uuidlib.uuid4()
+    dv_name = f"deletion_vector_{u}.bin"
+    blob = bytearray(b"\x01")  # format version
+    descriptors: dict[str, dict] = {}
+    for p in sorted(new_by_file):
+        merged = sorted(set(existing.get(p, [])) | set(new_by_file[p]))
+        data = _roaring_array_serialize(merged)
+        off = len(blob)
+        blob += len(data).to_bytes(4, "big")
+        blob += data
+        blob += zlib.crc32(data).to_bytes(4, "big")
+        descriptors[p] = {
+            "storageType": "u",
+            "pathOrInlineDv": _z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": len(data),
+            "cardinality": len(merged),
+        }
+    with open(os.path.join(root, dv_name), "wb") as fh:
+        fh.write(blob)
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    ts = 1700000000000
+    for p in sorted(descriptors):
+        old_add = adds[p]
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    **(
+                        {"deletionVector": old_add["deletionVector"]}
+                        if old_add.get("deletionVector")
+                        else {}
+                    ),
+                }
+            }
+        )
+        new_add = dict(old_add)
+        new_add["deletionVector"] = descriptors[p]
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    _commit(root, version, actions)
+    return version, n_new
+
+
+# ---------------------------------------------------------------------------
 # checkpoint support (log compaction per the Delta protocol)
 # ---------------------------------------------------------------------------
 
@@ -213,26 +606,72 @@ def _last_checkpoint(root: str) -> dict | None:
 
 def write_checkpoint(root: str, version: int) -> str:
     """Materialize the snapshot state at ``version`` as a
-    ``%020d.checkpoint.parquet`` (one row per live add action, the
-    protocol's log-compaction artifact) plus the ``_last_checkpoint``
-    pointer. Written with pyarrow — the checkpoint is metadata-scale,
+    ``%020d.checkpoint.parquet`` — one row per live add action PLUS the
+    protocol and metaData rows the spec requires a checkpoint to carry
+    (a reader starting at the checkpoint must be able to reconstruct
+    them without older JSON commits) — plus the ``_last_checkpoint``
+    pointer. Written with pyarrow: the checkpoint is metadata-scale,
     and keeping the log layer Spark-free mirrors how production
     readers resolve snapshots before any cluster work starts."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    files = delta_snapshot_files(root, version)
-    rel = [os.path.relpath(f, root) for f in files]
+    adds, protocol, metadata = _replay(root, version)
+    _check_protocol(protocol, metadata)
+    with_dv = sorted(p for p, a in adds.items() if a.get("deletionVector"))
+    if with_dv:
+        raise ValueError(
+            f"checkpointing snapshots with deletion vectors on {with_dv} "
+            "is not supported by this writer"
+        )
+    rel = sorted(adds)
+    n = len(rel)
+    add_t = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
+    remove_t = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
+    protocol_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_row = {
+        "minReaderVersion": (protocol or {}).get("minReaderVersion", 1),
+        "minWriterVersion": (protocol or {}).get("minWriterVersion", 2),
+    }
+    meta_row = None
+    if metadata is not None:
+        meta_row = {
+            "id": metadata.get("id"),
+            "format": {
+                "provider": (metadata.get("format") or {}).get(
+                    "provider", "parquet"
+                )
+            },
+            "schemaString": metadata.get("schemaString"),
+            "partitionColumns": metadata.get("partitionColumns") or [],
+            "configuration": list(
+                (metadata.get("configuration") or {}).items()
+            ),
+        }
     table = pa.table(
         {
-            "add": [
-                {"path": p, "dataChange": True} for p in rel
-            ],
-            "remove": pa.array(
-                [None] * len(rel),
-                type=pa.struct(
-                    [("path", pa.string()), ("dataChange", pa.bool_())]
-                ),
+            "add": pa.array(
+                [{"path": p, "dataChange": True} for p in rel]
+                + [None, None],
+                type=add_t,
+            ),
+            "remove": pa.array([None] * (n + 2), type=remove_t),
+            "protocol": pa.array(
+                [None] * n + [proto_row, None], type=protocol_t
+            ),
+            "metaData": pa.array(
+                [None] * (n + 1) + [meta_row], type=meta_t
             ),
         }
     )
@@ -245,7 +684,7 @@ def write_checkpoint(root: str, version: int) -> str:
         "w",
         encoding="utf-8",
     ) as fh:
-        json.dump({"version": version, "size": len(rel)}, fh)
+        json.dump({"version": version, "size": n + 2}, fh)
     return cp
 
 
@@ -333,8 +772,13 @@ def export_merge_to_delta(
         else []
     )
     if versions:
-        prev_files = delta_snapshot_files(root)
-        target = spark.read.parquet(*prev_files)
+        # target resolves through read_delta so deletion-vector tables
+        # merge correctly (DV'd rows stay deleted); the remove list is
+        # every live add path, which the rewrite commit supersedes.
+        adds, protocol, metadata = _replay(root)
+        _check_protocol(protocol, metadata)
+        prev_files = [os.path.join(root, p) for p in sorted(adds)]
+        target = read_delta(spark, root)
         keys = updates.select(key).distinct()
         survivors = target.join(keys, key, "left_anti")
         merged = survivors.unionByName(updates)
@@ -355,9 +799,8 @@ def export_merge_to_delta(
                 "metaData": {
                     "id": "spark-graft-delta-export",
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(
-                        {"type": "struct", "fields": []}
-                    ),
+                    # StructType.json() IS the Delta schemaString shape
+                    "schemaString": merged.schema.json(),
                     "partitionColumns": [],
                     "configuration": {},
                 }
@@ -450,9 +893,8 @@ def append_batch_to_delta(
                 "metaData": {
                     "id": f"spark-graft-delta-sink-{app_id}",
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(
-                        {"type": "struct", "fields": []}
-                    ),
+                    # StructType.json() IS the Delta schemaString shape
+                    "schemaString": batch_df.schema.json(),
                     "partitionColumns": [],
                     "configuration": {},
                 }

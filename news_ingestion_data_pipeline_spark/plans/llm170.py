@@ -1,0 +1,81 @@
+"""Hundred-seventieth wave: Delta deletion vectors (merge-on-read
+DELETE) — the round-6 interop gap close.
+
+  * scan_delta_deletion_vectors — a DV commit (protocol reader 3 /
+    writer 7, readerFeatures=[deletionVectors]) marks rows deleted as
+    per-file roaring bitmaps in ONE .bin sidecar, zero data files
+    rewritten; the reader decodes the bitmaps (clean-room z85 +
+    RoaringFormatSpec codec, operators/deltalog.py) and anti-joins the
+    (file, row_index) positions against the scan's parquet metadata
+    identity. Pre-DV and post-DV snapshots are read side by side from
+    the same directory, certifying both merge-on-read semantics and
+    snapshot isolation across the protocol upgrade.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.operators import deltalog as DL
+from news_ingestion_data_pipeline_spark.plans.llm157 import (
+    _AGG_SQL,
+    _LIVE_SQL,
+    _snapshot_agg,
+)
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+_ROOT = "/tmp/spark_graft_llm170"
+
+
+def _fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Delta fixture (v0 append, v1 French rewrite) + a v2 DV commit
+    deleting doc_id % 5 == 0 from the live snapshot."""
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_dv_{sfx}"
+    DL.write_delta_fixture(spark, t(spark, sf_dir, "documents"), root)
+    v_dv, _ = DL.delete_where_with_dv(
+        spark, root, F.col("doc_id") % 5 == 0
+    )
+    return root, v_dv
+
+
+@register(
+    "scan_delta_deletion_vectors",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL}),
+post AS (SELECT * FROM live WHERE doc_id % 5 <> 0),
+a1 AS ({_AGG_SQL.format(extra="1 AS version,", extra_grp="1,", src="live")}),
+a2 AS ({_AGG_SQL.format(extra="2 AS version,", extra_grp="1,", src="post")})
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+""",
+    description="Delta deletion vectors (merge-on-read DELETE): a v2 "
+    "commit records doc_id % 5 == 0 rows as per-file roaring-bitmap "
+    "sidecars (protocol upgrade to reader 3 / writer 7 with the "
+    "deletionVectors feature) — zero data files rewritten. The reader "
+    "decodes the bitmaps with a clean-room z85 + RoaringFormatSpec "
+    "codec and anti-joins the (file, row_index) positions against the "
+    "scan's parquet metadata identity, so deleted rows vanish without "
+    "touching the distributed data path. Pre-DV (v1) and post-DV (v2) "
+    "snapshots of the SAME directory are aggregated side by side: "
+    "per-lang counts, char sums and order-pinned content checksums must "
+    "match their generating SQL simultaneously, certifying both the "
+    "bitmap semantics and snapshot isolation across the protocol "
+    "upgrade. Scale: DV decode is metadata-scale like the log replay; "
+    "the anti-join keys are (file, position) — exactly how production "
+    "Delta readers mask DV'd rows.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root, v_dv = _fixture(spark, sf_dir)
+    pre = _snapshot_agg(DL.read_delta(spark, root, v_dv - 1)).select(
+        F.lit(1).alias("version"), "*"
+    )
+    post = _snapshot_agg(DL.read_delta(spark, root, v_dv)).select(
+        F.lit(2).alias("version"), "*"
+    )
+    return pre.unionByName(post)

@@ -136,3 +136,167 @@ def test_export_merge_update_all_semantics(tmp_path, spark):
     assert rows0 == {1: "x", 2: "y"}
     # exactly one live file after the rewrite commit
     assert len(DL.delta_snapshot_files(root)) == 1
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors + protocol gate
+# ---------------------------------------------------------------------------
+
+
+def test_z85_roundtrip():
+    for raw in (b"\x00" * 4, b"\xff" * 16, bytes(range(32))):
+        assert DL._z85_decode(DL._z85_encode(raw)) == raw
+
+
+def test_roaring_roundtrip_array_bitmap_and_high_bits():
+    idx = (
+        list(range(100))                      # array container
+        + list(range(70000, 75000))           # dense -> bitmap container
+        + [1 << 33, (1 << 33) + 7]            # second 32-bit bitmap
+    )
+    assert DL._roaring_array_deserialize(
+        DL._roaring_array_serialize(idx)
+    ) == sorted(idx)
+
+
+def test_roaring_run_container_decode():
+    # hand-build a run-cookie bitmap: one container, runs [5..9],[20..20]
+    body = bytearray()
+    body += ((1 - 1) << 16 | DL._SERIAL_COOKIE).to_bytes(4, "little")
+    body += b"\x01"  # run bitset: container 0 is a run container
+    body += (0).to_bytes(2, "little")  # key
+    body += (6 - 1).to_bytes(2, "little")  # cardinality-1
+    # < 4 containers with run cookie -> no offset header
+    body += (2).to_bytes(2, "little")  # n_runs
+    body += (5).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    body += (20).to_bytes(2, "little") + (0).to_bytes(2, "little")
+    vals, pos = DL._roaring32_deserialize(bytes(body), 0)
+    assert vals == [5, 6, 7, 8, 9, 20] and pos == len(body)
+
+
+def test_protocol_gate_unknown_reader_feature(tmp_path):
+    root = _mk_table(
+        tmp_path,
+        {0: [{"protocol": {"minReaderVersion": 3,
+                           "readerFeatures": ["v2Checkpoint"]}},
+             _add("a.parquet")]},
+    )
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        DL.delta_snapshot_files(root)
+
+
+def test_protocol_gate_column_mapping(tmp_path):
+    root = _mk_table(
+        tmp_path,
+        {0: [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+             {"metaData": {"id": "x", "schemaString": "{}",
+                           "configuration":
+                               {"delta.columnMapping.mode": "name"}}},
+             _add("a.parquet")]},
+    )
+    with pytest.raises(ValueError, match="columnMapping"):
+        DL.delta_snapshot_files(root)
+    # reader version 2 with mapping off is fine
+    root2 = _mk_table(
+        tmp_path / "ok",
+        {0: [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+             _add("a.parquet")]},
+    )
+    assert len(DL.delta_snapshot_files(root2)) == 1
+
+
+def test_snapshot_files_refuses_dv_table(tmp_path):
+    a = _add("a.parquet")
+    a["add"]["deletionVector"] = {
+        "storageType": "i", "pathOrInlineDv": "x", "offset": 0,
+        "sizeInBytes": 1, "cardinality": 1,
+    }
+    root = _mk_table(tmp_path, {0: [a]})
+    with pytest.raises(ValueError, match="deletion vectors"):
+        DL.delta_snapshot_files(root)
+
+
+def test_dv_delete_end_to_end(tmp_path, spark):
+    root = str(tmp_path / "dv")
+    from pyspark.sql import functions as F
+
+    b = spark.createDataFrame(
+        [(i, chr(97 + i % 26)) for i in range(20)], "k long, v string"
+    )
+    DL.export_merge_to_delta(spark, root, b, key="k")
+    v1, n1 = DL.delete_where_with_dv(spark, root, F.col("k") % 4 == 0)
+    assert n1 == 5
+    rows = {r.k for r in DL.read_delta(spark, root).collect()}
+    assert rows == {k for k in range(20) if k % 4 != 0}
+    # chained second DV delete merges bitmaps and counts live-only
+    v2, n2 = DL.delete_where_with_dv(spark, root, F.col("k") % 2 == 0)
+    assert n2 == 5  # evens minus the multiples of 4 already gone
+    rows = {r.k for r in DL.read_delta(spark, root).collect()}
+    assert rows == {k for k in range(20) if k % 2 == 1}
+    # time travel: pre-delete snapshot complete, mid-chain correct
+    assert len(DL.read_delta(spark, root, v1 - 1).collect()) == 20
+    assert {r.k for r in DL.read_delta(spark, root, v1).collect()} == {
+        k for k in range(20) if k % 4 != 0
+    }
+    # MERGE after DV deletes must not resurrect deleted rows
+    up = spark.createDataFrame([(1, "Z"), (2, "NEW")], "k long, v string")
+    DL.export_merge_to_delta(spark, root, up, key="k")
+    rows = {r.k: r.v for r in DL.read_delta(spark, root).collect()}
+    assert 4 not in rows and rows[1] == "Z" and rows[2] == "NEW"
+    assert set(rows) == {k for k in range(20) if k % 2 == 1} | {2}
+
+
+def test_dv_inline_descriptor(tmp_path, spark):
+    root = str(tmp_path / "inline")
+    b = spark.createDataFrame([(i,) for i in range(8)], "k long")
+    DL.export_merge_to_delta(spark, root, b, key="k")
+    adds, _, _ = DL._replay(root)
+    (path,) = adds
+    data = DL._roaring_array_serialize([0, 3])
+    pad = (-len(data)) % 4
+    enc = DL._z85_encode(data + b"\x00" * pad)
+    a = dict(adds[path])
+    a["deletionVector"] = {
+        "storageType": "i", "pathOrInlineDv": enc,
+        "sizeInBytes": len(data), "cardinality": 2,
+    }
+    DL._commit(root, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": path, "deletionTimestamp": 0,
+                    "dataChange": True}},
+        {"add": a},
+    ])
+    ks = sorted(r.k for r in DL.read_delta(spark, root).collect())
+    assert len(ks) == 6  # rows at file positions 0 and 3 dropped
+
+
+def test_checkpoint_carries_protocol_and_metadata(tmp_path, spark):
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cp")
+    b = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    DL.export_merge_to_delta(spark, root, b, key="k")
+    cp = DL.write_checkpoint(root, 0)
+    t = pq.read_table(cp).to_pylist()
+    protos = [r["protocol"] for r in t if r["protocol"] is not None]
+    metas = [r["metaData"] for r in t if r["metaData"] is not None]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert len(metas) == 1
+    schema = json.loads(metas[0]["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == ["k", "v"]
+    # checkpointed resolution still matches full replay
+    files, cpv, replayed = DL.delta_snapshot_files_checkpointed(root)
+    assert cpv == 0 and files == DL.delta_snapshot_files(root)
+
+
+def test_export_writes_real_schema_string(tmp_path, spark):
+    root = str(tmp_path / "schema")
+    b = spark.createDataFrame([(1, 2.5)], "k long, x double")
+    DL.export_merge_to_delta(spark, root, b, key="k")
+    _, _, meta = DL._replay(root)
+    fields = json.loads(meta["schemaString"])["fields"]
+    assert [(f["name"], f["type"]) for f in fields] == [
+        ("k", "long"), ("x", "double")
+    ]
