@@ -106,9 +106,101 @@ def read_iceberg(
 ) -> DataFrame:
     """DataFrame over the Iceberg snapshot — one distributed parquet
     scan of exactly the live (and, if filtered, partition-pruned)
-    files."""
+    files. When the table metadata carries an Iceberg schema (fields
+    with ids), columns resolve BY FIELD ID per the spec's "Column
+    Projection" rules, so renamed columns — Iceberg's headline schema
+    evolution — read correctly across files written under different
+    schema versions."""
     files, _ = snapshot_files(root, snapshot_id, partition_filter)
-    return spark.read.parquet(*files)
+    schema = _table_schema(current_metadata(root), snapshot_id)
+    if schema is None:
+        return spark.read.parquet(*files)
+    return _read_with_field_ids(spark, files, schema)
+
+
+def _table_schema(meta: dict, snapshot_id: int | None) -> dict | None:
+    """The Iceberg schema governing a read: the snapshot's pinned
+    ``schema-id`` when time-traveling, else ``current-schema-id``,
+    resolved from the metadata's ``schemas`` list (or the legacy
+    single ``schema`` field). None when the table carries no schema
+    info (this module's minimal fixtures) — callers fall back to a
+    plain name-based parquet read."""
+    schemas = meta.get("schemas")
+    schema_id = meta.get("current-schema-id")
+    if snapshot_id is not None:
+        for s in meta.get("snapshots", []):
+            if s["snapshot-id"] == snapshot_id and "schema-id" in s:
+                schema_id = s["schema-id"]
+    if schemas:
+        for s in schemas:
+            if s.get("schema-id") == schema_id:
+                return s
+        return schemas[-1]
+    return meta.get("schema")
+
+
+#: Iceberg primitive -> Spark SQL type (subset this engine reads)
+_ICEBERG_TYPES = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "string": "string",
+    "uuid": "string",
+    "binary": "binary",
+}
+
+
+def _read_with_field_ids(
+    spark: SparkSession, files: list[str], schema: dict
+) -> DataFrame:
+    """Field-id column projection: group data files by their parquet
+    (field_id -> physical name) signature (footer-only reads,
+    metadata-scale like the manifests), read each group as one
+    distributed scan, alias physical names to the table schema's names
+    by id, and union. Files without field ids fall back to the spec's
+    name mapping; columns absent from a file read as typed NULLs
+    (schema-evolution adds)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        idmap = {}
+        for fld in pq.read_schema(f):
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                idmap[int(fid)] = fld.name
+        groups.setdefault(tuple(sorted(idmap.items())), []).append(f)
+    out: DataFrame | None = None
+    for key in sorted(groups):
+        idmap = dict(key)
+        df = spark.read.parquet(*groups[key])
+        cols = []
+        for fld in schema["fields"]:
+            name = fld["name"]
+            typ = fld.get("type", "string")
+            spark_t = (
+                _ICEBERG_TYPES.get(typ, typ)
+                if isinstance(typ, str)
+                else "string"
+            )
+            phys = idmap.get(fld["id"]) if idmap else None
+            if phys is None and not idmap and name in df.columns:
+                phys = name  # name-mapping fallback (no ids in file)
+            if phys is not None and phys in df.columns:
+                cols.append(F.col(phys).cast(spark_t).alias(name))
+            else:
+                cols.append(F.lit(None).cast(spark_t).alias(name))
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no data files to read")
+    return out
 
 
 def _resolve(root: str, path: str) -> str:
@@ -285,6 +377,156 @@ def write_iceberg_fixture(
                 "snapshot-id": snap2,
                 "manifest-list": "metadata/snap-2.avro",
                 "summary": {"operation": "overwrite"},
+            },
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v2.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(meta, fh)
+    return snap1, snap2
+
+
+def write_iceberg_rename_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> tuple[int, int]:
+    """Two-snapshot table exercising FIELD-ID schema evolution (the
+    spec's headline feature):
+
+      * snapshot 1 (schema 0): file-a holds even doc_ids with physical
+        columns (doc_id, lang, n_chars), parquet field ids 1/2/3;
+      * snapshot 2 (schema 1): column 3 RENAMED n_chars -> char_count;
+        file-b adds odd doc_ids written under the new name (same field
+        id 3), file-a stays EXISTING untouched.
+
+    A correct reader must resolve file-a's physical ``n_chars`` to the
+    current name ``char_count`` by id — a name-based read would drop or
+    misplace the column. Files are written with pyarrow so the parquet
+    footers carry real field ids (``docs`` is the bounded 500-row dim).
+    Returns (snapshot_id_1, snapshot_id_2)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    pdf = docs.select("doc_id", "lang", "n_chars").toPandas()
+
+    def _field(name: str, typ, fid: int):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    sa = pa.schema(
+        [
+            _field("doc_id", pa.int64(), 1),
+            _field("lang", pa.string(), 2),
+            _field("n_chars", pa.int64(), 3),
+        ]
+    )
+    sb = pa.schema(
+        [
+            _field("doc_id", pa.int64(), 1),
+            _field("lang", pa.string(), 2),
+            _field("char_count", pa.int64(), 3),
+        ]
+    )
+    even = pdf[pdf.doc_id % 2 == 0]
+    odd = pdf[pdf.doc_id % 2 == 1].rename(columns={"n_chars": "char_count"})
+    pq.write_table(
+        pa.Table.from_pandas(even, schema=sa, preserve_index=False),
+        os.path.join(root, "data", "file-a.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(odd, schema=sb, preserve_index=False),
+        os.path.join(root, "data", "file-b.parquet"),
+    )
+
+    def _entry(status: int, snap: int, name: str) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snap,
+            "data_file": {
+                "file_path": name,
+                "file_format": "PARQUET",
+                "partition": {"lang": None},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, name)
+                ),
+            },
+        }
+
+    snap1, snap2 = 2001, 2002
+    for mname, entries in (
+        ("rm1.avro", [_entry(1, snap1, "data/file-a.parquet")]),
+        (
+            "rm2.avro",
+            [
+                _entry(0, snap1, "data/file-a.parquet"),
+                _entry(1, snap2, "data/file-b.parquet"),
+            ],
+        ),
+    ):
+        AV.write_container(
+            os.path.join(root, "metadata", mname), _MANIFEST_SCHEMA, entries
+        )
+    for lname, mname in (
+        ("rsnap-1.avro", "rm1.avro"),
+        ("rsnap-2.avro", "rm2.avro"),
+    ):
+        AV.write_container(
+            os.path.join(root, "metadata", lname),
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": f"metadata/{mname}",
+                    "manifest_length": os.path.getsize(
+                        os.path.join(root, "metadata", mname)
+                    ),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": None,
+                }
+            ],
+        )
+
+    def _schema(schema_id: int, third_name: str) -> dict:
+        return {
+            "schema-id": schema_id,
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "doc_id", "type": "long",
+                 "required": False},
+                {"id": 2, "name": "lang", "type": "string",
+                 "required": False},
+                {"id": 3, "name": third_name, "type": "long",
+                 "required": False},
+            ],
+        }
+
+    meta = {
+        "format-version": 2,
+        "table-uuid": "spark-graft-iceberg-rename-fixture",
+        "location": root,
+        "current-snapshot-id": snap2,
+        "current-schema-id": 1,
+        "schemas": [_schema(0, "n_chars"), _schema(1, "char_count")],
+        "snapshots": [
+            {
+                "snapshot-id": snap1,
+                "schema-id": 0,
+                "manifest-list": "metadata/rsnap-1.avro",
+                "summary": {"operation": "append"},
+            },
+            {
+                "snapshot-id": snap2,
+                "schema-id": 1,
+                "manifest-list": "metadata/rsnap-2.avro",
+                "summary": {"operation": "append"},
             },
         ],
     }

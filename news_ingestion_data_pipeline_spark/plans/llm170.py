@@ -79,3 +79,64 @@ def scan_delta_deletion_vectors(
         F.lit(2).alias("version"), "*"
     )
     return pre.unionByName(post)
+
+
+@register(
+    "scan_iceberg_field_id_rename",
+    oracle="""
+WITH a1 AS (
+  SELECT 1 AS version, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+), a2 AS (
+  SELECT 2 AS version, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY lang
+)
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+""",
+    description="Iceberg field-id schema evolution (the spec's "
+    "headline feature): snapshot 1 writes even doc_ids under schema 0 "
+    "(doc_id/lang/n_chars, parquet field ids 1/2/3); snapshot 2 RENAMES "
+    "field 3 to char_count and appends odd doc_ids under the new name. "
+    "The reader groups data files by their footer (field_id -> physical "
+    "name) signature — footer-only reads, metadata-scale like the "
+    "manifests — and aliases physical columns to the governing schema's "
+    "names BY ID, so file-a's physical n_chars surfaces as char_count "
+    "in the current read while time travel to snapshot 1 reads under "
+    "its PINNED schema-id with the old name. A name-based read would "
+    "drop the renamed column entirely. Both versions' per-lang counts "
+    "and char sums must match the generating SQL simultaneously.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_iceberg_field_id_rename(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import iceberg as IB
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_rename_{sfx}"
+    s1, s2 = IB.write_iceberg_rename_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    old = (
+        IB.read_iceberg(spark, root, s1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(F.lit(1).alias("version"), "*")
+    )
+    cur = (
+        IB.read_iceberg(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("char_count").alias("sum_chars"),
+        )
+        .select(F.lit(2).alias("version"), "*")
+    )
+    return old.unionByName(cur)

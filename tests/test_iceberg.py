@@ -379,3 +379,57 @@ def test_avro_unknown_codec_rejected(tmp_path):
             [],
             codec="snappy",
         )
+
+
+def test_field_id_rename_resolution(tmp_path, spark):
+    root = str(tmp_path / "rename")
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", 100 + i) for i in range(10)],
+        "doc_id long, lang string, n_chars long",
+    )
+    s1, s2 = IB.write_iceberg_rename_fixture(spark, docs, root)
+    # current snapshot: BOTH files resolve to the renamed column
+    cur = IB.read_iceberg(spark, root)
+    assert cur.columns == ["doc_id", "lang", "char_count"]
+    rows = {r.doc_id: r.char_count for r in cur.collect()}
+    assert rows == {i: 100 + i for i in range(10)}
+    # time travel to snapshot 1 reads under the PINNED old schema
+    old = IB.read_iceberg(spark, root, s1)
+    assert old.columns == ["doc_id", "lang", "n_chars"]
+    assert {r.doc_id: r.n_chars for r in old.collect()} == {
+        i: 100 + i for i in range(10) if i % 2 == 0
+    }
+
+
+def test_field_id_missing_column_reads_null(tmp_path, spark):
+    import json as _json
+
+    root = str(tmp_path / "addcol")
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, "fr", 20)],
+        "doc_id long, lang string, n_chars long",
+    )
+    IB.write_iceberg_rename_fixture(spark, docs, root)
+    # simulate a schema-evolution ADD: field 4 exists in no data file
+    mpath = os.path.join(root, "metadata", "v2.metadata.json")
+    meta = _json.load(open(mpath))
+    meta["schemas"][1]["fields"].append(
+        {"id": 4, "name": "quality", "type": "double", "required": False}
+    )
+    _json.dump(meta, open(mpath, "w"))
+    cur = IB.read_iceberg(spark, root)
+    assert cur.columns == ["doc_id", "lang", "char_count", "quality"]
+    assert all(r.quality is None for r in cur.collect())
+    assert dict(cur.dtypes)["quality"] == "double"
+
+
+def test_fixtures_without_schema_info_unchanged(tmp_path, spark):
+    # legacy fixtures carry no schema key -> plain name-based read
+    root = str(tmp_path / "legacy")
+    docs = spark.createDataFrame(
+        [(1, "en", 700, "t1"), (2, "fr", 800, "t2")],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    IB.write_iceberg_fixture(spark, docs, root)
+    out = IB.read_iceberg(spark, root)
+    assert set(out.columns) == {"doc_id", "lang", "n_chars", "content_h"}
