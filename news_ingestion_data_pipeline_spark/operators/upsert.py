@@ -66,30 +66,56 @@ class CommitConflict(Exception):
     commit attempt — the merge must be recomputed against the new base."""
 
 
+#: token this process wrote into each lock it currently holds —
+#: release verifies it so a stolen-and-reacquired lock is never
+#: removed by the old holder.
+_HELD_TOKENS: dict[str, bytes] = {}
+
+
 def _acquire_lock(table_path: str, timeout: float = 30.0) -> str:
     """Take the commit critical section via O_CREAT|O_EXCL — the portable
     single-filesystem mutex. Holders only compare-and-swap one manifest
     pointer inside it (microseconds), never write data. A holder that
-    died is detected by marker age and its lock stolen."""
+    died is detected by marker age and its lock stolen; the steal is
+    rename-to-unique (only one of several stealers wins) AND identity-
+    verified (the renamed file's content must equal what the staleness
+    check observed — if the stale holder released and a fresh writer
+    re-created the lock in between, the fresh lock is restored via a
+    non-clobbering link and the stealer retries)."""
     lock = os.path.join(table_path, _LOCK)
+    token = f"{os.getpid()} {uuid.uuid4().hex} {time.time()}\n".encode()
     deadline = time.monotonic() + timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.write(fd, token)
             os.close(fd)
+            _HELD_TOKENS[lock] = token
             return lock
         except FileExistsError:
             try:
+                with open(lock, "rb") as fh:
+                    observed = fh.read()
                 if time.time() - os.path.getmtime(lock) > _STALE_SEC:
-                    # crashed holder: steal via rename-to-unique so only ONE
-                    # of several concurrent stealers wins (a bare os.remove
-                    # could delete the winner's freshly created lock and let
-                    # two processes into the critical section); the loser's
-                    # rename raises and it loops back to the O_EXCL create.
                     stale = f"{lock}.stale-{uuid.uuid4().hex}"
                     os.rename(lock, stale)
-                    os.remove(stale)
+                    with open(stale, "rb") as fh:
+                        got = fh.read()
+                    if got == observed:
+                        os.remove(stale)  # confirmed the crashed holder's
+                    else:
+                        # raced a release + fresh re-create: we displaced a
+                        # LIVE lock. Restore the path without clobbering
+                        # (link refuses if a newer lock already appeared;
+                        # token-verified release keeps that case safe too).
+                        try:
+                            os.link(stale, lock)
+                        except OSError:
+                            pass
+                        try:
+                            os.remove(stale)
+                        except OSError:
+                            pass
                     continue
             except OSError:
                 continue  # holder released between exists-check and stat
@@ -99,7 +125,12 @@ def _acquire_lock(table_path: str, timeout: float = 30.0) -> str:
 
 
 def _release_lock(lock: str) -> None:
+    token = _HELD_TOKENS.pop(lock, None)
     try:
+        if token is not None:
+            with open(lock, "rb") as fh:
+                if fh.read() != token:
+                    return  # lock was stolen and re-acquired — not ours
         os.remove(lock)
     except OSError:
         pass

@@ -24,8 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ROOT = "/tmp/spark_graft_llm103"
+_ROOT = scratch_root("llm103")
 
 
 @register(

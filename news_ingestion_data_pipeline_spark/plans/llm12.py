@@ -14,6 +14,7 @@ from news_ingestion_data_pipeline_spark.plans import oracle_sqlgen as OSQL
 from news_ingestion_data_pipeline_spark.plans.llm import _SQL_SHINGLES
 from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 
 @register(
@@ -162,7 +163,7 @@ def scan_binary_files_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.operators import multimodal as mm
 
     outdir = (
-        "/tmp/spark_graft_llm12/bmp_files_"
+        scratch_root("llm12") + "/bmp_files_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     )
     shutil.rmtree(outdir, ignore_errors=True)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 _A, _B, _G = "0.2", "0.1", "0.3"
 
@@ -162,7 +163,7 @@ def orders_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROOT = "/tmp/spark_graft_llm124"
+_ROOT = scratch_root("llm124")
 
 
 @register(

@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ROOT = "/tmp/spark_graft_llm131"
+_ROOT = scratch_root("llm131")
 _UID = 42
 _NB = 4
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 # Σ_i Σ_j |a_i - b_j| for a column of values v with group tags, via the
 # merged sort: for each value, its contribution against the OTHER group's
@@ -208,7 +209,7 @@ def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROOT = "/tmp/spark_graft_llm137"
+_ROOT = scratch_root("llm137")
 
 
 @register(

@@ -17,8 +17,9 @@ from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.operators import iceberg as IB
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ROOT = "/tmp/spark_graft_llm164"
+_ROOT = scratch_root("llm164")
 
 
 @register(

@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.operators import deltalog as DL
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ROOT = "/tmp/spark_graft_llm165"
+_ROOT = scratch_root("llm165")
 
 
 @register(

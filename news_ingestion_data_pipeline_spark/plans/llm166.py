@@ -117,13 +117,19 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bnds = F.array(*[F.lit(b) for b in _DD_BNDS])
     b0 = F.ceil(F.log(F.col("x")) / F.lit(float(_DD_LOG_G))).cast("long")
-    at_b0 = F.element_at(bnds, b0.cast("int"))
-    at_b0p = F.element_at(bnds, (b0 + 1).cast("int"))
+    # Clamp the libm guess into the ladder before element_at: x <= 1.0
+    # makes b0 non-positive (element_at raises) and x above the ladder
+    # top falls off the array (NULL) — out-of-ladder values degrade to
+    # the edge buckets instead of erroring. In-ladder values are
+    # untouched (clamp is a no-op), so sketch semantics are identical.
+    bg = F.greatest(F.lit(1), F.least(b0, F.lit(len(_DD_BNDS) - 1)))
+    at_b0 = F.element_at(bnds, bg.cast("int"))
+    at_b0p = F.element_at(bnds, (bg + 1).cast("int"))
     x = F.col("x")
     b = (
-        F.when((x > at_b0) & (x <= at_b0p), b0)
-        .when(x <= at_b0, b0 - 1)
-        .otherwise(b0 + 1)
+        F.when((x > at_b0) & (x <= at_b0p), bg)
+        .when(x <= at_b0, bg - 1)
+        .otherwise(bg + 1)
     )
     sk = vals.select("prio", b.alias("b")).groupBy("prio", "b").agg(
         F.count(F.lit(1)).alias("c")

@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 from news_ingestion_data_pipeline_spark.operators import iceberg as IB
 from news_ingestion_data_pipeline_spark.plans.llm157 import _LIVE_SQL
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ROOT = "/tmp/spark_graft_llm168"
+_ROOT = scratch_root("llm168")
 
 
 @register(

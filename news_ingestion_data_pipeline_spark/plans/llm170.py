@@ -26,8 +26,9 @@ from news_ingestion_data_pipeline_spark.plans.llm157 import (
     _snapshot_agg,
 )
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ROOT = "/tmp/spark_graft_llm170"
+_ROOT = scratch_root("llm170")
 
 
 def _fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int]:

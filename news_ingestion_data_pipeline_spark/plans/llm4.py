@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from news_ingestion_data_pipeline_spark.operators import dedup as DD
 from news_ingestion_data_pipeline_spark.plans import oracle_sqlgen as OSQL
 from news_ingestion_data_pipeline_spark.plans.registry import dsum, register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 
 @register(
@@ -155,7 +156,7 @@ def scan_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     path = (
-        "/tmp/spark_graft_storage/lineitem_zonemap_"
+        scratch_root("storage") + "/lineitem_zonemap_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     )
     (

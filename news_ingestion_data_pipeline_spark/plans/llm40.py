@@ -12,8 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ORC_ROOT = "/tmp/spark_graft_orc"
+_ORC_ROOT = scratch_root("orc")
 
 
 @register(

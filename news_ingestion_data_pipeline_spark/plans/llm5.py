@@ -19,8 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t, ts_str
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ROOT = "/tmp/spark_graft_llm5"
+_ROOT = scratch_root("llm5")
 
 
 def _sfx(sf_dir: str) -> str:

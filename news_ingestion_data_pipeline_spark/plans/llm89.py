@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans import oracle_sqlgen as OSQL
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 #: deterministic raw-URL synthesis — doc_id residues inject the classic
 #: crawl noise: %2 upper-cases the host, %3 appends an explicit default
@@ -174,7 +175,7 @@ def curation_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROOT = "/tmp/spark_graft_llm89"
+_ROOT = scratch_root("llm89")
 
 
 def _sfx(sf_dir: str) -> str:

@@ -40,9 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 _SQL_VAL_SUM = "CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)"
-_ROOT = "/tmp/spark_graft_llm94"
+_ROOT = scratch_root("llm94")
 
 #: batch assignment shared by both engines: quarter of the corpus time
 #: RANGE (exact integer epoch-microsecond math — a pure map, no global

@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
-_ROOT = "/tmp/spark_graft_llm97"
+_ROOT = scratch_root("llm97")
 
 #: map-side time-range quartile batch assignment (wave 94's rule,
 #: without the late-arrival shift — update mode has no drops to stage)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
+
 from pyspark.sql import Row
 
 from news_ingestion_data_pipeline_spark.operators import upsert
@@ -526,3 +528,63 @@ def test_clustered_compaction_yields_disjoint_file_ranges(spark, tmp_path):
         for r in upsert.read_partitioned(spark, path).collect()
     }
     assert got == {f"k{i}": str(i % 997) for i in range(400)}
+
+
+def test_steal_verifies_identity_before_discarding(tmp_path):
+    """ADVICE r5: if the stale holder releases and a FRESH writer
+    re-creates the lock between the staleness check and the rename,
+    the stealer must restore the fresh lock instead of discarding it."""
+    import threading
+    import time as _time
+
+    from news_ingestion_data_pipeline_spark.operators import upsert as UP
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, UP._LOCK)
+    # a stale lock from a "crashed" writer
+    with open(lock, "wb") as fh:
+        fh.write(b"999999 deadbeef 0\n")
+    old = _time.time() - UP._STALE_SEC - 10
+    os.utime(lock, (old, old))
+
+    # fresh writer takes over the path the instant the stale file is
+    # observed: monkeypatch os.rename to interleave release+recreate
+    real_rename = os.rename
+    fresh_token = b"fresh-holder\n"
+    done = {"swapped": False}
+
+    def raced_rename(src, dst):
+        if src == lock and not done["swapped"]:
+            done["swapped"] = True
+            real_rename(lock, lock + ".gone")  # stale holder releases
+            os.remove(lock + ".gone")
+            with open(lock, "wb") as fh:  # fresh writer re-creates
+                fh.write(fresh_token)
+        return real_rename(src, dst)
+
+    os.rename = raced_rename
+    try:
+        # stealer sees a fresh (non-stale) lock after the failed steal
+        # and must time out rather than enter the critical section
+        with pytest.raises(TimeoutError):
+            UP._acquire_lock(path, timeout=1.0)
+    finally:
+        os.rename = real_rename
+    # the fresh holder's lock survived the attempted steal
+    with open(lock, "rb") as fh:
+        assert fh.read() == fresh_token
+
+
+def test_release_refuses_foreign_lock(tmp_path):
+    from news_ingestion_data_pipeline_spark.operators import upsert as UP
+
+    path = str(tmp_path / "tbl2")
+    os.makedirs(path, exist_ok=True)
+    lock = UP._acquire_lock(path, timeout=1.0)
+    # simulate a steal + re-acquire by another process
+    with open(lock, "wb") as fh:
+        fh.write(b"other-process\n")
+    UP._release_lock(lock)
+    assert os.path.exists(lock)  # not ours anymore -> untouched
+    os.remove(lock)
