@@ -143,7 +143,11 @@ FROM toks t LEFT JOIN deg d ON d.id = t.doc_id
     tags=("curation", "dedup", "llm"),
 )
 def curation_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    from news_ingestion_data_pipeline_spark.plans.llm import (
+        ngram_jaccard_pairs_cached,
+    )
+
+    pairs = ngram_jaccard_pairs_cached(spark, sf_dir)
     deg = (
         pairs.select(F.col("id_a").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("id")))

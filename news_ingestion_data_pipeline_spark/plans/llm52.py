@@ -272,7 +272,11 @@ def curation_neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # the engine's own registered near-dup construction — reusing the plan
     # builder (not re-deriving it) guarantees parity with the composed oracle
-    pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    from news_ingestion_data_pipeline_spark.plans.llm import (
+        ngram_jaccard_pairs_cached,
+    )
+
+    pairs = ngram_jaccard_pairs_cached(spark, sf_dir)
     src = docs.select("doc_id", "source")
     labeled = (
         pairs.join(

@@ -155,9 +155,12 @@ def curation_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TX.doc_fingerprint(F.col("text")).alias("f")
     )
     keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    from news_ingestion_data_pipeline_spark.plans.llm import (
+        ngram_jaccard_pairs_cached,
+    )
+
     near_losers = (
-        REGISTRY["dedup_ngram_jaccard"]
-        .fn(spark, sf_dir)
+        ngram_jaccard_pairs_cached(spark, sf_dir)
         .select(F.col("id_b").alias("nl_id"))
         .distinct()
     )
