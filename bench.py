@@ -240,6 +240,9 @@ BENCH_QUERIES = [
     "scan_iceberg_equality_deletes",
     "scan_iceberg_positional_deletes",
     "dedup_lsh_scurve_eval",
+    # round 6
+    "scan_delta_deletion_vectors",
+    "scan_iceberg_field_id_rename",
 ]
 
 

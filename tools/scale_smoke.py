@@ -7,12 +7,20 @@ and 8× and prints the ratios. A plan that would die at 100 TB (quadratic
 pair growth, driver collect, single-partition sort) shows up here as a
 ratio far above ~8.
 
-Document/dedup ops are deliberately excluded: replicating documents 8×
-manufactures a pathological every-doc-has-8-near-dups corpus, which is a
-duplicate-EXPLOSION stress test, not a scaling measurement (the honest
-dedup scaling evidence is the sf0.01 → sf0.1 ratio in bench runs).
+Document/dedup ops get their own mode (``--docs``): naive replication
+manufactures a pathological every-doc-has-8-near-dups corpus, so each
+copy is instead transformed by a structure-preserving bijection —
+text through a per-copy character cipher (a character bijection maps
+5-gram shingle sets bijectively, so WITHIN-copy Jaccard/minhash
+structure is exactly preserved while cross-copy overlap collapses to
+noise), embeddings through a per-copy diagonal ±1 orthogonal transform
+((Dx)·(Dy) = x·y, so within-copy cosine geometry is exact while
+cross-copy dots decorrelate). The result is 8 independent same-shape
+corpora in one table: duplicate counts, candidate pairs and bucket
+structure all grow ~linearly, which is the scaling question.
 
 Usage: python tools/scale_smoke.py [n_copies]
+       python tools/scale_smoke.py --docs [n_copies]
 """
 
 from __future__ import annotations
@@ -162,6 +170,102 @@ QUERIES = [
 ]
 
 
+OUT_DOCS = "/tmp/spark_graft_scale8_docs"
+
+#: the expensive dedup/similarity family (documents/embeddings-driven)
+DOC_QUERIES = [
+    "dedup_ngram_jaccard",
+    "curation_soft_dedup_weights",
+    "curation_dedup_decision",
+    "dedup_weighted_jaccard_verified",
+    "dedup_minhash_candidates",
+    "dedup_minhash_verified",
+    "dedup_simhash_hamming",
+    "dedup_connected_clusters",
+    "dedup_embedding_neardup",
+    "sim_lsh_topk",
+    "sim_cosine_topk",
+    "text_bpe_token_count",
+]
+
+_AL = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_docs(spark, n_copies: int) -> None:
+    """OUT_DOCS = documents/embeddings replicated n× through structure-
+    preserving bijections (see module docstring); facts and small dims
+    copied 1× so every registered query still runs."""
+    from news_ingestion_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, BASE, "documents")
+    copies = []
+    for i in range(n_copies):
+        rot = _AL[i % 26:] + _AL[: i % 26]
+        c = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET)
+        ).withColumn(
+            "text",
+            F.translate(
+                F.col("text"), _AL + _AL.upper(), rot + rot.upper()
+            ),
+        )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    out.write.mode("overwrite").parquet(f"{OUT_DOCS}/documents.parquet")
+
+    emb = load_table(spark, BASE, "embeddings")
+    copies = []
+    for i in range(n_copies):
+        # diagonal +-1 orthogonal transform keyed by (copy, dim):
+        # within-copy dot products exact, cross-copy decorrelated
+        sign = lambda idx, i=i: F.when(  # noqa: E731
+            F.crc32(F.concat(F.lit(f"ss{i}_"), idx.cast("string"))) % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        # plain closure capture: the lambda is evaluated eagerly inside
+        # withColumn, and a default arg would bump its arity past the
+        # (element, index) signature F.transform expects
+        c = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * KEY_OFFSET)
+        ).withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, idx: (x * sign(idx)).cast("float"),  # noqa: B023
+            ),
+        )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    out.write.mode("overwrite").parquet(f"{OUT_DOCS}/embeddings.parquet")
+
+    for name in list(FACTS) + [
+        d for d in DIMS if d not in ("documents", "embeddings")
+    ]:
+        load_table(spark, BASE, name).write.mode("overwrite").parquet(
+            f"{OUT_DOCS}/{name}.parquet"
+        )
+
+
+def main_docs() -> None:
+    args = [a for a in sys.argv[1:] if a != "--docs"]
+    n_copies = int(args[0]) if args else 8
+    spark = get_spark("scale_smoke_docs")
+    print(f"# building {n_copies}x docs/embeddings at {OUT_DOCS}",
+          file=sys.stderr)
+    build_docs(spark, n_copies)
+    print(f"{'query':34s} {'1x':>7s} {'8x':>8s} {'ratio':>6s}")
+    for name in DOC_QUERIES:
+        time_query(spark, name, "/root/testdata/sf0.001")  # warm the shape
+        t1 = time_query(spark, name, BASE)
+        t8 = time_query(spark, name, OUT_DOCS)
+        print(f"{name:34s} {t1:6.2f}s {t8:7.2f}s {t8 / t1:5.1f}x")
+
+
 def build(spark, n_copies: int) -> None:
     from news_ingestion_data_pipeline_spark.tables import load_table
 
@@ -203,4 +307,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--docs" in sys.argv:
+        main_docs()
+    else:
+        main()
