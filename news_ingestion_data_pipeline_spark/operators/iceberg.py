@@ -259,7 +259,7 @@ _MANIFEST_LIST_SCHEMA = {
 
 
 def write_iceberg_fixture(
-    spark: SparkSession, docs: DataFrame, root: str
+    spark: SparkSession, docs: DataFrame, root: str, codec: str = "null"
 ) -> tuple[int, int]:
     """Build a two-snapshot, lang-partitioned Iceberg table from the
     documents frame:
@@ -320,7 +320,7 @@ def write_iceberg_fixture(
 
     def _manifest(name: str, entries: list[dict]) -> dict:
         path = os.path.join(root, "metadata", name)
-        AV.write_container(path, _MANIFEST_SCHEMA, entries)
+        AV.write_container(path, _MANIFEST_SCHEMA, entries, codec=codec)
         return {
             "manifest_path": f"metadata/{name}",
             "manifest_length": os.path.getsize(path),
@@ -355,11 +355,13 @@ def write_iceberg_fixture(
         os.path.join(root, "metadata", "snap-1.avro"),
         _MANIFEST_LIST_SCHEMA,
         [m1],
+        codec=codec,
     )
     AV.write_container(
         os.path.join(root, "metadata", "snap-2.avro"),
         _MANIFEST_LIST_SCHEMA,
         [m2, m3],
+        codec=codec,
     )
 
     meta = {

@@ -141,3 +141,35 @@ def scan_iceberg_field_id_rename(
         .select(F.lit(2).alias("version"), "*")
     )
     return old.unionByName(cur)
+
+
+@register(
+    "scan_iceberg_deflate_metadata",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL})
+{_AGG_SQL.format(extra="", extra_grp="", src="live")}
+""",
+    description="Iceberg metadata written DEFLATE-compressed (the Avro "
+    "codec Spark/Flink/Trino emit by default for manifest lists and "
+    "manifests) resolved end-to-end: same two-snapshot French-rewrite "
+    "table as scan_iceberg_table, but every Avro container in the "
+    "metadata tree carries raw RFC-1951 block bodies that the "
+    "clean-room codec (operators/avro_lite.py) must inflate before "
+    "schema-driven decoding. Result must hash-match the uncompressed "
+    "twin's oracle exactly — certifying the codec through the full "
+    "manifest-list -> manifest -> status-merge stack, not just a unit "
+    "roundtrip. This closes the 'foreign-written Iceberg tables fail "
+    "to parse' interop gap.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_iceberg_deflate_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import iceberg as IB
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_deflate_{sfx}"
+    IB.write_iceberg_fixture(
+        spark, t(spark, sf_dir, "documents"), root, codec="deflate"
+    )
+    return _snapshot_agg(IB.read_iceberg(spark, root))
