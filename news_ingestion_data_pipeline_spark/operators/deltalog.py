@@ -86,9 +86,9 @@ def _replay(
 
 def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
     """Gate on the protocol action's reader requirements instead of
-    silently mis-reading: reader version 2 is safe only when column
-    mapping is off; version 3 is safe only when every readerFeature is
-    one we actually implement (deletionVectors)."""
+    silently mis-reading: reader version 2 (column mapping) and the
+    version-3 features this module actually implements (deletionVectors,
+    columnMapping) pass; anything else raises with the feature named."""
     if protocol is None:
         return
     mrv = protocol.get("minReaderVersion", 1)
@@ -98,22 +98,78 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
         mode = ((metadata or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode not in (None, "none"):
+        if mode not in (None, "none", "name", "id"):
             raise ValueError(
-                f"unsupported Delta reader requirement: "
-                f"columnMapping mode {mode!r}"
+                f"unsupported Delta columnMapping mode {mode!r}"
             )
         return
     if mrv == 3:
         feats = set(protocol.get("readerFeatures") or [])
-        unsupported = sorted(feats - {"deletionVectors"})
+        unsupported = sorted(feats - {"deletionVectors", "columnMapping"})
         if unsupported:
             raise ValueError(
                 f"unsupported Delta reader features {unsupported} "
-                "(supported: deletionVectors)"
+                "(supported: deletionVectors, columnMapping)"
             )
         return
     raise ValueError(f"unsupported Delta minReaderVersion {mrv}")
+
+
+def _column_mapping(metadata: dict | None) -> list[dict] | None:
+    """Logical-schema fields with their columnMapping identities when
+    the table has mapping on (mode ``name`` or ``id``): each entry is
+    {name, physicalName, id, type} straight from the schemaString's
+    per-field metadata. None when mapping is off."""
+    mode = ((metadata or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in (None, "none"):
+        return None
+    fields = json.loads(metadata["schemaString"])["fields"]
+    out = []
+    for f in fields:
+        md = f.get("metadata") or {}
+        out.append(
+            {
+                "name": f["name"],
+                "physicalName": md.get(
+                    "delta.columnMapping.physicalName", f["name"]
+                ),
+                "id": md.get("delta.columnMapping.id"),
+                "type": f.get("type", "string"),
+            }
+        )
+    return out
+
+
+def _apply_column_mapping(spark, df, files: list[str], mapping: list[dict]):
+    """Physical -> logical projection per the columnMapping spec:
+    resolve by parquet footer field ids when the files carry them
+    (mode ``id``; footer reads are metadata-scale), else by the
+    schemaString's physicalName (mode ``name``). Columns absent from
+    the files surface as typed NULLs (schema-evolution adds)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    idmap: dict[int, str] = {}
+    if files:
+        for fld in pq.read_schema(files[0]):
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                idmap[int(fid)] = fld.name
+    cols = []
+    for m in mapping:
+        typ = m["type"] if isinstance(m["type"], str) else "string"
+        phys = None
+        if m["id"] is not None and idmap:
+            phys = idmap.get(int(m["id"]))
+        if phys is None:
+            phys = m["physicalName"]
+        if phys in df.columns:
+            cols.append(F.col(phys).alias(m["name"]))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(m["name"]))
+    return df.select(*cols)
 
 
 def delta_snapshot_files(root: str, version: int | None = None) -> list[str]:
@@ -151,8 +207,11 @@ def read_delta(
     _check_protocol(protocol, metadata)
     files = [os.path.join(root, p) for p in sorted(adds)]
     df = spark.read.parquet(*files)
+    mapping = _column_mapping(metadata)
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
     if not dv_adds:
+        if mapping:
+            df = _apply_column_mapping(spark, df, files, mapping)
         return df
     rows = []
     for p in sorted(dv_adds):
@@ -170,12 +229,15 @@ def read_delta(
         rel.alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     )
-    return tagged.join(
+    df = tagged.join(
         dels,
         (tagged["__file"] == dels["file_path"])
         & (tagged["__pos"] == dels["pos"]),
         "left_anti",
     ).drop("__file", "__pos")
+    if mapping:
+        df = _apply_column_mapping(spark, df, files, mapping)
+    return df
 
 
 def _write_single_parquet(df: DataFrame, root: str, name: str) -> None:
@@ -287,6 +349,83 @@ def write_delta_fixture(spark: SparkSession, docs: DataFrame, root: str) -> str:
             _add("file-2.parquet"),
         ],
     )
+    return root
+
+
+def write_delta_column_mapping_fixture(
+    spark: SparkSession, docs: DataFrame, root: str, mode: str = "name"
+) -> str:
+    """Delta table with columnMapping on: physical parquet columns are
+    opaque ``col-N`` names; logical names live ONLY in the
+    schemaString's per-field metadata (physicalName + id). Commit v1
+    RENAMES logical ``n_chars`` -> ``char_count`` with a metaData-only
+    commit — zero data rewritten, the exact free-rename operation
+    column mapping exists to provide. Protocol: reader 2 / writer 5."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    slim = docs.select(
+        F.col("doc_id").alias("col-1"),
+        F.col("lang").alias("col-2"),
+        F.col("n_chars").alias("col-3"),
+    )
+    _write_single_parquet(slim, root, "file-0.parquet")
+
+    def _meta(third_logical: str) -> dict:
+        fields = []
+        for i, (logical, typ) in enumerate(
+            [("doc_id", "long"), ("lang", "string"),
+             (third_logical, "long")],
+            1,
+        ):
+            fields.append(
+                {
+                    "name": logical,
+                    "type": typ,
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i,
+                        "delta.columnMapping.physicalName": f"col-{i}",
+                    },
+                }
+            )
+        return {
+            "metaData": {
+                "id": "spark-graft-delta-colmap",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": mode,
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+            }
+        }
+
+    st = os.stat(os.path.join(root, "file-0.parquet"))
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta("n_chars"),
+            {
+                "add": {
+                    "path": "file-0.parquet",
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    _commit(root, 1, [_meta("char_count")])
     return root
 
 

@@ -173,3 +173,52 @@ def scan_iceberg_deflate_metadata(
         spark, t(spark, sf_dir, "documents"), root, codec="deflate"
     )
     return _snapshot_agg(IB.read_iceberg(spark, root))
+
+
+@register(
+    "scan_delta_column_mapping",
+    oracle="""
+WITH a AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY lang
+)
+SELECT 0 AS version, * FROM a
+UNION ALL
+SELECT 1 AS version, * FROM a
+""",
+    description="Delta column mapping (protocol reader 2 / writer 5): "
+    "physical parquet columns are opaque col-N names; logical names "
+    "live only in the schemaString's per-field metadata (physicalName "
+    "+ columnMapping.id). Commit v1 renames logical n_chars -> "
+    "char_count with a METADATA-ONLY commit — zero data rewritten, the "
+    "free-rename operation column mapping exists to provide. The "
+    "reader projects physical -> logical per the spec (footer field "
+    "ids win in id mode, physicalName otherwise); v0 and v1 of the "
+    "same directory aggregate identically under their respective "
+    "logical names, and the physical layer never leaks into the "
+    "output. Scale: the projection is one aliasing select on top of "
+    "the distributed scan — pushdown and pruning untouched.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_colmap_{sfx}"
+    DL.write_delta_column_mapping_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+
+    def _agg(df: DataFrame, version: int, col: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(col).alias("sum_chars"),
+            )
+            .select(F.lit(version).alias("version"), "*")
+        )
+
+    v0 = _agg(DL.read_delta(spark, root, 0), 0, "n_chars")
+    v1 = _agg(DL.read_delta(spark, root, 1), 1, "char_count")
+    return v0.unionByName(v1)

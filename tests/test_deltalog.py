@@ -186,12 +186,13 @@ def test_protocol_gate_unknown_reader_feature(tmp_path):
 
 
 def test_protocol_gate_column_mapping(tmp_path):
+    # an UNKNOWN mapping mode still raises; 'name'/'id' are supported
     root = _mk_table(
         tmp_path,
         {0: [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
              {"metaData": {"id": "x", "schemaString": "{}",
                            "configuration":
-                               {"delta.columnMapping.mode": "name"}}},
+                               {"delta.columnMapping.mode": "weird"}}},
              _add("a.parquet")]},
     )
     with pytest.raises(ValueError, match="columnMapping"):
@@ -300,3 +301,76 @@ def test_export_writes_real_schema_string(tmp_path, spark):
     assert [(f["name"], f["type"]) for f in fields] == [
         ("k", "long"), ("x", "double")
     ]
+
+
+def test_column_mapping_name_mode(tmp_path, spark):
+    root = str(tmp_path / "cm")
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, "fr", 200)],
+        "doc_id long, lang string, n_chars long",
+    )
+    DL.write_delta_column_mapping_fixture(spark, docs, root)
+    # current version: the metaData-only rename commit applies
+    cur = DL.read_delta(spark, root)
+    assert cur.columns == ["doc_id", "lang", "char_count"]
+    assert {r.doc_id: r.char_count for r in cur.collect()} == {1: 100, 2: 200}
+    # time travel to v0 reads under the OLD logical name
+    v0 = DL.read_delta(spark, root, 0)
+    assert v0.columns == ["doc_id", "lang", "n_chars"]
+    # physical layer never leaks
+    assert "col-1" not in cur.columns
+
+
+def test_column_mapping_id_mode_prefers_footer_ids(tmp_path, spark):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmid")
+    docs = spark.createDataFrame(
+        [(1, "en", 100)], "doc_id long, lang string, n_chars long"
+    )
+    DL.write_delta_column_mapping_fixture(spark, docs, root, mode="id")
+    # rewrite the data file with pyarrow footers whose PHYSICAL NAMES
+    # are wrong but field ids correct — id resolution must win
+    def _f(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    t = pa.table(
+        {"x1": [7], "x2": ["de"], "x3": [999]},
+        schema=pa.schema(
+            [_f("x1", pa.int64(), 1), _f("x2", pa.string(), 2),
+             _f("x3", pa.int64(), 3)]
+        ),
+    )
+    pq.write_table(t, os.path.join(root, "file-0.parquet"))
+    cur = DL.read_delta(spark, root)
+    assert cur.columns == ["doc_id", "lang", "char_count"]
+    assert cur.collect()[0].asDict() == {
+        "doc_id": 7, "lang": "de", "char_count": 999
+    }
+
+
+def test_column_mapping_added_column_reads_null(tmp_path, spark):
+    root = str(tmp_path / "cmadd")
+    docs = spark.createDataFrame(
+        [(1, "en", 100)], "doc_id long, lang string, n_chars long"
+    )
+    DL.write_delta_column_mapping_fixture(spark, docs, root)
+    # a v2 metaData commit ADDS a logical column no file carries
+    adds, proto, meta = DL._replay(root)
+    schema = json.loads(meta["schemaString"])
+    schema["fields"].append(
+        {"name": "quality", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 4,
+                      "delta.columnMapping.physicalName": "col-4"}}
+    )
+    meta2 = dict(meta)
+    meta2["schemaString"] = json.dumps(schema)
+    DL._commit(root, 2, [{"metaData": meta2}])
+    cur = DL.read_delta(spark, root)
+    assert cur.columns == ["doc_id", "lang", "char_count", "quality"]
+    row = cur.collect()[0]
+    assert row.quality is None
+    assert dict(cur.dtypes)["quality"] == "double"
