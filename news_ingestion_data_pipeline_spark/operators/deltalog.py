@@ -201,10 +201,20 @@ def read_delta(
     identity — the merge-on-read semantics the protocol specifies; the
     bitmap decode itself is metadata-scale (bounded by DV cardinality),
     exactly like the log replay."""
-    from pyspark.sql import functions as F
-
     adds, protocol, metadata = _replay(root, version)
     _check_protocol(protocol, metadata)
+    return _resolve_df(spark, root, adds, metadata)
+
+
+def _resolve_df(
+    spark: SparkSession, root: str, adds: dict[str, dict], metadata
+) -> DataFrame:
+    """Live adds -> DataFrame: one distributed scan, DV anti-join when
+    add actions carry deletion vectors, physical->logical projection
+    when column mapping is on. Shared by the full-replay and
+    checkpointed read paths."""
+    from pyspark.sql import functions as F
+
     files = [os.path.join(root, p) for p in sorted(adds)]
     df = spark.read.parquet(*files)
     mapping = _column_mapping(metadata)
@@ -757,15 +767,24 @@ def write_checkpoint(root: str, version: int) -> str:
 
     adds, protocol, metadata = _replay(root, version)
     _check_protocol(protocol, metadata)
-    with_dv = sorted(p for p, a in adds.items() if a.get("deletionVector"))
-    if with_dv:
-        raise ValueError(
-            f"checkpointing snapshots with deletion vectors on {with_dv} "
-            "is not supported by this writer"
-        )
     rel = sorted(adds)
     n = len(rel)
-    add_t = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
+        ]
+    )
     remove_t = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
     protocol_t = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
@@ -801,7 +820,14 @@ def write_checkpoint(root: str, version: int) -> str:
     table = pa.table(
         {
             "add": pa.array(
-                [{"path": p, "dataChange": True} for p in rel]
+                [
+                    {
+                        "path": p,
+                        "dataChange": True,
+                        "deletionVector": adds[p].get("deletionVector"),
+                    }
+                    for p in rel
+                ]
                 + [None, None],
                 type=add_t,
             ),
@@ -838,6 +864,28 @@ def delta_snapshot_files_checkpointed(
     -1 for the version when no checkpoint applies (full JSON replay).
     At scale this is the difference between reading one compacted
     file + a handful of tail commits and replaying an unbounded log."""
+    adds, _, _, cp_version, replayed = _replay_from_checkpoint(
+        root, version
+    )
+    with_dv = sorted(p for p, a in adds.items() if a.get("deletionVector"))
+    if with_dv:
+        raise ValueError(
+            f"snapshot carries deletion vectors on {with_dv}; a file "
+            "list would silently include deleted rows — read through "
+            "read_delta_checkpointed()"
+        )
+    files = [os.path.join(root, p) for p in sorted(adds)]
+    return files, cp_version, replayed
+
+
+def _replay_from_checkpoint(
+    root: str, version: int | None = None
+) -> tuple[dict[str, dict], dict | None, dict | None, int, int]:
+    """Checkpoint-seeded replay -> (adds, protocol, metaData,
+    checkpoint_version_used (-1 = none applied), n_commits_replayed).
+    The checkpoint's add rows (including deletionVector descriptors)
+    and its protocol/metaData rows seed the state; only JSON commits
+    after it replay."""
     import pyarrow.parquet as pq
 
     versions = list_commit_versions(root)
@@ -847,16 +895,32 @@ def delta_snapshot_files_checkpointed(
         version = versions[-1]
     cp = _last_checkpoint(root)
     if cp is None or cp["version"] > version:
-        files = delta_snapshot_files(root, version)
-        return files, -1, len([v for v in versions if v <= version])
+        adds, protocol, metadata = _replay(root, version)
+        return (
+            adds,
+            protocol,
+            metadata,
+            -1,
+            len([v for v in versions if v <= version]),
+        )
     cp_version = cp["version"]
     cp_path = os.path.join(
         root, "_delta_log", f"{cp_version:020d}.checkpoint.parquet"
     )
-    live: dict[str, bool] = {}
-    for row in pq.read_table(cp_path, columns=["add"]).to_pylist():
-        if row["add"] is not None:
-            live[row["add"]["path"]] = True
+    adds: dict[str, dict] = {}
+    protocol: dict | None = None
+    metadata: dict | None = None
+    for row in pq.read_table(cp_path).to_pylist():
+        if row.get("add") is not None:
+            a = {k: v for k, v in row["add"].items() if v is not None}
+            adds[a["path"]] = a
+        if row.get("protocol") is not None:
+            protocol = row["protocol"]
+        if row.get("metaData") is not None:
+            m = dict(row["metaData"])
+            if isinstance(m.get("configuration"), list):
+                m["configuration"] = dict(m["configuration"])
+            metadata = m
     replayed = 0
     for v in versions:
         if v <= cp_version or v > version:
@@ -870,13 +934,26 @@ def delta_snapshot_files_checkpointed(
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    live[action["add"]["path"]] = True
+                    adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    live[action["remove"]["path"]] = False
-    files = [
-        os.path.join(root, p) for p, alive in sorted(live.items()) if alive
-    ]
-    return files, cp_version, replayed
+                    adds.pop(action["remove"]["path"], None)
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    metadata = action["metaData"]
+    return adds, protocol, metadata, cp_version, replayed
+
+
+def read_delta_checkpointed(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read seeded from the checkpoint: same DV anti-join and
+    column-mapping projection as :func:`read_delta`, but the log replay
+    starts at the checkpoint's materialized state — one compacted
+    parquet + the tail commits instead of an unbounded JSON replay."""
+    adds, protocol, metadata = _replay_from_checkpoint(root, version)[:3]
+    _check_protocol(protocol, metadata)
+    return _resolve_df(spark, root, adds, metadata)
 
 
 # ---------------------------------------------------------------------------

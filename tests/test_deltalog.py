@@ -374,3 +374,42 @@ def test_column_mapping_added_column_reads_null(tmp_path, spark):
     row = cur.collect()[0]
     assert row.quality is None
     assert dict(cur.dtypes)["quality"] == "double"
+
+
+def test_checkpoint_carries_deletion_vectors(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "cpdv")
+    b = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    DL.export_merge_to_delta(spark, root, b, key="k")
+    v_dv, n = DL.delete_where_with_dv(spark, root, F.col("k") % 3 == 0)
+    assert n == 4
+    DL.write_checkpoint(root, v_dv)
+    # one tail commit after the checkpoint
+    up = spark.createDataFrame([(100,)], "k long")
+    DL.append_batch_to_delta(spark, root, up, app_id="t", batch_id=0)
+    # checkpointed read applies the DV from the checkpoint's add row
+    got = {r.k for r in DL.read_delta_checkpointed(spark, root).collect()}
+    want = {k for k in range(10) if k % 3 != 0} | {100}
+    assert got == want
+    # matches the full-replay read exactly
+    full = {r.k for r in DL.read_delta(spark, root).collect()}
+    assert got == full
+    # the bare file-list path refuses DV snapshots
+    with pytest.raises(ValueError, match="deletion vectors"):
+        DL.delta_snapshot_files_checkpointed(root)
+
+
+def test_checkpoint_carries_column_mapping_metadata(tmp_path, spark):
+    root = str(tmp_path / "cpcm")
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, "fr", 200)],
+        "doc_id long, lang string, n_chars long",
+    )
+    DL.write_delta_column_mapping_fixture(spark, docs, root)
+    DL.write_checkpoint(root, 1)
+    cur = DL.read_delta_checkpointed(spark, root)
+    assert cur.columns == ["doc_id", "lang", "char_count"]
+    assert {r.doc_id: r.char_count for r in cur.collect()} == {
+        1: 100, 2: 200
+    }
