@@ -52,18 +52,24 @@ def snapshot_files(
     root: str,
     snapshot_id: int | None = None,
     partition_filter: dict[str, set] | None = None,
+    range_filter: dict[int, tuple] | None = None,
 ) -> tuple[list[str], int]:
     """Paths of the data files live at ``snapshot_id`` (default: the
     metadata's current-snapshot-id), via manifest-list -> manifest ->
     entry-status replay.
 
     ``partition_filter`` maps partition-field name -> allowed values;
-    entries whose ``data_file.partition`` record falls outside it are
-    skipped WITHOUT touching their data files — Iceberg's metadata-level
-    partition pruning, the mechanism that turns a 100 TB scan into a
-    per-partition one. Returns ``(live_files, n_live_total)`` where the
-    second element counts live files BEFORE pruning (the audit number
-    proving files were skipped by metadata alone)."""
+    ``range_filter`` maps FIELD ID -> (lo, hi) and prunes against the
+    entry's column metrics (``lower_bounds``/``upper_bounds``, the
+    spec's int64 single-value serialization): a file whose recorded
+    [lower, upper] misses the query range is skipped WITHOUT touching
+    it — the second metadata-level scan-reduction mechanism (zone-map
+    style, orthogonal to partition pruning) that turns a 100 TB scan
+    into reading only matching files. Files lacking metrics for the
+    field are kept (pruning must never drop data it can't judge).
+    Returns ``(live_files, n_live_total)`` where the second element
+    counts live files BEFORE pruning (the audit number proving files
+    were skipped by metadata alone)."""
     meta = current_metadata(root)
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
@@ -94,8 +100,37 @@ def snapshot_files(
                 for k, allowed in partition_filter.items()
             ):
                 continue
+            if range_filter and _metrics_prune(e["data_file"], range_filter):
+                continue
             live.append(_resolve(root, e["data_file"]["file_path"]))
     return sorted(live), n_total
+
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """Manifest bounds are an Avro array of {key: field-id, value:
+    bytes} records (the spec's logical map<int, binary>)."""
+    return {r["key"]: r["value"] for r in (raw or [])}
+
+
+def _bound_long(b: bytes) -> int:
+    """Spec single-value serialization for long: 8-byte little-endian."""
+    return int.from_bytes(b, "little", signed=True)
+
+
+def _metrics_prune(data_file: dict, range_filter: dict[int, tuple]) -> bool:
+    """True when the file's column metrics PROVE no row can match:
+    upper < lo or lower > hi for any filtered field. Missing metrics
+    for a field -> cannot judge -> keep."""
+    lowers = _bounds_map(data_file.get("lower_bounds"))
+    uppers = _bounds_map(data_file.get("upper_bounds"))
+    for fid, (lo, hi) in range_filter.items():
+        if lo is not None and fid in uppers:
+            if _bound_long(uppers[fid]) < lo:
+                return True
+        if hi is not None and fid in lowers:
+            if _bound_long(lowers[fid]) > hi:
+                return True
+    return False
 
 
 def read_iceberg(
@@ -539,6 +574,171 @@ def write_iceberg_rename_fixture(
     ) as fh:
         json.dump(meta, fh)
     return snap1, snap2
+
+
+#: manifest-entry schema variant carrying per-column metrics (the
+#: spec's lower_bounds/upper_bounds logical map<int, binary>, encoded
+#: as an Avro array of key/value records)
+_BOUNDS_SCHEMA = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "k_v",
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"},
+        ],
+    },
+}
+_MANIFEST_SCHEMA_METRICS = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "partition",
+                            "fields": [
+                                {"name": "lang", "type": ["null", "string"]}
+                            ],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": _BOUNDS_SCHEMA},
+                    {"name": "upper_bounds", "type": _BOUNDS_SCHEMA},
+                ],
+            },
+        },
+    ],
+}
+
+#: metrics-fixture bucket edges on n_chars (field id 3)
+_METRICS_EDGES = [150, 300, 450]
+
+
+def write_iceberg_metrics_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> list[tuple[int, int]]:
+    """One-snapshot table whose manifest entries carry REAL per-column
+    metrics: documents land in up-to-4 range-bucketed files on n_chars
+    (edges 150/300/450), each entry recording int64-LE lower/upper
+    bounds for doc_id (field 1) and n_chars (field 3) computed from the
+    actual file contents. Returns the [(lower, upper)] n_chars bounds
+    per written file."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    slim = docs.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
+    )
+    edges = [None] + _METRICS_EDGES + [None]
+    entries = []
+    bounds_out = []
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        part = slim
+        if lo is not None:
+            part = part.filter(F.col("n_chars") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("n_chars") < hi)
+        stats = part.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("dlo"),
+            F.max("doc_id").alias("dhi"),
+            F.min("n_chars").alias("clo"),
+            F.max("n_chars").alias("chi"),
+        ).collect()[0]
+        if stats["n"] == 0:
+            continue
+        name = f"data/bucket-{i}.parquet"
+        from news_ingestion_data_pipeline_spark.operators.deltalog import (
+            _write_single_parquet,
+        )
+
+        _write_single_parquet(part, root, name)
+
+        def _b(v: int) -> bytes:
+            return int(v).to_bytes(8, "little", signed=True)
+
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 3001,
+                "data_file": {
+                    "file_path": name,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": stats["n"],
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, name)
+                    ),
+                    "lower_bounds": [
+                        {"key": 1, "value": _b(stats["dlo"])},
+                        {"key": 3, "value": _b(stats["clo"])},
+                    ],
+                    "upper_bounds": [
+                        {"key": 1, "value": _b(stats["dhi"])},
+                        {"key": 3, "value": _b(stats["chi"])},
+                    ],
+                },
+            }
+        )
+        bounds_out.append((stats["clo"], stats["chi"]))
+    AV.write_container(
+        os.path.join(root, "metadata", "mm1.avro"),
+        _MANIFEST_SCHEMA_METRICS,
+        entries,
+    )
+    AV.write_container(
+        os.path.join(root, "metadata", "msnap-1.avro"),
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": "metadata/mm1.avro",
+                "manifest_length": os.path.getsize(
+                    os.path.join(root, "metadata", "mm1.avro")
+                ),
+                "partition_spec_id": 0,
+                "added_snapshot_id": 3001,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "spark-graft-iceberg-metrics-fixture",
+        "location": root,
+        "current-snapshot-id": 3001,
+        "snapshots": [
+            {
+                "snapshot-id": 3001,
+                "manifest-list": "metadata/msnap-1.avro",
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v1.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(meta, fh)
+    return bounds_out
 
 
 # ---------------------------------------------------------------------------

@@ -222,3 +222,68 @@ def scan_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = _agg(DL.read_delta(spark, root, 0), 0, "n_chars")
     v1 = _agg(DL.read_delta(spark, root, 1), 1, "char_count")
     return v0.unionByName(v1)
+
+
+@register(
+    "scan_iceberg_metrics_pruned",
+    oracle="""
+WITH b AS (
+  SELECT *, CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+                 WHEN n_chars < 450 THEN 2 ELSE 3 END AS bucket
+  FROM documents
+), f AS (
+  SELECT bucket, MAX(n_chars) AS ub FROM b GROUP BY bucket
+), audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_files_total,
+         CAST(COUNT(*) FILTER (ub >= 300) AS BIGINT) AS n_files_read
+  FROM f
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       a.n_files_total, a.n_files_read
+FROM b d CROSS JOIN audit a
+WHERE d.n_chars >= 300
+GROUP BY d.lang, a.n_files_total, a.n_files_read
+""",
+    description="Iceberg column-metrics file pruning (zone-map style, "
+    "orthogonal to partition pruning): the documents table lands in "
+    "n_chars-range-bucketed files whose manifest entries carry REAL "
+    "int64-LE lower/upper bounds per the spec's single-value "
+    "serialization; the reader evaluates n_chars >= 300 against the "
+    "recorded [lower, upper] and skips every file the metrics prove "
+    "empty WITHOUT opening it — at 100 TB this is the mechanism that "
+    "turns a full scan into reading only matching files when the "
+    "layout is range-clustered (see storage_zorder_layout for the "
+    "layout side). n_files_total vs n_files_read ride along as audit "
+    "columns proving files were skipped by metadata alone; per-lang "
+    "aggregates over the surviving files must still match the "
+    "generating SQL exactly (pruning must never change answers).",
+    tags=("scan", "storage", "pruning", "pipeline"),
+)
+def scan_iceberg_metrics_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import iceberg as IB
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_metrics_{sfx}"
+    IB.write_iceberg_metrics_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    files, n_total = IB.snapshot_files(root, range_filter={3: (300, None)})
+    return (
+        spark.read.parquet(*files)
+        .filter(F.col("n_chars") >= 300)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(n_total).cast("bigint").alias("n_files_total"),
+            F.lit(len(files)).cast("bigint").alias("n_files_read"),
+        )
+    )

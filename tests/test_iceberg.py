@@ -433,3 +433,26 @@ def test_fixtures_without_schema_info_unchanged(tmp_path, spark):
     IB.write_iceberg_fixture(spark, docs, root)
     out = IB.read_iceberg(spark, root)
     assert set(out.columns) == {"doc_id", "lang", "n_chars", "content_h"}
+
+
+def test_metrics_pruning_skips_by_bounds(tmp_path, spark):
+    root = str(tmp_path / "metrics")
+    docs = spark.createDataFrame(
+        [(i, "en", 100 + i * 50, f"t{i}") for i in range(10)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    bounds = IB.write_iceberg_metrics_fixture(spark, docs, root)
+    assert len(bounds) == 4  # n_chars 100..550 spans all buckets
+    all_files, n_total = IB.snapshot_files(root)
+    assert n_total == 4
+    # n_chars >= 300: buckets [0,150) and [150,300) prune away
+    files, n = IB.snapshot_files(root, range_filter={3: (300, None)})
+    assert n == 4 and len(files) == 2
+    rows = spark.read.parquet(*files).filter("n_chars >= 300").count()
+    assert rows == sum(1 for i in range(10) if 100 + i * 50 >= 300)
+    # upper-bounded range: n_chars <= 140 keeps only the first bucket
+    files_lo, _ = IB.snapshot_files(root, range_filter={3: (None, 140)})
+    assert len(files_lo) == 1
+    # a field with no recorded metrics never prunes
+    files_nm, _ = IB.snapshot_files(root, range_filter={99: (0, 1)})
+    assert len(files_nm) == 4
