@@ -997,7 +997,9 @@ def export_merge_to_delta(
         target = read_delta(spark, root)
         keys = updates.select(key).distinct()
         survivors = target.join(keys, key, "left_anti")
-        merged = survivors.unionByName(updates)
+        # allowMissingColumns: schema-widening MERGEs back-fill
+        # survivors with NULLs (the add-column evolution path)
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
         version = versions[-1] + 1
     else:
         prev_files = []

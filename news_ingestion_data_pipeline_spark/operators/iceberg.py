@@ -746,6 +746,60 @@ def write_iceberg_metrics_fixture(
 # ---------------------------------------------------------------------------
 
 
+#: Spark simpleString -> Iceberg primitive (write-side twin of
+#: _ICEBERG_TYPES; anything unlisted passes through unchanged)
+_SPARK_TO_ICEBERG = {
+    "bigint": "long",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _export_schema(merged: DataFrame, meta: dict | None) -> dict:
+    """Iceberg schema for the export commit: field ids are reused by
+    NAME from the table's current schema (id stability across commits
+    is what makes renames/evolution safe); new columns get fresh ids."""
+    prev_fields: dict[str, int] = {}
+    max_id = 0
+    prev_schema = None
+    if meta is not None:
+        prev_schema = _table_schema(meta, None)
+        if prev_schema:
+            for f in prev_schema["fields"]:
+                prev_fields[f["name"]] = f["id"]
+                max_id = max(max_id, f["id"])
+    fields = []
+    for sf_field in merged.schema.fields:
+        fid = prev_fields.get(sf_field.name)
+        if fid is None:
+            max_id += 1
+            fid = max_id
+        typ = sf_field.dataType.simpleString()
+        fields.append(
+            {
+                "id": fid,
+                "name": sf_field.name,
+                "type": _SPARK_TO_ICEBERG.get(typ, typ),
+                "required": False,
+            }
+        )
+    schema_id = 0
+    if prev_schema is not None:
+        schema_id = prev_schema.get("schema-id", 0)
+        if fields != prev_schema["fields"]:
+            schema_id += 1  # evolution commit gets a fresh schema id
+    return {"schema-id": schema_id, "type": "struct", "fields": fields}
+
+
 def export_merge_to_iceberg(
     spark: SparkSession,
     root: str,
@@ -781,7 +835,12 @@ def export_merge_to_iceberg(
         prev_files, _ = snapshot_files(root)
         target = read_iceberg_resolved(spark, root)
         keys = updates.select(key).distinct()
-        merged = target.join(keys, key, "left_anti").unionByName(updates)
+        # allowMissingColumns: a schema-widening MERGE (updates carry
+        # new columns) back-fills survivors with NULLs — the add-column
+        # evolution path; the commit then publishes the widened schema.
+        merged = target.join(keys, key, "left_anti").unionByName(
+            updates, allowMissingColumns=True
+        )
         snap_id = meta["current-snapshot-id"] + 1
         version = 1 + max(
             int(n[1 : -len(".metadata.json")])
@@ -793,8 +852,16 @@ def export_merge_to_iceberg(
         prev_files = []
         merged = updates
         snap_id, version, snapshots = 1001, 1, []
+    schema = _export_schema(merged, meta)
+    # stamp field ids into the parquet footers so readers resolve by id
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    stamped = merged
+    for f in schema["fields"]:
+        stamped = stamped.withMetadata(
+            f["name"], {"parquet.field.id": f["id"]}
+        )
     name = f"data/part-{snap_id}.parquet"
-    _write_single_parquet(merged, root, name)
+    _write_single_parquet(stamped, root, name)
 
     def _entry(status: int, path: str) -> dict:
         full = os.path.join(root, path)
@@ -847,15 +914,23 @@ def export_merge_to_iceberg(
     snapshots.append(
         {
             "snapshot-id": snap_id,
+            "schema-id": schema["schema-id"],
             "manifest-list": f"metadata/{mlist}",
             "summary": {"operation": "overwrite" if prev_files else "append"},
         }
     )
+    prev_schemas = list((meta or {}).get("schemas") or [])
+    if not any(
+        s.get("schema-id") == schema["schema-id"] for s in prev_schemas
+    ):
+        prev_schemas.append(schema)
     new_meta = {
         "format-version": 2,
         "table-uuid": "spark-graft-iceberg-export",
         "location": root,
         "current-snapshot-id": snap_id,
+        "current-schema-id": schema["schema-id"],
+        "schemas": prev_schemas,
         "snapshots": snapshots,
     }
     with open(

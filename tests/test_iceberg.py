@@ -456,3 +456,35 @@ def test_metrics_pruning_skips_by_bounds(tmp_path, spark):
     # a field with no recorded metrics never prunes
     files_nm, _ = IB.snapshot_files(root, range_filter={99: (0, 1)})
     assert len(files_nm) == 4
+
+
+def test_export_writes_schema_with_field_ids(tmp_path, spark):
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "expschema")
+    b1 = spark.createDataFrame([(1, "x")], "k long, v string")
+    IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    meta = IB.current_metadata(root)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    assert [(f["id"], f["name"], f["type"]) for f in schema["fields"]] == [
+        (1, "k", "long"), (2, "v", "string")
+    ]
+    # parquet footers carry the matching field ids
+    files, _ = IB.snapshot_files(root)
+    ids = {
+        int((f.metadata or {})[b"PARQUET:field_id"]): f.name
+        for f in pq.read_schema(files[0])
+    }
+    assert ids == {1: "k", 2: "v"}
+    # an evolution commit (new column) bumps the schema id, keeps ids
+    b2 = spark.createDataFrame([(2, "y", 7)], "k long, v string, extra long")
+    IB.export_merge_to_iceberg(
+        spark, root, b2.unionByName(b1.withColumn("extra", b1.k * 0),
+                                    allowMissingColumns=True), key="k"
+    )
+    meta2 = IB.current_metadata(root)
+    assert meta2["current-schema-id"] == 1 and len(meta2["schemas"]) == 2
+    cur = {f["name"]: f["id"] for f in meta2["schemas"][1]["fields"]}
+    assert cur == {"k": 1, "v": 2, "extra": 3}
+    out = IB.read_iceberg(spark, root)
+    assert set(out.columns) == {"k", "v", "extra"}
