@@ -232,19 +232,28 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = t(spark, sf_dir, "events").select(
         "event_type", F.lag("event_type").over(w).alias("src")
     )
-    e0 = (
-        raw.filter(F.col("src").isNotNull() & (F.col("src") != _ABS_STATE))
-        .groupBy("src", F.col("event_type").alias("dst"))
+    # ONE pass over the windowed events: the (src, dst) count grid is
+    # tiny (|event types|^2 + first-touch rows) and every downstream
+    # frame — transitions, start distribution, node set — derives from
+    # it. The former shape re-ran the full window pass three times
+    # (e0, firsts.count() driver action, starts).
+    g = (
+        raw.groupBy("src", F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
     )
+    e0 = g.filter(F.col("src").isNotNull() & (F.col("src") != _ABS_STATE))
     outw = e0.groupBy("src").agg(F.sum("w").alias("ow"))
     trans = e0.join(outw, "src").select(
         "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("p")
     )
-    firsts = raw.filter(F.col("src").isNull())
-    n_first = firsts.count()
-    starts = firsts.groupBy(F.col("event_type").alias("node")).agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(n_first))).alias("pi")
+    firsts_g = g.filter(F.col("src").isNull())
+    # bcast-ok: single-row total of the tiny first-touch grid
+    starts = firsts_g.crossJoin(
+        F.broadcast(firsts_g.agg(F.sum("w").alias("tot")))
+    ).select(
+        F.col("dst").alias("node"),
+        (F.col("w").cast("double") / F.col("tot")).alias("pi"),
     )
     nodes = (
         trans.select(F.col("src").alias("node"))

@@ -76,6 +76,12 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e_cents"),
             F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
         )
+        # consumed twice (base basket + index join): persist the
+        # (part, month) aggregate so the fact table aggregates ONCE —
+        # the monthly rollup is the artifact a production index job
+        # materializes between periods. Spill-safe (MEMORY_AND_DISK),
+        # catalog-clearable.
+        .persist()
     )
     base = m.agg(F.min("mon").alias("mon0"))
     p = m.withColumn(
