@@ -638,6 +638,22 @@ def delete_where_with_dv(
     files rewritten, the exact commit shape the protocol specifies for
     DV writes. Upgrades the table protocol to reader 3 / writer 7 with
     the deletionVectors feature. Returns (version, n_newly_deleted)."""
+    return _dv_delete(spark, root, lambda df: df.filter(condition))
+
+
+def delete_keys_with_dv(
+    spark: SparkSession, root: str, keys: DataFrame, key: str
+) -> tuple[int, int]:
+    """Merge-on-read DELETE of every row whose ``key`` appears in
+    ``keys`` (semi-join selector) — the shape a curation pipeline uses
+    to materialize a computed drop list (dedup losers, policy
+    violations) as deletion vectors without rewriting a byte of data.
+    Returns (version, n_newly_deleted)."""
+    k = keys.select(key).distinct()
+    return _dv_delete(spark, root, lambda df: df.join(k, key, "left_semi"))
+
+
+def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
     adds, protocol, metadata = _replay(root)
@@ -676,7 +692,7 @@ def delete_where_with_dv(
             "left_anti",
         )
     hit = (
-        tagged.filter(condition)
+        select_live(tagged)
         .select("__file", "__pos")
         .collect()  # DV construction is metadata-scale, like the log
     )

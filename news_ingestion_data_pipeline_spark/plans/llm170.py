@@ -25,6 +25,7 @@ from news_ingestion_data_pipeline_spark.plans.llm157 import (
     _LIVE_SQL,
     _snapshot_agg,
 )
+from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
@@ -285,5 +286,76 @@ def scan_iceberg_metrics_pruned(
             F.col("sum_chars").cast("bigint").alias("sum_chars"),
             F.lit(n_total).cast("bigint").alias("n_files_total"),
             F.lit(len(files)).cast("bigint").alias("n_files_read"),
+        )
+    )
+
+
+@register(
+    "pipeline_dedup_delta_dv",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, lang, n_chars,
+         md5({SQL_NORM.format(col='text')}) AS f
+  FROM documents
+), keep AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS keep_id FROM fp
+), live AS (
+  SELECT * FROM keep WHERE doc_id = keep_id
+), dropped AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+  FROM keep WHERE doc_id <> keep_id
+)
+SELECT l.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(l.n_chars) AS BIGINT) AS sum_chars,
+       d.n_dropped
+FROM live l CROSS JOIN dropped d
+GROUP BY l.lang, d.n_dropped
+""",
+    description="Dedup decisions MATERIALIZED as Delta deletion "
+    "vectors — the composition a production curation DAG runs: the "
+    "corpus lands as a Delta table, exact-duplicate losers (non-min-id "
+    "rows per normalized-content fingerprint group, dedup_exact_rows' "
+    "rule) are computed as a drop-key list, and delete_keys_with_dv "
+    "commits them as per-file roaring bitmaps — ZERO data files "
+    "rewritten, the drop is a metadata commit, and the pre-dedup "
+    "corpus remains time-travelable for audit. The post-dedup read "
+    "must equal the keeper set exactly (per-lang counts + char sums), "
+    "with the dropped-row count riding along as the audit column. At "
+    "100 TB this is why DV-based dedup beats rewrite-based: touching "
+    "0.1% of rows costs metadata, not a corpus rewrite.",
+    tags=("pipeline", "dedup", "storage", "llm"),
+)
+def pipeline_dedup_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.functions import text as TX
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_dedup_dv_{sfx}"
+    slim = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", TX.doc_fingerprint(F.col("text")).alias("f")
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    DL.export_merge_to_delta(spark, root, slim, key="doc_id")
+    keepers = slim.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    losers = (
+        slim.join(keepers, "f")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    _, n_dropped = DL.delete_keys_with_dv(spark, root, losers, "doc_id")
+    return (
+        DL.read_delta(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(n_dropped).cast("bigint").alias("n_dropped"),
         )
     )
