@@ -243,6 +243,10 @@ BENCH_QUERIES = [
     # round 6
     "scan_delta_deletion_vectors",
     "scan_iceberg_field_id_rename",
+    "scan_iceberg_deflate_metadata",
+    "scan_delta_column_mapping",
+    "scan_iceberg_metrics_pruned",
+    "pipeline_dedup_delta_dv",
 ]
 
 

@@ -756,6 +756,45 @@ def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
     return version, n_new
 
 
+def vacuum_delta(root: str, retain_last: int = 1) -> list[str]:
+    """Physically delete data files (and DV sidecars) referenced by
+    NONE of the last ``retain_last`` versions' snapshots — the
+    protocol's VACUUM: removes are logical until vacuum makes them
+    physical, trading time travel beyond the retention horizon for
+    storage. Returns the deleted table-relative paths. The log itself
+    is never touched (history/audit stays readable; only the bytes
+    go)."""
+    versions = list_commit_versions(root)
+    keep: set[str] = set()
+    for v in versions[-retain_last:]:
+        adds, _, _ = _replay(root, v)
+        for p, a in adds.items():
+            keep.add(os.path.normpath(p))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                enc = dv["pathOrInlineDv"]
+                prefix, tail = enc[:-20], enc[-20:]
+                u = _uuidlib.UUID(bytes=_z85_decode(tail))
+                keep.add(
+                    os.path.normpath(
+                        os.path.join(prefix, f"deletion_vector_{u}.bin")
+                    )
+                )
+    deleted = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if d != "_delta_log"]
+        for fn in filenames:
+            if not (fn.endswith(".parquet") or fn.endswith(".bin")):
+                continue
+            rel = os.path.normpath(
+                os.path.relpath(os.path.join(dirpath, fn), root)
+            )
+            if rel not in keep:
+                os.remove(os.path.join(dirpath, fn))
+                deleted.append(rel)
+    return sorted(deleted)
+
+
 # ---------------------------------------------------------------------------
 # checkpoint support (log compaction per the Delta protocol)
 # ---------------------------------------------------------------------------

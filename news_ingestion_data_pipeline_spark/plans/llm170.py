@@ -359,3 +359,47 @@ def pipeline_dedup_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_dropped).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+@register(
+    "pipeline_delta_vacuum",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL})
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(1 AS BIGINT) AS n_files_vacuumed
+FROM live GROUP BY lang
+""",
+    description="Delta VACUUM: the two-commit French-rewrite fixture "
+    "leaves v0's superseded file physically present (removes are "
+    "logical — that is what makes time travel free); vacuum_delta "
+    "retains the files referenced by the LAST snapshot and physically "
+    "deletes the rest — exactly one file here, the replaced French "
+    "slice — returning the deleted list as the audit. The post-vacuum "
+    "current read must still equal the live SQL byte-for-byte "
+    "(vacuum must never touch referenced bytes), with the deleted "
+    "count riding along. At 100 TB vacuum is the storage-reclaim knob "
+    "traded against time-travel depth; the log itself stays intact "
+    "for audit.",
+    tags=("pipeline", "storage",),
+)
+def pipeline_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_vacuum_{sfx}"
+    DL.write_delta_fixture(spark, t(spark, sf_dir, "documents"), root)
+    deleted = DL.vacuum_delta(root, retain_last=1)
+    return (
+        DL.read_delta(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(len(deleted)).cast("bigint").alias("n_files_vacuumed"),
+        )
+    )

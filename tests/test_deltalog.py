@@ -413,3 +413,42 @@ def test_checkpoint_carries_column_mapping_metadata(tmp_path, spark):
     assert {r.doc_id: r.char_count for r in cur.collect()} == {
         1: 100, 2: 200
     }
+
+
+def test_vacuum_deletes_unreferenced_files_only(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "vac")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b2 = spark.createDataFrame([(2, "b2")], "k long, v string")
+    DL.export_merge_to_delta(spark, root, b1, key="k")
+    DL.export_merge_to_delta(spark, root, b2, key="k")  # rewrite commit
+    # v0's file is logically removed but physically present
+    assert os.path.exists(os.path.join(root, "part-00000.parquet"))
+    deleted = DL.vacuum_delta(root, retain_last=1)
+    assert deleted == ["part-00000.parquet"]
+    # current read unaffected; time travel beyond retention now breaks
+    rows = {r.k: r.v for r in DL.read_delta(spark, root).collect()}
+    assert rows == {1: "a", 2: "b2"}
+    with pytest.raises(Exception):
+        DL.read_delta(spark, root, 0).collect()
+
+
+def test_vacuum_keeps_live_dv_sidecars(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "vacdv")
+    b = spark.createDataFrame([(i,) for i in range(6)], "k long")
+    DL.export_merge_to_delta(spark, root, b, key="k")
+    DL.delete_where_with_dv(spark, root, F.col("k") % 2 == 0)
+    deleted = DL.vacuum_delta(root, retain_last=1)
+    assert deleted == []  # data file re-added with DV; sidecar live
+    assert {r.k for r in DL.read_delta(spark, root).collect()} == {1, 3, 5}
+    # a rewrite commit orphans both the old file and its DV sidecar
+    DL.export_merge_to_delta(
+        spark, root, spark.createDataFrame([(9,)], "k long"), key="k"
+    )
+    deleted = DL.vacuum_delta(root, retain_last=1)
+    assert any(d.endswith(".bin") for d in deleted)
+    assert any(d.endswith(".parquet") for d in deleted)
+    assert {r.k for r in DL.read_delta(spark, root).collect()} == {1, 3, 5, 9}
