@@ -117,6 +117,92 @@ def _bound_long(b: bytes) -> int:
     return int.from_bytes(b, "little", signed=True)
 
 
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public-domain algorithm) — the hash the Iceberg
+    spec mandates for bucket transforms, over the value's single-value
+    binary serialization."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    m = 0xFFFFFFFF
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & m
+        k = ((k << 15) | (k >> 17)) & m
+        k = (k * c2) & m
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & m
+        h = (h * 5 + 0xE6546B64) & m
+    tail = data[n - n % 4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & m
+        k = ((k << 15) | (k >> 17)) & m
+        k = (k * c2) & m
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h
+
+
+def transform_value(transform: str, v):
+    """Apply an Iceberg partition transform to a source value (the
+    spec's "hidden partitioning"): identity, bucket[N] (murmur3 of the
+    single-value serialization, mod N), truncate[W] (floor multiples
+    for ints, prefix for strings)."""
+    if transform == "identity":
+        return v
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        if isinstance(v, int):
+            data = int(v).to_bytes(8, "little", signed=True)
+        else:
+            data = str(v).encode("utf-8")
+        return (_murmur3_32(data) & 0x7FFFFFFF) % n
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if isinstance(v, int):
+            return v - (((v % w) + w) % w)
+        return str(v)[:w]
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+def partition_filter_for(
+    root: str, source_values: dict[str, set]
+) -> dict[str, set]:
+    """Translate SOURCE-column candidate values into a partition_filter
+    by pushing each value through the table's partition-spec
+    transforms (metadata ``partition-specs``) — how a reader prunes on
+    a raw-column predicate without knowing the layout (hidden
+    partitioning). Source columns without a spec field are ignored."""
+    meta = current_metadata(root)
+    specs = meta.get("partition-specs") or []
+    spec_id = meta.get("default-spec-id", 0)
+    fields = []
+    for s in specs:
+        if s.get("spec-id") == spec_id:
+            fields = s.get("fields") or []
+    id_to_name: dict[int, str] = {}
+    schema = _table_schema(meta, None)
+    if schema:
+        id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    out: dict[str, set] = {}
+    for f in fields:
+        # spec fields carry source-id; source-name accepted for
+        # schema-less fixtures
+        src = f.get("source-name") or id_to_name.get(f.get("source-id"))
+        if src in source_values:
+            out[f["name"]] = {
+                transform_value(f["transform"], v)
+                for v in source_values[src]
+            }
+    return out
+
+
 def _metrics_prune(data_file: dict, range_filter: dict[int, tuple]) -> bool:
     """True when the file's column metrics PROVE no row can match:
     upper < lo or lower > hi for any filtered field. Missing metrics
@@ -739,6 +825,115 @@ def write_iceberg_metrics_fixture(
     ) as fh:
         json.dump(meta, fh)
     return bounds_out
+
+
+_MANIFEST_SCHEMA_TRUNC = json.loads(
+    json.dumps(_MANIFEST_SCHEMA).replace(
+        '{"name": "lang", "type": ["null", "string"]}',
+        '{"name": "nc_trunc", "type": ["null", "long"]}',
+    )
+)
+
+
+def write_iceberg_hidden_partition_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> int:
+    """One-snapshot table HIDDEN-partitioned by truncate[100] on
+    n_chars: the layout key never appears as a data column; the
+    partition spec in the metadata records (source n_chars, transform
+    truncate[100], partition field nc_trunc) and each manifest entry
+    carries its nc_trunc partition value — the reader prunes on a RAW
+    n_chars predicate by pushing candidate values through the
+    transform. Returns the number of files written."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    slim = docs.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
+    ).withColumn("pv", F.col("n_chars") - F.col("n_chars") % 100)
+    pvs = sorted(r[0] for r in slim.select("pv").distinct().collect())
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    entries = []
+    for pv in pvs:
+        name = f"data/nc={pv}/part.parquet"
+        _write_single_parquet(
+            slim.filter(F.col("pv") == pv).drop("pv"), root, name
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 4001,
+                "data_file": {
+                    "file_path": name,
+                    "file_format": "PARQUET",
+                    "partition": {"nc_trunc": int(pv)},
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, name)
+                    ),
+                },
+            }
+        )
+    AV.write_container(
+        os.path.join(root, "metadata", "hm1.avro"),
+        _MANIFEST_SCHEMA_TRUNC,
+        entries,
+    )
+    AV.write_container(
+        os.path.join(root, "metadata", "hsnap-1.avro"),
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": "metadata/hm1.avro",
+                "manifest_length": os.path.getsize(
+                    os.path.join(root, "metadata", "hm1.avro")
+                ),
+                "partition_spec_id": 0,
+                "added_snapshot_id": 4001,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "spark-graft-iceberg-hidden-partition",
+        "location": root,
+        "current-snapshot-id": 4001,
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "nc_trunc",
+                        "transform": "truncate[100]",
+                        "source-name": "n_chars",
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "snapshots": [
+            {
+                "snapshot-id": 4001,
+                "manifest-list": "metadata/hsnap-1.avro",
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v1.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(meta, fh)
+    return len(pvs)
 
 
 # ---------------------------------------------------------------------------

@@ -403,3 +403,69 @@ def pipeline_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(deleted)).cast("bigint").alias("n_files_vacuumed"),
         )
     )
+
+
+@register(
+    "scan_iceberg_hidden_partition",
+    oracle="""
+WITH b AS (
+  SELECT *, n_chars - n_chars % 100 AS pv FROM documents
+), f AS (
+  SELECT pv FROM b GROUP BY pv
+), audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_files_total,
+         CAST(COUNT(*) FILTER (pv IN (200, 300)) AS BIGINT) AS n_files_read
+  FROM f
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       a.n_files_total, a.n_files_read
+FROM b d CROSS JOIN audit a
+WHERE d.n_chars >= 200 AND d.n_chars < 400
+GROUP BY d.lang, a.n_files_total, a.n_files_read
+""",
+    description="Iceberg HIDDEN partitioning (the spec's headline "
+    "layout feature): the table is partitioned by truncate[100] on "
+    "n_chars — a derived key that never exists as a data column; the "
+    "partition spec records (source column, transform, partition "
+    "field) and the reader prunes a RAW n_chars predicate by pushing "
+    "candidate values through the registered transform "
+    "(murmur3-bucket and truncate implemented per the spec, bucket "
+    "validated against the spec's own hash vector). Here n_chars in "
+    "[200, 400) maps to partition values {200, 300}; only those files "
+    "open. n_files_total vs n_files_read audit the metadata-level "
+    "skip; per-lang aggregates over the surviving files must match "
+    "the generating SQL exactly. This is what lets users write "
+    "date-truncated / bucketed layouts at 100 TB without leaking "
+    "layout keys into queries.",
+    tags=("scan", "storage", "pruning", "pipeline"),
+)
+def scan_iceberg_hidden_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import iceberg as IB
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_hidden_{sfx}"
+    IB.write_iceberg_hidden_partition_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    pf = IB.partition_filter_for(root, {"n_chars": {200, 300}})
+    files, n_total = IB.snapshot_files(root, partition_filter=pf)
+    return (
+        spark.read.parquet(*files)
+        .filter((F.col("n_chars") >= 200) & (F.col("n_chars") < 400))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(n_total).cast("bigint").alias("n_files_total"),
+            F.lit(len(files)).cast("bigint").alias("n_files_read"),
+        )
+    )

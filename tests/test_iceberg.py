@@ -488,3 +488,43 @@ def test_export_writes_schema_with_field_ids(tmp_path, spark):
     assert cur == {"k": 1, "v": 2, "extra": 3}
     out = IB.read_iceberg(spark, root)
     assert set(out.columns) == {"k", "v", "extra"}
+
+
+def test_murmur3_known_vectors():
+    # public murmur3_x86_32 test vectors (seed 0)
+    assert IB._murmur3_32(b"") == 0
+    assert IB._murmur3_32(b"hello") == 0x248BFA47
+    assert IB._murmur3_32(b"The quick brown fox jumps over the lazy dog") \
+        == 0x2E4FF723
+    # Iceberg spec appendix: bucket hash of long 34 -> 2017239379
+    assert IB._murmur3_32((34).to_bytes(8, "little", signed=True)) \
+        == 2017239379
+
+
+def test_transform_values():
+    assert IB.transform_value("identity", "en") == "en"
+    assert IB.transform_value("truncate[100]", 253) == 200
+    assert IB.transform_value("truncate[100]", -53) == -100
+    assert IB.transform_value("truncate[3]", "iceberg") == "ice"
+    # spec example: bucket[16] of 34 = 2017239379 % 16
+    assert IB.transform_value("bucket[16]", 34) == 2017239379 % 16
+    with pytest.raises(ValueError):
+        IB.transform_value("void", 1)
+
+
+def test_hidden_partition_pruning(tmp_path, spark):
+    root = str(tmp_path / "hidden")
+    docs = spark.createDataFrame(
+        [(i, "en", 80 + i * 60, f"t{i}") for i in range(8)],  # 80..500
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    n_files = IB.write_iceberg_hidden_partition_fixture(spark, docs, root)
+    assert n_files == 6  # trunc values 0,100,200,300,400,500
+    pf = IB.partition_filter_for(root, {"n_chars": {200, 300}})
+    assert pf == {"nc_trunc": {200, 300}}
+    files, n_total = IB.snapshot_files(root, partition_filter=pf)
+    assert n_total == 6 and len(files) == 2
+    rows = {r.doc_id for r in spark.read.parquet(*files).collect()}
+    assert rows == {i for i in range(8) if 200 <= 80 + i * 60 < 400}
+    # a source column with no spec field contributes nothing
+    assert IB.partition_filter_for(root, {"lang": {"en"}}) == {}
