@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "scan_delta_column_mapping",
     "scan_iceberg_metrics_pruned",
     "pipeline_dedup_delta_dv",
+    "pipeline_delta_vacuum",
+    "scan_iceberg_hidden_partition",
 ]
 
 

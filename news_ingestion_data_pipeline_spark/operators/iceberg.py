@@ -168,6 +168,16 @@ def transform_value(transform: str, v):
         if isinstance(v, int):
             return v - (((v % w) + w) % w)
         return str(v)[:w]
+    if transform in ("year", "month", "day"):
+        # spec: ordinals from epoch (years/months since 1970, epoch days)
+        import datetime as _dt
+
+        d = v.date() if isinstance(v, _dt.datetime) else v
+        if transform == "year":
+            return d.year - 1970
+        if transform == "month":
+            return (d.year - 1970) * 12 + (d.month - 1)
+        return (d - _dt.date(1970, 1, 1)).days
     raise ValueError(f"unsupported partition transform {transform!r}")
 
 

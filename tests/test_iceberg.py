@@ -528,3 +528,14 @@ def test_hidden_partition_pruning(tmp_path, spark):
     assert rows == {i for i in range(8) if 200 <= 80 + i * 60 < 400}
     # a source column with no spec field contributes nothing
     assert IB.partition_filter_for(root, {"lang": {"en"}}) == {}
+
+
+def test_date_transforms_epoch_ordinals():
+    import datetime as dt
+
+    d = dt.date(2017, 11, 16)  # the spec's own example date
+    assert IB.transform_value("year", d) == 47
+    assert IB.transform_value("month", d) == 574
+    assert IB.transform_value("day", d) == 17486
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert IB.transform_value("day", ts) == 17486
