@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "pipeline_dedup_delta_dv",
     "pipeline_delta_vacuum",
     "scan_iceberg_hidden_partition",
+    "pipeline_delta_change_feed",
 ]
 
 

@@ -767,6 +767,18 @@ def vacuum_delta(root: str, retain_last: int = 1) -> list[str]:
     versions = list_commit_versions(root)
     keep: set[str] = set()
     for v in versions[-retain_last:]:
+        # retained commits keep their change-data files (CDF consumers
+        # may still tail this window)
+        with open(
+            os.path.join(root, "_delta_log", f"{v:020d}.json"),
+            encoding="utf-8",
+        ) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        keep.add(os.path.normpath(action["cdc"]["path"]))
         adds, _, _ = _replay(root, v)
         for p, a in adds.items():
             keep.add(os.path.normpath(p))
@@ -1042,6 +1054,7 @@ def export_merge_to_delta(
         if os.path.isdir(os.path.join(root, "_delta_log"))
         else []
     )
+    cdc_name = None
     if versions:
         # target resolves through read_delta so deletion-vector tables
         # merge correctly (DV'd rows stay deleted); the remove list is
@@ -1056,6 +1069,25 @@ def export_merge_to_delta(
         # survivors with NULLs (the add-column evolution path)
         merged = survivors.unionByName(updates, allowMissingColumns=True)
         version = versions[-1] + 1
+        # Change Data Feed: the MERGE's row-level changes as a cdc
+        # action (update pre/postimages for matched keys, inserts for
+        # new keys) — derived from the frames the MERGE already holds,
+        # so CDF costs one extra column + one file, not a diff job.
+        tkeys = target.select(key).distinct()
+        pre = target.join(keys, key, "left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = updates.join(tkeys, key, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = updates.join(tkeys, key, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        changes = pre.unionByName(
+            post.unionByName(ins), allowMissingColumns=True
+        )
+        cdc_name = f"_change_data/cdc-{version:05d}.parquet"
+        _write_single_parquet(changes, root, cdc_name)
     else:
         prev_files = []
         merged = updates
@@ -1101,8 +1133,92 @@ def export_merge_to_delta(
                 }
             }
         )
+    if cdc_name is not None:
+        actions.append(
+            {
+                "cdc": {
+                    "path": cdc_name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, cdc_name)),
+                    "dataChange": False,  # per spec: cdc never changes data
+                }
+            }
+        )
     _commit(root, version, actions)
     return version
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed over ``[from_version, to_version]`` — one row
+    per row-level change with ``_change_type`` (insert /
+    update_preimage / update_postimage / delete) and
+    ``_commit_version``. Commits carrying ``cdc`` actions read exactly
+    those files (the spec: cdc supersedes add/remove for change
+    derivation); pure-append commits (dataChange adds only) derive
+    inserts from the added files; a dataChange remove WITHOUT a cdc
+    action raises — silently inventing deletes would corrupt the
+    feed."""
+    from pyspark.sql import functions as F
+
+    versions = [
+        v
+        for v in list_commit_versions(root)
+        if from_version <= v <= (to_version if to_version is not None
+                                 else 1 << 62)
+    ]
+    if not versions:
+        raise ValueError(f"no commits in range at {root}")
+    out: DataFrame | None = None
+    for v in versions:
+        cdc_files: list[str] = []
+        add_files: list[str] = []
+        has_data_remove = False
+        with open(
+            os.path.join(root, "_delta_log", f"{v:020d}.json"),
+            encoding="utf-8",
+        ) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdc_files.append(action["cdc"]["path"])
+                elif "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    add_files.append(action["add"]["path"])
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    has_data_remove = True
+        if cdc_files:
+            part = spark.read.parquet(
+                *[os.path.join(root, p) for p in cdc_files]
+            )
+        elif add_files:
+            if has_data_remove:
+                raise ValueError(
+                    f"commit {v} rewrites data without a cdc action — "
+                    "changes are not derivable"
+                )
+            part = spark.read.parquet(
+                *[os.path.join(root, p) for p in add_files]
+            ).withColumn("_change_type", F.lit("insert"))
+        else:
+            continue  # metadata-only commit
+        part = part.withColumn("_commit_version", F.lit(v).cast("bigint"))
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        raise ValueError(f"no data-changing commits in range at {root}")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -426,7 +426,11 @@ def test_vacuum_deletes_unreferenced_files_only(tmp_path, spark):
     # v0's file is logically removed but physically present
     assert os.path.exists(os.path.join(root, "part-00000.parquet"))
     deleted = DL.vacuum_delta(root, retain_last=1)
+    # v0's data file goes; v1's change-data file is retained with v1
     assert deleted == ["part-00000.parquet"]
+    assert os.path.exists(
+        os.path.join(root, "_change_data", "cdc-00001.parquet")
+    )
     # current read unaffected; time travel beyond retention now breaks
     rows = {r.k: r.v for r in DL.read_delta(spark, root).collect()}
     assert rows == {1: "a", 2: "b2"}
@@ -452,3 +456,33 @@ def test_vacuum_keeps_live_dv_sidecars(tmp_path, spark):
     assert any(d.endswith(".bin") for d in deleted)
     assert any(d.endswith(".parquet") for d in deleted)
     assert {r.k for r in DL.read_delta(spark, root).collect()} == {1, 3, 5, 9}
+
+
+def test_change_data_feed_merge_and_append(tmp_path, spark):
+    root = str(tmp_path / "cdf")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2"), (3, "c")], "k long, v string"
+    )
+    DL.export_merge_to_delta(spark, root, b1, key="k")
+    DL.export_merge_to_delta(spark, root, b2, key="k")
+    ch = DL.read_delta_changes(spark, root, 0, 1)
+    got = {
+        (r.k, r._change_type, r._commit_version) for r in ch.collect()
+    }
+    assert got == {
+        (1, "insert", 0), (2, "insert", 0),          # v0 initial load
+        (2, "update_preimage", 1), (2, "update_postimage", 1),
+        (3, "insert", 1),
+    }
+    # preimage carries the OLD value, postimage the new
+    vals = {(r._change_type, r.v) for r in ch.filter("k = 2").collect()}
+    assert vals == {("insert", "b"), ("update_preimage", "b"),
+                    ("update_postimage", "b2")}
+    # range restriction: only v1's changes
+    ch1 = DL.read_delta_changes(spark, root, 1)
+    assert {r._change_type for r in ch1.collect()} == {
+        "update_preimage", "update_postimage", "insert"
+    }
