@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "pipeline_delta_vacuum",
     "scan_iceberg_hidden_partition",
     "pipeline_delta_change_feed",
+    "scan_iceberg_incremental",
 ]
 
 

@@ -1147,6 +1147,65 @@ def export_merge_to_iceberg(
     return snap_id
 
 
+def read_iceberg_incremental(
+    spark: SparkSession,
+    root: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental append scan: rows ADDED by snapshots in
+    ``(from_snapshot, to_snapshot]`` — the spec's incremental read
+    (manifest entries with status ADDED whose snapshot_id falls in the
+    range), tagged with ``_snapshot_id``. This is how a downstream
+    consumer tails an Iceberg table without diffing snapshots; rewrite
+    snapshots surface their replacement files (the adds), never the
+    dropped ones."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(root)
+    if to_snapshot is None:
+        to_snapshot = meta["current-snapshot-id"]
+    snap_ids = [s["snapshot-id"] for s in meta["snapshots"]]
+    wanted = [
+        s for s in snap_ids if from_snapshot < s <= to_snapshot
+    ]
+    if not wanted:
+        raise ValueError(
+            f"no snapshots in ({from_snapshot}, {to_snapshot}] at {root}"
+        )
+    out: DataFrame | None = None
+    for sid in wanted:
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        _, manifests = AV.read_container(
+            _resolve(root, snaps[sid]["manifest-list"])
+        )
+        added: list[str] = []
+        for m in manifests:
+            if m.get("content", 0) == 1:
+                continue
+            _, entries = AV.read_container(
+                _resolve(root, m["manifest_path"])
+            )
+            for e in entries:
+                if e["status"] == 1 and e.get("snapshot_id") == sid:
+                    added.append(
+                        _resolve(root, e["data_file"]["file_path"])
+                    )
+        if not added:
+            continue
+        part = spark.read.parquet(*sorted(added)).withColumn(
+            "_snapshot_id", F.lit(sid).cast("bigint")
+        )
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        raise ValueError(
+            f"no appended files in ({from_snapshot}, {to_snapshot}]"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # format v2 merge-on-read: equality-delete files
 # ---------------------------------------------------------------------------

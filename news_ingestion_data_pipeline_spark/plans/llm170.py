@@ -533,3 +533,45 @@ def pipeline_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "scan_iceberg_incremental",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 2 = 1
+GROUP BY lang
+""",
+    description="Iceberg incremental append scan: rows ADDED between "
+    "two snapshots (manifest entries with status ADDED whose "
+    "snapshot_id falls in the range) — the mechanism a downstream "
+    "consumer uses to tail an Iceberg table without diffing "
+    "snapshots. On the rename fixture, snapshot 2 appends exactly the "
+    "odd-doc_id file: the increment's per-lang counts and char sums "
+    "must match the generating SQL, proving the scan surfaced the "
+    "new snapshot's adds and nothing else (the EXISTING even-doc_id "
+    "file is excluded despite riding the same manifest list). Scale: "
+    "the increment resolves at metadata level (manifest status + "
+    "snapshot id) and reads only the new files — incremental cost is "
+    "proportional to the delta, never the table.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import iceberg as IB
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_incr_{sfx}"
+    s1, _ = IB.write_iceberg_rename_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    # the appended file carries the renamed physical column char_count
+    return (
+        IB.read_iceberg_incremental(spark, root, s1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("char_count").cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -539,3 +539,21 @@ def test_date_transforms_epoch_ordinals():
     assert IB.transform_value("day", d) == 17486
     ts = dt.datetime(2017, 11, 16, 22, 31, 8)
     assert IB.transform_value("day", ts) == 17486
+
+
+def test_incremental_scan_between_snapshots(tmp_path, spark):
+    root = str(tmp_path / "incr")
+    docs = spark.createDataFrame(
+        [(1, "en", 700, "a"), (2, "fr", 800, "b"), (3, "fr", 500, "c")],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    s1, s2 = IB.write_iceberg_fixture(spark, docs, root)
+    # snapshot 2 added only the filtered fr replacement (n_chars >= 600)
+    inc = IB.read_iceberg_incremental(spark, root, s1)
+    rows = {(r.doc_id, r._snapshot_id) for r in inc.collect()}
+    assert rows == {(2, s2)}
+    # full range from 0 sees both snapshots' adds
+    inc0 = IB.read_iceberg_incremental(spark, root, 0)
+    assert {r._snapshot_id for r in inc0.collect()} == {s1, s2}
+    with pytest.raises(ValueError):
+        IB.read_iceberg_incremental(spark, root, s2)
