@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "scan_iceberg_hidden_partition",
     "pipeline_delta_change_feed",
     "scan_iceberg_incremental",
+    "curation_cluster_keep_best",
 ]
 
 

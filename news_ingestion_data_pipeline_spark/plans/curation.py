@@ -639,3 +639,55 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("cum_tokens") - 1) / budget).cast("bigint").alias("shard_id"),
         )
     )
+
+
+@register(
+    "curation_cluster_keep_best",
+    oracle=f"""
+WITH c AS ({_CLUSTERS_SQL}), m AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM c JOIN documents d USING (doc_id)
+), best AS (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM m
+)
+SELECT cluster_id, doc_id AS keeper_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_chars AS BIGINT) AS keeper_chars
+FROM best WHERE rn = 1
+""",
+    description="Keep-BEST-in-cluster dedup: near-dup connected "
+    "components keep their highest-quality member (longest document, "
+    "tie-break min id) instead of the arbitrary min-id keeper — the "
+    "policy real curation pipelines use because mirrored copies differ "
+    "in truncation/boilerplate and dropping the best copy loses data. "
+    "Composition: the registered cluster query's exact construction "
+    "(reused, not re-derived) joined to a quality column, one "
+    "row_number window PARTITIONED BY CLUSTER (thousands of tiny "
+    "partitions — no global sort), keeper + member count per cluster. "
+    "Swap n_chars for the Gopher quality score column to get "
+    "editorial-quality keeper selection with the same plan shape.",
+    tags=("llm", "curation", "dedup"),
+)
+def curation_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_connected_clusters(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_chars").cast("bigint").alias("keeper_chars"),
+        )
+    )
