@@ -536,7 +536,7 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which triggers the llm import here, completing llm's registrations before
 # the decorator below runs).
 from news_ingestion_data_pipeline_spark.plans.llm import (  # noqa: E402
-    dedup_connected_clusters,
+    connected_clusters_cached,
 )
 from news_ingestion_data_pipeline_spark.plans.registry import REGISTRY  # noqa: E402
 
@@ -563,7 +563,7 @@ WHERE d.doc_id NOT IN (
     tags=("llm", "curation", "dedup", "iterative"),
 )
 def curation_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = dedup_connected_clusters(spark, sf_dir)
+    clusters = connected_clusters_cached(spark, sf_dir)
     non_canonical = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
@@ -673,7 +673,7 @@ FROM best WHERE rn = 1
     tags=("llm", "curation", "dedup"),
 )
 def curation_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = dedup_connected_clusters(spark, sf_dir)
+    clusters = connected_clusters_cached(spark, sf_dir)
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     m = clusters.join(docs, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(

@@ -1117,6 +1117,27 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> localCheckpointed cluster assignment
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def connected_clusters_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_connected_clusters' output, localCheckpointed once per
+    (SparkContext, sf_dir): the keeper-selection and corpus-cleaning
+    compositions consume the SAME cluster assignment — recomputing the
+    shingle join + pointer-jumping iterations per composition is the
+    expensive path; the assignment itself is tiny (only docs in the
+    pair graph)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CLUSTER_CACHE.get(key)
+    if df is None:
+        df = dedup_connected_clusters(spark, sf_dir).localCheckpoint()
+        _CLUSTER_CACHE[key] = df
+    return df
+
+
 _PROFILE_SPECS = [
     ("l_orderkey", "int"),
     ("l_suppkey", "int"),
