@@ -412,14 +412,33 @@ def embedding_neardup_pairs(
         base = base.withColumn(
             "bucket", V.hyperplane_signature(F.col("vec"), bucket_hyperplanes)
         )
-        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        # Salted bucket self-join: a plain shuffle join on `bucket` caps
+        # parallelism at 2^n_planes tasks, and broadcasting one side (the
+        # former shape) ships the WHOLE corpus to every executor — the
+        # 100x-killer. Salting multiplies parallelism by `salt` at the
+        # cost of replicating the build side `salt` times in the shuffle
+        # (S*n rows, bounded, vs executors*n for a broadcast): a-side
+        # rows carry salt = id % S, the b-side is replicated across all
+        # S salts, so every in-bucket pair matches exactly once. At true
+        # corpus scale raise n_planes AND salt together.
+        salt = 8
+        a = base.withColumn(
+            "salt", F.pmod(F.col("id"), F.lit(salt))
+        ).alias("a")
+        b = base.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        ).alias("b")
+        join_cond = (
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.id") < F.col("b.id"))
+        )
     else:
+        # exact all-pairs baseline (no caller in the registry; the scale
+        # path for exhaustive pairs is the GEMM-tiled
+        # sim_pairs_above_threshold) — no broadcast hint, planner decides
+        a, b = base.alias("a"), base.alias("b")
         join_cond = F.col("a.id") < F.col("b.id")
-    # Broadcast one side: with 2^n_planes distinct buckets a shuffle join
-    # caps parallelism at the bucket count; broadcasting keeps the probe
-    # side's partitioning. (At true corpus scale, raise n_planes so buckets
-    # shrink, or band the signature — same LSH shape as minhash.)
-    a, b = base.alias("a"), F.broadcast(base.alias("b"))
     return (
         a.join(b, join_cond)
         .select(

@@ -318,6 +318,7 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         conv.filter(F.col("tag") != "__base__")
+        # bcast-ok: 1-row baseline conversion frame
         .crossJoin(F.broadcast(base))
         .select(
             F.col("tag").alias("channel"),

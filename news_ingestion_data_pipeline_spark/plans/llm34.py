@@ -88,6 +88,7 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_micros", F.expr("(2 * e_cents * 10000 + q) div (2 * q)")
     )
     b = (
+        # bcast-ok: base is the 1-row MIN(mon) aggregate
         p.crossJoin(F.broadcast(base))
         .where(F.col("mon") == F.col("mon0"))
         .select(

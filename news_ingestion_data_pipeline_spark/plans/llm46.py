@@ -104,6 +104,8 @@ def orders_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ba, bb, bd = basket.alias("ba"), basket.alias("bb"), basket.alias("bd")
     tri = (
+        # bcast-ok: support-thresholded frequent-pair candidates (c >= MIN2
+        # bounds the frame to the frequent-itemset lattice, not the corpus)
         F.broadcast(cand)
         .join(ba, F.col("ba.l_partkey") == F.col("x"))
         .join(

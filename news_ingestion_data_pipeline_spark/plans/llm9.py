@@ -125,6 +125,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.greatest(F.lit(0.0), acc + x - 5.0),
     )
     return (
+        # bcast-ok: one mu row per event type
         ev.join(F.broadcast(base), "event_type")
         .select(
             "event_type",

@@ -82,6 +82,7 @@ def agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum_end")))
         .select(g, "p", "k", "b", "cum_before")
     )
+    # bcast-ok: cand is |groups| x 3 percentile target rows
     rows = li2.withColumn("b", bucket).join(F.broadcast(cand), [g, "b"])
     wrn = Window.partitionBy(g, "b", "p").orderBy(v)
     sel = (

@@ -684,7 +684,8 @@ def test_oracle_output_types_are_driver_portable():
 
 _SF_PROPORTIONAL = __import__("re").compile(
     r"\b(customer|cust|orders|lineitem|li|part|supplier|supp|sup|"
-    r"documents|docs|events|embeddings|emb|corpus|staged|legacy)\b"
+    r"documents|docs|events|embeddings|emb|corpus|staged|legacy|"
+    r"base|pairs|cand|sigs)\b"
 )
 
 
