@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "pipeline_delta_change_feed",
     "scan_iceberg_incremental",
     "curation_cluster_keep_best",
+    "pipeline_delta_optimize",
+    "pipeline_iceberg_expire",
 ]
 
 

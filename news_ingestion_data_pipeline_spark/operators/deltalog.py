@@ -756,6 +756,66 @@ def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
     return version, n_new
 
 
+def compact_delta(
+    spark: SparkSession, root: str, max_files: int = 1
+) -> tuple[int, int, int]:
+    """OPTIMIZE: bin-pack the snapshot's data files into ``max_files``
+    larger ones and commit the rewrite with ``dataChange: false`` on
+    every action — the protocol's signal that the commit reorganizes
+    bytes without changing rows (streaming consumers skip it; the CDF
+    reader here ignores non-dataChange adds for the same reason).
+    DV-carrying snapshots compact through the resolving read, folding
+    deletions into the rewrite. Returns (version, n_files_before,
+    n_files_after)."""
+    adds, protocol, metadata = _replay(root)
+    _check_protocol(protocol, metadata)
+    n_before = len(adds)
+    df = read_delta(spark, root)
+    version = list_commit_versions(root)[-1] + 1
+    names = []
+    if max_files == 1:
+        name = f"compact-{version:05d}.parquet"
+        _write_single_parquet(df, root, name)
+        names.append(name)
+    else:
+        tmp = os.path.join(root, f"._tmp_compact_{version}")
+        df.coalesce(max_files).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        for i, part in enumerate(
+            sorted(
+                n
+                for n in os.listdir(tmp)
+                if n.endswith(".parquet") and not n.startswith(".")
+            )
+        ):
+            name = f"compact-{version:05d}-{i:03d}.parquet"
+            shutil.move(os.path.join(tmp, part), os.path.join(root, name))
+            names.append(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+    actions: list[dict] = []
+    ts = 1700000000000
+    for name in names:
+        actions.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, name)),
+                    "modificationTime": ts,
+                    "dataChange": False,
+                }
+            }
+        )
+    for p, a in sorted(adds.items()):
+        rm = {"path": p, "deletionTimestamp": ts, "dataChange": False}
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": rm})
+    _commit(root, version, actions)
+    return version, n_before, len(names)
+
+
 def vacuum_delta(root: str, retain_last: int = 1) -> list[str]:
     """Physically delete data files (and DV sidecars) referenced by
     NONE of the last ``retain_last`` versions' snapshots — the

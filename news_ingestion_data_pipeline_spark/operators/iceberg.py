@@ -1147,6 +1147,57 @@ def export_merge_to_iceberg(
     return snap_id
 
 
+def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
+    """The spec's expireSnapshots maintenance action: drop all but the
+    last ``keep_last`` snapshots from the table metadata (publishing a
+    new vN.metadata.json — history trimming is itself a metadata
+    commit) and physically delete data files and manifest/manifest-list
+    Avro files reachable ONLY from expired snapshots. Returns the
+    deleted table-relative paths. Time travel into expired snapshots
+    raises afterwards; retained snapshots are untouched."""
+    meta = current_metadata(root)
+    snapshots = meta["snapshots"]
+    retained = snapshots[-keep_last:]
+    keep: set[str] = set()
+    for s in retained:
+        mlist = s["manifest-list"]
+        keep.add(os.path.normpath(mlist))
+        _, manifests = AV.read_container(_resolve(root, mlist))
+        for m in manifests:
+            keep.add(os.path.normpath(m["manifest_path"]))
+        # pin files LIVE in this snapshot (data + delete files); files
+        # marked DELETED in every retained snapshot are reclaimable —
+        # readers only ever open live files
+        data, dels = snapshot_files_v2(root, s["snapshot-id"])
+        for f in data + dels:
+            keep.add(os.path.normpath(os.path.relpath(f, root)))
+    deleted: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            if not (fn.endswith(".parquet") or fn.endswith(".avro")):
+                continue
+            rel = os.path.normpath(
+                os.path.relpath(os.path.join(dirpath, fn), root)
+            )
+            if rel not in keep:
+                os.remove(os.path.join(dirpath, fn))
+                deleted.append(rel)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return sorted(deleted)
+
+
 def read_iceberg_incremental(
     spark: SparkSession,
     root: str,

@@ -575,3 +575,115 @@ def scan_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("char_count").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "pipeline_delta_optimize",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(4 AS BIGINT) AS n_files_before,
+       CAST(1 AS BIGINT) AS n_files_after
+FROM documents GROUP BY lang
+""",
+    description="Delta OPTIMIZE (small-file compaction): four streaming "
+    "append commits leave four small files; compact_delta bin-packs "
+    "them into one and commits the rewrite with dataChange=false on "
+    "every action — the protocol's reorganization signal, which the "
+    "CDF reader honors by ignoring the commit (no phantom inserts) and "
+    "streaming consumers skip. The compacted read must equal the "
+    "pre-compaction corpus byte-for-byte; before/after file counts "
+    "ride as audit columns. At 100 TB compaction is what keeps scan "
+    "task counts sane under high-frequency micro-batch ingestion — "
+    "and because it folds deletion vectors into the rewrite, it also "
+    "re-zeroes the DV read overhead.",
+    tags=("pipeline", "storage",),
+)
+def pipeline_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_optimize_{sfx}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    slim = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    for i in range(4):
+        DL.append_batch_to_delta(
+            spark, root, slim.filter(F.col("doc_id") % 4 == i),
+            app_id="optimize_fixture", batch_id=i,
+        )
+    _, n_before, n_after = DL.compact_delta(spark, root)
+    return (
+        DL.read_delta(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(n_before).cast("bigint").alias("n_files_before"),
+            F.lit(n_after).cast("bigint").alias("n_files_after"),
+        )
+    )
+
+
+@register(
+    "pipeline_iceberg_expire",
+    oracle="""
+WITH merged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+              ELSE n_chars END AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(3 AS BIGINT) AS n_expired_files
+FROM merged GROUP BY lang
+""",
+    description="Iceberg expireSnapshots: after a MERGE supersedes the "
+    "initial snapshot, expiry retains only the current snapshot — a "
+    "new vN.metadata.json with trimmed history (history trimming is "
+    "itself a metadata commit) — and physically deletes everything "
+    "reachable only from the expired one: its data file, its add "
+    "manifest and its manifest list (exactly 3 files, the audit "
+    "column). The current read must be untouched, and later commits "
+    "keep working on the trimmed history. At 100 TB expiry is the "
+    "metadata-AND-storage reclaim knob traded against time-travel "
+    "depth — unbounded snapshot history means unbounded manifest "
+    "accumulation.",
+    tags=("pipeline", "storage",),
+)
+def pipeline_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import iceberg as IB
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_expire_{sfx}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    slim = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    IB.export_merge_to_iceberg(spark, root, slim, key="doc_id")
+    upd = slim.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    IB.export_merge_to_iceberg(spark, root, upd, key="doc_id")
+    deleted = IB.expire_snapshots(root, keep_last=1)
+    return (
+        IB.read_iceberg(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(len(deleted)).cast("bigint").alias("n_expired_files"),
+        )
+    )

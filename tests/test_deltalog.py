@@ -486,3 +486,32 @@ def test_change_data_feed_merge_and_append(tmp_path, spark):
     assert {r._change_type for r in ch1.collect()} == {
         "update_preimage", "update_postimage", "insert"
     }
+
+
+def test_compact_delta_preserves_rows_and_folds_dvs(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "opt")
+    for i in range(4):  # 4 small append commits
+        DL.append_batch_to_delta(
+            spark, root,
+            spark.createDataFrame([(i * 10 + j,) for j in range(5)],
+                                  "k long"),
+            app_id="load", batch_id=i,
+        )
+    DL.delete_where_with_dv(spark, root, F.col("k") % 10 == 0)
+    before = {r.k for r in DL.read_delta(spark, root).collect()}
+    v, n_before, n_after = DL.compact_delta(spark, root)
+    assert (n_before, n_after) == (4, 1)
+    after = {r.k for r in DL.read_delta(spark, root).collect()}
+    assert after == before  # rows identical, deletions folded in
+    # compaction is dataChange=false: the CDF reader must skip it
+    with pytest.raises(ValueError):
+        DL.read_delta_changes(spark, root, v, v)
+    # post-compaction snapshot has no DVs left -> plain file list works
+    files = DL.delta_snapshot_files(root)
+    assert len(files) == 1
+    # vacuum now reclaims the 4 small files + the DV sidecar
+    deleted = DL.vacuum_delta(root, retain_last=1)
+    assert len([d for d in deleted if d.endswith(".parquet")]) == 4
+    assert {r.k for r in DL.read_delta(spark, root).collect()} == before

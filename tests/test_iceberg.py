@@ -557,3 +557,27 @@ def test_incremental_scan_between_snapshots(tmp_path, spark):
     assert {r._snapshot_id for r in inc0.collect()} == {s1, s2}
     with pytest.raises(ValueError):
         IB.read_iceberg_incremental(spark, root, s2)
+
+
+def test_expire_snapshots(tmp_path, spark):
+    root = str(tmp_path / "expire")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b2 = spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string")
+    s1 = IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    s2 = IB.export_merge_to_iceberg(spark, root, b2, key="k")
+    # both snapshots readable before expiry
+    assert len(IB.read_iceberg(spark, root, s1).collect()) == 2
+    deleted = IB.expire_snapshots(root, keep_last=1)
+    # s1's data file + its metadata avro files are gone
+    assert any(d.endswith(".parquet") for d in deleted)
+    assert any(d.endswith(".avro") for d in deleted)
+    # current snapshot untouched
+    rows = {r.k: r.v for r in IB.read_iceberg(spark, root).collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c"}
+    # time travel into the expired snapshot now raises
+    with pytest.raises(ValueError):
+        IB.snapshot_files(root, s1)
+    # a later commit keeps working on the trimmed history
+    b3 = spark.createDataFrame([(4, "d")], "k long, v string")
+    IB.export_merge_to_iceberg(spark, root, b3, key="k")
+    assert len(IB.read_iceberg(spark, root).collect()) == 4
