@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "curation_cluster_keep_best",
     "pipeline_delta_optimize",
     "pipeline_iceberg_expire",
+    "stream_delta_source_tail",
 ]
 
 

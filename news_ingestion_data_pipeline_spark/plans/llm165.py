@@ -108,3 +108,76 @@ def stream_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_versions).cast("bigint").alias("n_versions"),
         F.lit(not replay_committed).alias("replay_skipped"),
     )
+
+
+@register(
+    "stream_delta_source_tail",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       CAST(4 AS BIGINT) AS n_batches_ge
+FROM events
+GROUP BY event_type
+""",
+    description="Delta table as a STREAMING SOURCE (the sink's twin): "
+    "an append-only Delta table built by 4 txn-guarded micro-batch "
+    "commits is tailed batch-by-batch — each log version's added "
+    "files resolve through the clean-room replay and land as one "
+    "foreachBatch call, exactly the incremental semantics of a Delta "
+    "source (appends are immutable files, so per-version file sets ARE "
+    "the micro-batches). The streamed aggregate must equal the batch "
+    "aggregate of the whole corpus — nothing dropped, nothing doubled "
+    "across batch boundaries — with the batch count as audit. At "
+    "100 TB this is how downstream jobs consume an ingest table "
+    "continuously: per-version increments, never full-table re-reads.",
+    tags=("streaming", "storage", "pipeline"),
+)
+def stream_delta_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"{_ROOT}/srctbl_{sfx}"
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        (F.col("event_id") % 4).alias("slice"),
+    )
+    for i in range(4):
+        DL.append_batch_to_delta(
+            spark,
+            tbl,
+            ev.filter(F.col("slice") == i).drop("slice"),
+            app_id=f"tail_src_{sfx}",
+            batch_id=i,
+        )
+
+    # tail the log version by version: each version's ADDED files are
+    # one micro-batch (valid because the sink is append-only; a rewrite
+    # version would raise in read_delta_changes' derivation)
+    agg = None
+    n_batches = 0
+    for v in DL.list_commit_versions(tbl):
+        batch = DL.read_delta_changes(spark, tbl, v, v).drop(
+            "_change_type", "_commit_version"
+        )
+        n_batches += 1
+        part = batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,10)")).alias("s"),
+        )
+        agg = part if agg is None else agg.unionByName(part)
+    return (
+        agg.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.lit(n_batches).cast("bigint").alias("n_batches_ge"),
+        )
+    )
