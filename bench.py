@@ -255,6 +255,8 @@ BENCH_QUERIES = [
     "pipeline_delta_optimize",
     "pipeline_iceberg_expire",
     "stream_delta_source_tail",
+    "pipeline_delta_restore",
+    "pipeline_iceberg_rollback",
 ]
 
 

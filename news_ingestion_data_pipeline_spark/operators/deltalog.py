@@ -756,6 +756,40 @@ def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
     return version, n_new
 
 
+def restore_delta(spark: SparkSession, root: str, version: int) -> int:
+    """RESTORE: roll the table back to ``version`` as a NEW commit —
+    adds the old snapshot's files, removes the current one's (so
+    history stays linear and the bad versions remain auditable; this
+    is the protocol's restore shape, not a log rewrite). DV-carrying
+    snapshots restore with their descriptors intact. Returns the new
+    version."""
+    cur_adds, protocol, metadata = _replay(root)
+    _check_protocol(protocol, metadata)
+    old_adds, old_protocol, old_metadata = _replay(root, version)
+    _check_protocol(old_protocol, old_metadata)
+    new_version = list_commit_versions(root)[-1] + 1
+    ts = 1700000000000
+    actions: list[dict] = []
+    if old_metadata is not None and old_metadata != metadata:
+        actions.append({"metaData": old_metadata})
+    for p in sorted(cur_adds):
+        if p not in old_adds or cur_adds[p] != old_adds[p]:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for p in sorted(old_adds):
+        if p not in cur_adds or cur_adds[p] != old_adds[p]:
+            actions.append({"add": old_adds[p]})
+    _commit(root, new_version, actions)
+    return new_version
+
+
 def compact_delta(
     spark: SparkSession, root: str, max_files: int = 1
 ) -> tuple[int, int, int]:

@@ -1147,6 +1147,31 @@ def export_merge_to_iceberg(
     return snap_id
 
 
+def rollback_to_snapshot(root: str, snapshot_id: int) -> int:
+    """Roll the table back to ``snapshot_id`` — in Iceberg this is a
+    pure METADATA operation: publish a new vN.metadata.json whose
+    current-snapshot-id points at the older snapshot (history retained,
+    nothing moved or rewritten; the rolled-back-over snapshots stay
+    time-travelable until expiry). Returns the new metadata version."""
+    meta = current_metadata(root)
+    if snapshot_id not in {s["snapshot-id"] for s in meta["snapshots"]}:
+        raise ValueError(f"snapshot {snapshot_id} not in history")
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return version
+
+
 def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
     """The spec's expireSnapshots maintenance action: drop all but the
     last ``keep_last`` snapshots from the table metadata (publishing a

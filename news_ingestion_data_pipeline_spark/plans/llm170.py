@@ -687,3 +687,108 @@ def pipeline_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(deleted)).cast("bigint").alias("n_expired_files"),
         )
     )
+
+
+@register(
+    "pipeline_delta_restore",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(2 AS BIGINT) AS restored_as_version
+FROM documents GROUP BY lang
+""",
+    description="Delta RESTORE: a bad MERGE (every doc_id % 10 == 0 "
+    "row corrupted with n_chars + 1000000) is rolled back by "
+    "restore_delta as a NEW commit that re-adds the good snapshot's "
+    "files and removes the bad one's — history stays linear, the bad "
+    "version remains auditable via time travel, and the restored read "
+    "must equal the ORIGINAL corpus byte-for-byte. The recovery "
+    "primitive every production table needs after a bad pipeline "
+    "deploy; at 100 TB it costs one metadata commit, zero data "
+    "movement (the good files never left).",
+    tags=("pipeline", "storage",),
+)
+def pipeline_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_restore_{sfx}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    slim = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    DL.export_merge_to_delta(spark, root, slim, key="doc_id")
+    bad = slim.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000000
+    )
+    DL.export_merge_to_delta(spark, root, bad, key="doc_id")
+    v = DL.restore_delta(spark, root, 0)
+    return (
+        DL.read_delta(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(v).cast("bigint").alias("restored_as_version"),
+        )
+    )
+
+
+@register(
+    "pipeline_iceberg_rollback",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS bad_snapshot_still_travelable
+FROM documents GROUP BY lang
+""",
+    description="Iceberg rollback: after a bad MERGE, "
+    "rollback_to_snapshot publishes a new vN.metadata.json whose "
+    "current-snapshot-id points at the good snapshot — a PURE metadata "
+    "operation (nothing moved, nothing rewritten; verified by reading "
+    "the bad snapshot via time travel afterwards, the audit column). "
+    "The rolled-back read must equal the original corpus exactly. "
+    "Iceberg's killer recovery property: at 100 TB, undoing a bad "
+    "commit costs one kilobyte JSON write.",
+    tags=("pipeline", "storage",),
+)
+def pipeline_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.operators import iceberg as IB
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_rollback_{sfx}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    slim = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    s1 = IB.export_merge_to_iceberg(spark, root, slim, key="doc_id")
+    bad = slim.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000000
+    )
+    s2 = IB.export_merge_to_iceberg(spark, root, bad, key="doc_id")
+    IB.rollback_to_snapshot(root, s1)
+    bad_readable = (
+        IB.read_iceberg(spark, root, s2)
+        .filter(F.col("n_chars") > 1000000)
+        .count()
+        > 0
+    )
+    return (
+        IB.read_iceberg(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(bad_readable).alias("bad_snapshot_still_travelable"),
+        )
+    )

@@ -515,3 +515,26 @@ def test_compact_delta_preserves_rows_and_folds_dvs(tmp_path, spark):
     deleted = DL.vacuum_delta(root, retain_last=1)
     assert len([d for d in deleted if d.endswith(".parquet")]) == 4
     assert {r.k for r in DL.read_delta(spark, root).collect()} == before
+
+
+def test_restore_rolls_back_as_new_commit(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "restore")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b2 = spark.createDataFrame([(2, "BAD")], "k long, v string")
+    DL.export_merge_to_delta(spark, root, b1, key="k")
+    DL.export_merge_to_delta(spark, root, b2, key="k")
+    v = DL.restore_delta(spark, root, 0)
+    assert v == 2  # history stays linear
+    rows = {r.k: r.v for r in DL.read_delta(spark, root).collect()}
+    assert rows == {1: "a", 2: "b"}
+    # the bad version remains auditable via time travel
+    assert {r.v for r in DL.read_delta(spark, root, 1).collect()} == {
+        "a", "BAD"
+    }
+    # restore survives DV state: delete, restore past it, rows return
+    DL.delete_where_with_dv(spark, root, F.col("k") == 1)
+    assert {r.k for r in DL.read_delta(spark, root).collect()} == {2}
+    DL.restore_delta(spark, root, v)
+    assert {r.k for r in DL.read_delta(spark, root).collect()} == {1, 2}

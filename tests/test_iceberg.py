@@ -581,3 +581,21 @@ def test_expire_snapshots(tmp_path, spark):
     b3 = spark.createDataFrame([(4, "d")], "k long, v string")
     IB.export_merge_to_iceberg(spark, root, b3, key="k")
     assert len(IB.read_iceberg(spark, root).collect()) == 4
+
+
+def test_rollback_is_metadata_only(tmp_path, spark):
+    import glob
+
+    root = str(tmp_path / "rollback")
+    b1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b2 = spark.createDataFrame([(1, "BAD")], "k long, v string")
+    s1 = IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    IB.export_merge_to_iceberg(spark, root, b2, key="k")
+    files_before = sorted(glob.glob(os.path.join(root, "data", "*")))
+    IB.rollback_to_snapshot(root, s1)
+    assert {r.v for r in IB.read_iceberg(spark, root).collect()} == {"a"}
+    # nothing moved or deleted — pure metadata
+    assert sorted(glob.glob(os.path.join(root, "data", "*"))) == files_before
+    # the rolled-back-over snapshot stays time-travelable
+    with pytest.raises(ValueError):
+        IB.rollback_to_snapshot(root, 999999)

@@ -186,6 +186,8 @@ DOC_QUERIES = [
     "sim_lsh_topk",
     "sim_cosine_topk",
     "text_bpe_token_count",
+    "curation_cluster_keep_best",
+    "pipeline_dedup_delta_dv",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
