@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "stream_delta_source_tail",
     "pipeline_delta_restore",
     "pipeline_iceberg_rollback",
+    "dedup_embedding_neardup_banded",
 ]
 
 

@@ -455,6 +455,77 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_banded(
+    emb: DataFrame,
+    bands: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    salt: int = 8,
+) -> DataFrame:
+    """OR-banded hyperplane LSH near-dup pairs: candidates share ANY
+    band's FULL signature (union over bands, then one exact-cosine
+    verify per distinct pair). Versus one wide signature, banding is
+    the quadratic-killer: b bands of k planes give recall
+    1-(1-p^k)^b > p^(k') at equal work while each band's buckets stay
+    2^k-way small — the same AND-OR construction as minhash-LSH,
+    applied to sign signatures. Candidate joins are salted like the
+    single-signature path (no corpus broadcast, no bucket-count
+    parallelism cap)."""
+    from news_ingestion_data_pipeline_spark.functions import vectors as V
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    base = spread(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    cand = None
+    for planes in bands:
+        sig = base.select(
+            "id", V.hyperplane_signature(F.col("vec"), planes).alias("bucket")
+        )
+        a = sig.withColumn("salt", F.pmod(F.col("id"), F.lit(salt))).alias(
+            "a"
+        )
+        b = sig.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        ).alias("b")
+        part = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.distinct()
+    va = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                V.cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

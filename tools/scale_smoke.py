@@ -188,6 +188,7 @@ DOC_QUERIES = [
     "text_bpe_token_count",
     "curation_cluster_keep_best",
     "pipeline_dedup_delta_dv",
+    "dedup_embedding_neardup_banded",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
