@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "pipeline_delta_restore",
     "pipeline_iceberg_rollback",
     "dedup_embedding_neardup_banded",
+    "scan_delta_stats_pruned",
 ]
 
 

@@ -756,6 +756,82 @@ def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
     return version, n_new
 
 
+def _file_stats(df: DataFrame) -> str:
+    """The protocol's per-file ``stats`` JSON (numRecords + minValues/
+    maxValues over atomic columns) computed from the frame about to be
+    written — one tiny aggregate, the write-side half of Delta data
+    skipping."""
+    from pyspark.sql import functions as F
+
+    atomic = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        in ("bigint", "int", "smallint", "tinyint", "double", "float",
+            "string", "boolean", "date")
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in atomic:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    row = df.agg(*aggs).collect()[0]
+
+    def _j(v):
+        if v is None:
+            return None
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
+
+    return json.dumps(
+        {
+            "numRecords": row["__n"],
+            "minValues": {c: _j(row[f"__min_{c}"]) for c in atomic},
+            "maxValues": {c: _j(row[f"__max_{c}"]) for c in atomic},
+        }
+    )
+
+
+def delta_snapshot_files_pruned(
+    root: str,
+    range_filter: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Data skipping on add-action ``stats``: files whose recorded
+    [minValues, maxValues] miss the query range for any filtered
+    column are skipped WITHOUT being opened — Delta's twin of the
+    Iceberg column-metrics prune. Files lacking stats for a column are
+    kept (skipping must never drop data it can't judge). Returns
+    (files, n_live_total) with the pre-prune count as the audit."""
+    adds, protocol, metadata = _replay(root, version)
+    _check_protocol(protocol, metadata)
+    with_dv = sorted(p for p, a in adds.items() if a.get("deletionVector"))
+    if with_dv:
+        raise ValueError(
+            f"snapshot carries deletion vectors on {with_dv}; read "
+            "through read_delta()"
+        )
+    out = []
+    for p in sorted(adds):
+        a = adds[p]
+        stats = a.get("stats")
+        skip = False
+        if stats:
+            s = json.loads(stats) if isinstance(stats, str) else stats
+            mins = s.get("minValues") or {}
+            maxs = s.get("maxValues") or {}
+            for col, (lo, hi) in range_filter.items():
+                if lo is not None and col in maxs and maxs[col] is not None:
+                    if maxs[col] < lo:
+                        skip = True
+                if hi is not None and col in mins and mins[col] is not None:
+                    if mins[col] > hi:
+                        skip = True
+        if not skip:
+            out.append(os.path.join(root, p))
+    return out, len(adds)
+
+
 def restore_delta(spark: SparkSession, root: str, version: int) -> int:
     """RESTORE: roll the table back to ``version`` as a NEW commit —
     adds the old snapshot's files, removes the current one's (so
@@ -1214,6 +1290,7 @@ def export_merge_to_delta(
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
                 "dataChange": True,
+                "stats": _file_stats(merged),
             }
         }
     )
@@ -1393,6 +1470,8 @@ def append_batch_to_delta(
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
                 "dataChange": True,
+                # per-file stats = the write-side half of data skipping
+                "stats": _file_stats(batch_df),
             }
         }
     )

@@ -864,3 +864,83 @@ def dedup_embedding_neardup_banded(
         bands=_nb_bands(),
         threshold=0.35,
     )
+
+
+@register(
+    "scan_delta_stats_pruned",
+    oracle="""
+WITH b AS (
+  SELECT *, CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+                 WHEN n_chars < 450 THEN 2 ELSE 3 END AS bucket
+  FROM documents
+), f AS (
+  SELECT bucket, MAX(n_chars) AS ub FROM b GROUP BY bucket
+), audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_files_total,
+         CAST(COUNT(*) FILTER (ub >= 300) AS BIGINT) AS n_files_read
+  FROM f
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       a.n_files_total, a.n_files_read
+FROM b d CROSS JOIN audit a
+WHERE d.n_chars >= 300
+GROUP BY d.lang, a.n_files_total, a.n_files_read
+""",
+    description="Delta data skipping on add-action stats (the twin of "
+    "scan_iceberg_metrics_pruned): every commit records per-file "
+    "numRecords/minValues/maxValues in its add action's stats JSON "
+    "(computed by one tiny aggregate at write time); the reader "
+    "evaluates n_chars >= 300 against the recorded bounds and skips "
+    "files the stats prove empty without opening them. The table is "
+    "built as range-clustered append commits (the layout a streaming "
+    "ingest naturally produces when partitioned by a rolling key), so "
+    "exactly the upper buckets survive; n_files_total vs n_files_read "
+    "audit the metadata-level skip and the per-lang aggregates over "
+    "the surviving files must match the generating SQL exactly. Both "
+    "open formats now prune identically: stats in the commit log "
+    "(Delta) vs bounds in the manifests (Iceberg).",
+    tags=("scan", "storage", "pruning", "pipeline"),
+)
+def scan_delta_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_stats_{sfx}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    slim = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    edges = [None, 150, 300, 450, None]
+    bi = 0
+    for i in range(4):
+        lo, hi = edges[i], edges[i + 1]
+        part = slim
+        if lo is not None:
+            part = part.filter(F.col("n_chars") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("n_chars") < hi)
+        if part.limit(1).count() == 0:
+            continue
+        DL.append_batch_to_delta(
+            spark, root, part, app_id="stats_fixture", batch_id=bi
+        )
+        bi += 1
+    files, n_total = DL.delta_snapshot_files_pruned(
+        root, {"n_chars": (300, None)}
+    )
+    return (
+        spark.read.parquet(*files)
+        .filter(F.col("n_chars") >= 300)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.lit(n_total).cast("bigint").alias("n_files_total"),
+            F.lit(len(files)).cast("bigint").alias("n_files_read"),
+        )
+    )

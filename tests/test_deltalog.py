@@ -538,3 +538,31 @@ def test_restore_rolls_back_as_new_commit(tmp_path, spark):
     assert {r.k for r in DL.read_delta(spark, root).collect()} == {2}
     DL.restore_delta(spark, root, v)
     assert {r.k for r in DL.read_delta(spark, root).collect()} == {1, 2}
+
+
+def test_stats_based_file_skipping(tmp_path, spark):
+    root = str(tmp_path / "skip")
+    # 4 range-clustered batches: k in [0,10), [10,20), [20,30), [30,40)
+    for i in range(4):
+        DL.append_batch_to_delta(
+            spark, root,
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{j}") for j in range(10)],
+                "k long, v string",
+            ),
+            app_id="skip", batch_id=i,
+        )
+    files, n_total = DL.delta_snapshot_files_pruned(root, {"k": (25, None)})
+    assert n_total == 4 and len(files) == 2  # batches 2 and 3 survive
+    rows = spark.read.parquet(*files).filter("k >= 25").count()
+    assert rows == 15
+    # upper-bounded range keeps only the first file
+    files_lo, _ = DL.delta_snapshot_files_pruned(root, {"k": (None, 5)})
+    assert len(files_lo) == 1
+    # a column with no stats never prunes
+    files_ns, _ = DL.delta_snapshot_files_pruned(root, {"nope": (0, 1)})
+    assert len(files_ns) == 4
+    # stats JSON carries numRecords + both bounds
+    adds, _, _ = DL._replay(root)
+    s = json.loads(list(adds.values())[0]["stats"])
+    assert s["numRecords"] == 10 and "k" in s["minValues"]
