@@ -383,12 +383,34 @@ def simhash_dup_groups(
     )
 
 
+def occupancy_plane_depth(
+    n_rows: int,
+    max_planes: int,
+    target_occupancy: int = 16,
+    min_planes: int = 4,
+) -> int:
+    """Signature depth that keeps expected LSH bucket occupancy constant.
+
+    ``k = clamp(ceil(log2(n / target_occupancy)), min_planes, max_planes)``
+    so expected rows-per-bucket stays ~``target_occupancy`` as the corpus
+    grows: at 8x data the depth gains 3 bits and in-bucket pair work stays
+    linear in n instead of quadratic in occupancy. The formula is pure
+    double-precision arithmetic so a SQL oracle can replay it bit-identically
+    (``ceil(log2(count(*)/16.0))``).
+    """
+    import math
+
+    raw = math.ceil(math.log2(max(n_rows, 1) / float(target_occupancy)))
+    return max(min_planes, min(max_planes, raw))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_hyperplanes: list[list[float]] | None = None,
+    target_occupancy: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -396,6 +418,16 @@ def embedding_neardup_pairs(
     join key) — the 100 TB path; candidates only within a bucket. Without:
     full O(n²) self-join (correct baseline for verification).
     Returns (id_a, id_b, cos_sim).
+
+    With ``target_occupancy`` set, ``bucket_hyperplanes`` is treated as the
+    MAX plane set and the effective signature depth is derived from the
+    corpus count via :func:`occupancy_plane_depth` — expected bucket
+    occupancy (hence per-bucket pair work) stays constant as the corpus
+    grows, so total candidates scale linearly in n rather than
+    quadratically in occupancy. One scalar ``count()`` job at plan-build
+    time buys a depth that is correct at any scale; the seeded plane
+    stream makes ``planes[:k]`` a stable prefix, so the bucketing is
+    continuous in n.
     """
     from news_ingestion_data_pipeline_spark.functions import vectors as V
     from news_ingestion_data_pipeline_spark.tables import spread
@@ -409,8 +441,14 @@ def embedding_neardup_pairs(
         V.norm(F.col(vec_col)).alias("nrm"),
     )
     if bucket_hyperplanes is not None:
+        planes = bucket_hyperplanes
+        if target_occupancy is not None:
+            k = occupancy_plane_depth(
+                emb.count(), len(bucket_hyperplanes), target_occupancy
+            )
+            planes = bucket_hyperplanes[:k]
         base = base.withColumn(
-            "bucket", V.hyperplane_signature(F.col("vec"), bucket_hyperplanes)
+            "bucket", V.hyperplane_signature(F.col("vec"), planes)
         )
         # Salted bucket self-join: a plain shuffle join on `bucket` caps
         # parallelism at 2^n_planes tasks, and broadcasting one side (the
@@ -419,8 +457,9 @@ def embedding_neardup_pairs(
         # cost of replicating the build side `salt` times in the shuffle
         # (S*n rows, bounded, vs executors*n for a broadcast): a-side
         # rows carry salt = id % S, the b-side is replicated across all
-        # S salts, so every in-bucket pair matches exactly once. At true
-        # corpus scale raise n_planes AND salt together.
+        # S salts, so every in-bucket pair matches exactly once. With
+        # occupancy-derived depth the bucket count itself grows with n,
+        # so salt is a fixed parallelism multiplier, not a scale knob.
         salt = 8
         a = base.withColumn(
             "salt", F.pmod(F.col("id"), F.lit(salt))

@@ -875,34 +875,74 @@ def compact_delta(
     bytes without changing rows (streaming consumers skip it; the CDF
     reader here ignores non-dataChange adds for the same reason).
     DV-carrying snapshots compact through the resolving read, folding
-    deletions into the rewrite. Returns (version, n_files_before,
+    deletions into the rewrite. Column-mapped tables compact correctly:
+    read_delta surfaces LOGICAL names, so the rewrite projects back to
+    the schemaString's physical names (carrying parquet field ids for
+    mode ``id``) before writing — otherwise the next read's
+    physical->logical projection would find no ``col-N`` columns and
+    return all-NULL rows. Returns (version, n_files_before,
     n_files_after)."""
+    from pyspark.sql import functions as F
+
     adds, protocol, metadata = _replay(root)
     _check_protocol(protocol, metadata)
     n_before = len(adds)
     df = read_delta(spark, root)
+    mapping = _column_mapping(metadata)
+    restore_field_id_conf: str | None = None
+    if mapping is not None:
+        phys_cols = []
+        for m in mapping:
+            if m["name"] not in df.columns:
+                continue
+            if m["id"] is not None:
+                phys_cols.append(
+                    F.col(m["name"]).alias(
+                        m["physicalName"],
+                        metadata={"parquet.field.id": int(m["id"])},
+                    )
+                )
+            else:
+                phys_cols.append(F.col(m["name"]).alias(m["physicalName"]))
+        df = df.select(*phys_cols)
+        restore_field_id_conf = spark.conf.get(
+            "spark.sql.parquet.fieldId.write.enabled", None
+        )
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     version = list_commit_versions(root)[-1] + 1
     names = []
-    if max_files == 1:
-        name = f"compact-{version:05d}.parquet"
-        _write_single_parquet(df, root, name)
-        names.append(name)
-    else:
-        tmp = os.path.join(root, f"._tmp_compact_{version}")
-        df.coalesce(max_files).write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        for i, part in enumerate(
-            sorted(
-                n
-                for n in os.listdir(tmp)
-                if n.endswith(".parquet") and not n.startswith(".")
-            )
-        ):
-            name = f"compact-{version:05d}-{i:03d}.parquet"
-            shutil.move(os.path.join(tmp, part), os.path.join(root, name))
+    try:
+        if max_files == 1:
+            name = f"compact-{version:05d}.parquet"
+            _write_single_parquet(df, root, name)
             names.append(name)
-        shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            tmp = os.path.join(root, f"._tmp_compact_{version}")
+            df.coalesce(max_files).write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            for i, part in enumerate(
+                sorted(
+                    n
+                    for n in os.listdir(tmp)
+                    if n.endswith(".parquet") and not n.startswith(".")
+                )
+            ):
+                name = f"compact-{version:05d}-{i:03d}.parquet"
+                shutil.move(os.path.join(tmp, part), os.path.join(root, name))
+                names.append(name)
+            shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        # the fieldId conf is session-global: restore the caller's value
+        # so unrelated writes in the same session keep their footers
+        if mapping is not None:
+            if restore_field_id_conf is None:
+                spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+            else:
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled",
+                    restore_field_id_conf,
+                )
     actions: list[dict] = []
     ts = 1700000000000
     for name in names:
@@ -990,7 +1030,7 @@ def _last_checkpoint(root: str) -> dict | None:
         return json.load(fh)
 
 
-def write_checkpoint(root: str, version: int) -> str:
+def write_checkpoint(root: str, version: int, parts: int = 1) -> str:
     """Materialize the snapshot state at ``version`` as a
     ``%020d.checkpoint.parquet`` — one row per live add action PLUS the
     protocol and metaData rows the spec requires a checkpoint to carry
@@ -998,7 +1038,13 @@ def write_checkpoint(root: str, version: int) -> str:
     them without older JSON commits) — plus the ``_last_checkpoint``
     pointer. Written with pyarrow: the checkpoint is metadata-scale,
     and keeping the log layer Spark-free mirrors how production
-    readers resolve snapshots before any cluster work starts."""
+    readers resolve snapshots before any cluster work starts.
+
+    ``parts > 1`` writes the spec's MULTI-PART checkpoint — N files
+    named ``%020d.checkpoint.%010d.%010d.parquet`` (1-indexed part /
+    total) with the add rows split across parts and the pointer
+    carrying ``parts: N``; routine for large tables whose single
+    checkpoint parquet would be unwieldy. Returns the (first) file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1018,13 +1064,22 @@ def write_checkpoint(root: str, version: int) -> str:
     add_t = pa.struct(
         [
             ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
             ("deletionVector", dv_t),
         ]
     )
     remove_t = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
     protocol_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     meta_t = pa.struct(
         [
@@ -1038,6 +1093,10 @@ def write_checkpoint(root: str, version: int) -> str:
     proto_row = {
         "minReaderVersion": (protocol or {}).get("minReaderVersion", 1),
         "minWriterVersion": (protocol or {}).get("minWriterVersion", 2),
+        # reader-v3/writer-v7 tables MUST carry their feature lists in
+        # the checkpoint — a foreign reader gates on them by name
+        "readerFeatures": (protocol or {}).get("readerFeatures"),
+        "writerFeatures": (protocol or {}).get("writerFeatures"),
     }
     meta_row = None
     if metadata is not None:
@@ -1060,7 +1119,21 @@ def write_checkpoint(root: str, version: int) -> str:
                 [
                     {
                         "path": p,
-                        "dataChange": True,
+                        # the FULL spec add action: partitionValues /
+                        # size / modificationTime are required fields,
+                        # and stats must survive the checkpoint or data
+                        # skipping dies after checkpoint-seeded replay
+                        "partitionValues": list(
+                            (adds[p].get("partitionValues") or {}).items()
+                        ),
+                        "size": adds[p].get("size"),
+                        "modificationTime": adds[p].get(
+                            "modificationTime"
+                        ),
+                        "dataChange": bool(
+                            adds[p].get("dataChange", True)
+                        ),
+                        "stats": adds[p].get("stats"),
                         "deletionVector": adds[p].get("deletionVector"),
                     }
                     for p in rel
@@ -1077,16 +1150,37 @@ def write_checkpoint(root: str, version: int) -> str:
             ),
         }
     )
-    cp = os.path.join(
-        root, "_delta_log", f"{version:020d}.checkpoint.parquet"
-    )
-    pq.write_table(table, cp)
+    pointer: dict = {"version": version, "size": n + 2}
+    if parts <= 1:
+        cp = os.path.join(
+            root, "_delta_log", f"{version:020d}.checkpoint.parquet"
+        )
+        pq.write_table(table, cp)
+    else:
+        # contiguous row ranges per part; protocol/metaData rows ride
+        # in the last slice (the spec allows any distribution)
+        total = n + 2
+        per = -(-total // parts)  # ceil
+        first = None
+        for i in range(parts):
+            sl = table.slice(i * per, per)
+            part_path = os.path.join(
+                root,
+                "_delta_log",
+                f"{version:020d}.checkpoint."
+                f"{i + 1:010d}.{parts:010d}.parquet",
+            )
+            pq.write_table(sl, part_path)
+            if first is None:
+                first = part_path
+        pointer["parts"] = parts
+        cp = first
     with open(
         os.path.join(root, "_delta_log", "_last_checkpoint"),
         "w",
         encoding="utf-8",
     ) as fh:
-        json.dump({"version": version, "size": n + 2}, fh)
+        json.dump(pointer, fh)
     return cp
 
 
@@ -1141,18 +1235,74 @@ def _replay_from_checkpoint(
             len([v for v in versions if v <= version]),
         )
     cp_version = cp["version"]
-    cp_path = os.path.join(
-        root, "_delta_log", f"{cp_version:020d}.checkpoint.parquet"
-    )
+    log_dir = os.path.join(root, "_delta_log")
+    n_parts = cp.get("parts")
+    if n_parts:
+        # spec multi-part checkpoint: N files, union of their action
+        # rows IS the checkpoint — names carry 1-indexed part/total
+        cp_paths = [
+            os.path.join(
+                log_dir,
+                f"{cp_version:020d}.checkpoint."
+                f"{i + 1:010d}.{int(n_parts):010d}.parquet",
+            )
+            for i in range(int(n_parts))
+        ]
+        missing = [p for p in cp_paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"multi-part checkpoint v{cp_version} missing "
+                f"{len(missing)}/{n_parts} part files "
+                f"(e.g. {os.path.basename(missing[0])})"
+            )
+    else:
+        single = os.path.join(
+            log_dir, f"{cp_version:020d}.checkpoint.parquet"
+        )
+        if not os.path.exists(single):
+            # a pointer without `parts` whose classic file is absent is
+            # a layout we don't speak (e.g. checkpointPolicy=v2 UUID
+            # manifests with sidecars) — raise by feature name, same
+            # discipline as the readerFeatures gate
+            import glob as _glob
+
+            uuid_named = _glob.glob(
+                os.path.join(
+                    log_dir, f"{cp_version:020d}.checkpoint.*.parquet"
+                )
+            ) + _glob.glob(
+                os.path.join(
+                    log_dir, f"{cp_version:020d}.checkpoint.*.json"
+                )
+            )
+            if uuid_named:
+                raise ValueError(
+                    "unsupported Delta checkpoint layout: v2Checkpoint "
+                    "(UUID-named manifest"
+                    f" {os.path.basename(uuid_named[0])!r} with sidecar "
+                    "files; supported: classic and multi-part)"
+                )
+            raise FileNotFoundError(
+                f"checkpoint v{cp_version} referenced by _last_checkpoint "
+                "not found"
+            )
+        cp_paths = [single]
     adds: dict[str, dict] = {}
     protocol: dict | None = None
     metadata: dict | None = None
-    for row in pq.read_table(cp_path).to_pylist():
+    rows: list[dict] = []
+    for p in cp_paths:
+        rows.extend(pq.read_table(p).to_pylist())
+    for row in rows:
         if row.get("add") is not None:
             a = {k: v for k, v in row["add"].items() if v is not None}
+            if isinstance(a.get("partitionValues"), list):
+                a["partitionValues"] = dict(a["partitionValues"])
             adds[a["path"]] = a
         if row.get("protocol") is not None:
-            protocol = row["protocol"]
+            protocol = {
+                k: v for k, v in row["protocol"].items() if v is not None
+            }
         if row.get("metaData") is not None:
             m = dict(row["metaData"])
             if isinstance(m.get("configuration"), list):

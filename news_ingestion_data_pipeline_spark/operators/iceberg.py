@@ -1179,10 +1179,28 @@ def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
     commit) and physically delete data files and manifest/manifest-list
     Avro files reachable ONLY from expired snapshots. Returns the
     deleted table-relative paths. Time travel into expired snapshots
-    raises afterwards; retained snapshots are untouched."""
+    raises afterwards; retained snapshots are untouched.
+
+    The snapshot referenced by ``current-snapshot-id`` is ALWAYS part of
+    the retained set, mirroring real Iceberg (expireSnapshots never
+    expires the current snapshot): after :func:`rollback_to_snapshot`
+    the current snapshot may sit outside the tail, and dropping it
+    would physically delete live data files — unrecoverable loss plus
+    KeyError on the next read."""
     meta = current_metadata(root)
     snapshots = meta["snapshots"]
-    retained = snapshots[-keep_last:]
+    retained = list(snapshots[-keep_last:])
+    current_id = meta.get("current-snapshot-id")
+    if current_id is not None and current_id not in {
+        s["snapshot-id"] for s in retained
+    }:
+        current = [s for s in snapshots if s["snapshot-id"] == current_id]
+        if not current:
+            raise ValueError(
+                f"current-snapshot-id {current_id} not in snapshot history"
+            )
+        # keep history ordering: current precedes the retained tail
+        retained = current + retained
     keep: set[str] = set()
     for s in retained:
         mlist = s["manifest-list"]

@@ -659,35 +659,49 @@ def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Coarser 4-plane signature for the near-dup sweep: recall over precision
-#: (fewer planes → bigger buckets → more candidate pairs survive into the
-#: exact-cosine verify stage).
-_PLANES4 = SIM.make_hyperplanes(dim=64, n_planes=4, seed=42)
+#: Master plane set for the occupancy-constant near-dup sweep. The seeded
+#: Gaussian stream is sequential, so ``_PLANES12[:k]`` is a stable prefix
+#: for any k — the effective depth is derived from the corpus count at
+#: plan-build time (occupancy_plane_depth) and the oracle replays the same
+#: ``ceil(log2(count/16.0))`` clamp over a substr of the full signature.
+_PLANES12 = SIM.make_hyperplanes(dim=64, n_planes=12, seed=42)
 
 
 @register(
     "dedup_embedding_neardup",
     oracle=f"""
-WITH sig AS (
+WITH depth AS (
+  SELECT GREATEST(4, LEAST(12,
+           CAST(ceil(log2(GREATEST(count(*), 1) / 16.0)) AS INT))) AS k
+  FROM embeddings
+),
+sig AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_hyperplane_sql_bits(_PLANES4)} AS bucket
+         substr({_hyperplane_sql_bits(_PLANES12)}, 1, (SELECT k FROM depth))
+           AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, q.vec_id AS id_b, {_SQL_COS} AS cos_sim
 FROM sig a JOIN sig q ON a.bucket = q.bucket AND a.vec_id < q.vec_id
 WHERE {_SQL_COS} >= 0.35
 """,
-    description="Embedding-cosine near-duplicate pairs through LSH buckets: "
-    "candidates share the 4-bit hyperplane signature (equi-join), exact "
-    "cosine >= 0.35 verifies. The 100 TB embedding-dedup path — contrast "
-    "with sim_pairs_above_threshold's full O(n^2) baseline.",
+    description="Embedding-cosine near-duplicate pairs through LSH buckets "
+    "with OCCUPANCY-CONSTANT depth: the signature uses the first "
+    "k = clamp(ceil(log2(n/16)), 4, 12) planes of a seeded 12-plane master "
+    "set, so expected bucket occupancy (and per-bucket pair work) stays "
+    "~16 as the corpus grows — candidates scale linearly in n, not "
+    "quadratically in occupancy. Exact cosine >= 0.35 verifies. The 100 TB "
+    "embedding-dedup path — contrast with sim_pairs_above_threshold's full "
+    "O(n^2) baseline; the banded variant (dedup_embedding_neardup_banded) "
+    "is the recall-tuned sibling.",
     tags=("llm", "dedup", "similarity"),
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_neardup_pairs(
         t(spark, sf_dir, "embeddings"),
         threshold=0.35,
-        bucket_hyperplanes=_PLANES4,
+        bucket_hyperplanes=_PLANES12,
+        target_occupancy=16,
     )
 
 

@@ -283,7 +283,8 @@ def test_checkpoint_carries_protocol_and_metadata(tmp_path, spark):
     t = pq.read_table(cp).to_pylist()
     protos = [r["protocol"] for r in t if r["protocol"] is not None]
     metas = [r["metaData"] for r in t if r["metaData"] is not None]
-    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2,
+                       "readerFeatures": None, "writerFeatures": None}]
     assert len(metas) == 1
     schema = json.loads(metas[0]["schemaString"])
     assert [f["name"] for f in schema["fields"]] == ["k", "v"]
@@ -566,3 +567,162 @@ def test_stats_based_file_skipping(tmp_path, spark):
     adds, _, _ = DL._replay(root)
     s = json.loads(list(adds.values())[0]["stats"])
     assert s["numRecords"] == 10 and "k" in s["minValues"]
+
+
+def test_compact_delta_column_mapped_table(tmp_path, spark):
+    """OPTIMIZE on a column-mapped table must write the compacted file
+    under the schemaString's PHYSICAL names (col-N) — a logical-name
+    rewrite would make the next read's physical->logical projection
+    come up empty and return all-NULL rows."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cm_opt")
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, "fr", 200)],
+        "doc_id long, lang string, n_chars long",
+    )
+    DL.write_delta_column_mapping_fixture(spark, docs, root)
+    before = {r.doc_id: r.char_count for r in DL.read_delta(spark, root).collect()}
+    conf_before = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", None)
+    v, n_before, n_after = DL.compact_delta(spark, root)
+    assert (n_before, n_after) == (1, 1)
+    cur = DL.read_delta(spark, root)
+    assert cur.columns == ["doc_id", "lang", "char_count"]
+    after = {r.doc_id: r.char_count for r in cur.collect()}
+    assert after == before  # values survive, no all-NULL rows
+    # the compacted file's footer carries the physical names + field ids
+    files = DL.delta_snapshot_files(root)
+    sch = pq.read_schema(files[0])
+    assert sch.names == ["col-1", "col-2", "col-3"]
+    fid = (sch.field(0).metadata or {}).get(b"PARQUET:field_id")
+    assert fid == b"1"
+    # the session conf side effect is restored to its prior value
+    assert spark.conf.get(
+        "spark.sql.parquet.fieldId.write.enabled", None
+    ) == conf_before
+
+
+def test_multipart_checkpoint_roundtrip(tmp_path):
+    """parts>1 writes N spec-named part files; resolution unions them
+    and matches full JSON replay exactly."""
+    import glob
+
+    root = _mk_table(
+        tmp_path,
+        {
+            0: [_add(f"f{i}.parquet") for i in range(5)],
+            1: [_rm("f0.parquet"), _add("g.parquet")],
+            2: [_add("h.parquet")],
+        },
+    )
+    DL.write_checkpoint(root, 1, parts=3)
+    names = sorted(
+        os.path.basename(p)
+        for p in glob.glob(
+            os.path.join(root, "_delta_log", "*.checkpoint.*.parquet")
+        )
+    )
+    assert names == [
+        f"{1:020d}.checkpoint.{i + 1:010d}.{3:010d}.parquet"
+        for i in range(3)
+    ]
+    assert DL._last_checkpoint(root)["parts"] == 3
+    files, cp_v, replayed = DL.delta_snapshot_files_checkpointed(root)
+    assert cp_v == 1 and replayed == 1
+    assert files == DL.delta_snapshot_files(root)
+    # a missing part file is a hard, named error — never a silent subset
+    os.remove(
+        os.path.join(
+            root,
+            "_delta_log",
+            f"{1:020d}.checkpoint.{2:010d}.{3:010d}.parquet",
+        )
+    )
+    with pytest.raises(FileNotFoundError, match="multi-part"):
+        DL.delta_snapshot_files_checkpointed(root)
+
+
+def test_v2_uuid_checkpoint_layout_raises_by_name(tmp_path):
+    """A _last_checkpoint pointer whose classic file is absent but a
+    UUID-named manifest exists is the v2Checkpoint layout — gate by
+    feature name instead of FileNotFoundError."""
+    root = _mk_table(tmp_path, {0: [_add("a.parquet")]})
+    log = os.path.join(root, "_delta_log")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 0, "size": 3}, fh)
+    uuid_cp = os.path.join(
+        log, f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    )
+    with open(uuid_cp, "wb") as fh:
+        fh.write(b"PAR1")
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        DL.delta_snapshot_files_checkpointed(root)
+
+
+def test_checkpoint_carries_full_add_actions_and_features(tmp_path):
+    """The checkpoint must round-trip partitionValues/size/stats and the
+    protocol's feature lists — data skipping and reader gating both have
+    to survive checkpoint-seeded replay."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    stats = json.dumps(
+        {"numRecords": 7, "minValues": {"k": 1}, "maxValues": {"k": 9}}
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "t",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct",
+                     "fields": [{"name": "k", "type": "long",
+                                 "nullable": True, "metadata": {}}]}
+                ),
+                "partitionColumns": ["p"],
+                "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": "p=1/a.parquet",
+                "partitionValues": {"p": "1"},
+                "size": 1234,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": stats,
+            }
+        },
+    ]
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    cp = DL.write_checkpoint(root, 0)
+    # raw checkpoint rows carry the spec-required fields
+    rows = pq.read_table(cp).to_pylist()
+    add_rows = [r["add"] for r in rows if r.get("add")]
+    assert add_rows[0]["size"] == 1234
+    assert dict(add_rows[0]["partitionValues"]) == {"p": "1"}
+    assert json.loads(add_rows[0]["stats"])["numRecords"] == 7
+    proto_rows = [r["protocol"] for r in rows if r.get("protocol")]
+    assert proto_rows[0]["readerFeatures"] == ["deletionVectors"]
+    assert proto_rows[0]["writerFeatures"] == ["deletionVectors"]
+    # checkpoint-seeded replay reconstructs the same action state
+    adds, protocol, metadata, cp_v, replayed = DL._replay_from_checkpoint(root)
+    assert cp_v == 0 and replayed == 0
+    a = adds["p=1/a.parquet"]
+    assert a["partitionValues"] == {"p": "1"}
+    assert a["size"] == 1234
+    assert json.loads(a["stats"])["maxValues"]["k"] == 9
+    assert protocol["readerFeatures"] == ["deletionVectors"]

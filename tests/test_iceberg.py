@@ -599,3 +599,24 @@ def test_rollback_is_metadata_only(tmp_path, spark):
     # the rolled-back-over snapshot stays time-travelable
     with pytest.raises(ValueError):
         IB.rollback_to_snapshot(root, 999999)
+
+
+def test_expire_snapshots_retains_current_after_rollback(tmp_path, spark):
+    """expireSnapshots must never expire the snapshot current-snapshot-id
+    points at — after a rollback the current snapshot sits OUTSIDE the
+    keep_last tail, and dropping it would physically delete live data."""
+    root = str(tmp_path / "expire_rb")
+    b1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    b3 = spark.createDataFrame([(3, "c")], "k long, v string")
+    s1 = IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    IB.export_merge_to_iceberg(spark, root, b2, key="k")
+    IB.export_merge_to_iceberg(spark, root, b3, key="k")
+    IB.rollback_to_snapshot(root, s1)
+    # keep_last=1 would retain only s3; s1 (current) must survive too
+    IB.expire_snapshots(root, keep_last=1)
+    meta = IB.current_metadata(root)
+    assert meta["current-snapshot-id"] == s1
+    assert s1 in {s["snapshot-id"] for s in meta["snapshots"]}
+    # live read still works — s1's data files were NOT deleted
+    assert {r.v for r in IB.read_iceberg(spark, root).collect()} == {"a"}
