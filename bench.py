@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "pipeline_iceberg_rollback",
     "dedup_embedding_neardup_banded",
     "scan_delta_stats_pruned",
+    # round 7
+    "scan_iceberg_v3_dv",
 ]
 
 

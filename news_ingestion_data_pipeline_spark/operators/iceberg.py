@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,6 +49,22 @@ def current_metadata(root: str) -> dict:
         return json.load(fh)
 
 
+def _check_format_version(meta: dict, max_supported: int = 2) -> None:
+    """Gate foreign metadata by ``format-version`` NAME, mirroring the
+    Delta reader's readerFeatures discipline: an Iceberg v3 table
+    (deletion vectors in Puffin files, row lineage) silently resolved
+    under v2 rules would skip its DV delete files and resurrect deleted
+    rows. The v3-aware entry points pass ``max_supported=3``."""
+    fv = meta.get("format-version", 1)
+    if fv > max_supported:
+        raise ValueError(
+            f"unsupported Iceberg format-version {fv} "
+            "(v3 adds Puffin deletion vectors and row lineage; "
+            f"this resolver supports <= {max_supported} — use the "
+            "v3-aware read_iceberg_v3 for DV tables)"
+        )
+
+
 def snapshot_files(
     root: str,
     snapshot_id: int | None = None,
@@ -71,6 +88,7 @@ def snapshot_files(
     counts live files BEFORE pruning (the audit number proving files
     were skipped by metadata alone)."""
     meta = current_metadata(root)
+    _check_format_version(meta)
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
@@ -1058,15 +1076,28 @@ def export_merge_to_iceberg(
         merged = updates
         snap_id, version, snapshots = 1001, 1, []
     schema = _export_schema(merged, meta)
-    # stamp field ids into the parquet footers so readers resolve by id
+    # stamp field ids into the parquet footers so readers resolve by id;
+    # the enabling conf is session-global, so save/restore it around the
+    # write — unrelated writes in the same session keep their footers
+    prior_conf = spark.conf.get(
+        "spark.sql.parquet.fieldId.write.enabled", None
+    )
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    stamped = merged
-    for f in schema["fields"]:
-        stamped = stamped.withMetadata(
-            f["name"], {"parquet.field.id": f["id"]}
-        )
-    name = f"data/part-{snap_id}.parquet"
-    _write_single_parquet(stamped, root, name)
+    try:
+        stamped = merged
+        for f in schema["fields"]:
+            stamped = stamped.withMetadata(
+                f["name"], {"parquet.field.id": f["id"]}
+            )
+        name = f"data/part-{snap_id}.parquet"
+        _write_single_parquet(stamped, root, name)
+    finally:
+        if prior_conf is None:
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", prior_conf
+            )
 
     def _entry(status: int, path: str) -> dict:
         full = os.path.join(root, path)
@@ -1325,7 +1356,25 @@ def snapshot_files_v2(
     """(data_files, equality_delete_files) live at the snapshot — the
     format-v2 resolution where delete manifests (content=1) ride the
     same manifest list as data manifests (content=0)."""
+    data, deletes = snapshot_entries_v2(root, snapshot_id)
+    return sorted(p for p, _ in data), sorted(p for p, _ in deletes)
+
+
+def snapshot_entries_v2(
+    root: str, snapshot_id: int | None = None
+) -> tuple[list[tuple[str, int | None]], list[tuple[str, int | None]]]:
+    """Live (path, sequence_number) pairs at the snapshot, split into
+    data vs delete files. Sequence numbers follow the spec's
+    inheritance rule: an entry's explicit ``sequence_number`` when
+    recorded, else the id of the snapshot that ADDED it (this module
+    commits exactly one snapshot per sequence number with monotone ids,
+    so the committing snapshot's id IS the assigned data sequence
+    number), else the manifest-list's ``added_snapshot_id``. ``None``
+    when nothing is recorded — callers must then fall back to unscoped
+    delete application (the conservative legacy behavior for foreign
+    pre-v2 metadata)."""
     meta = current_metadata(root)
+    _check_format_version(meta)
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
@@ -1336,15 +1385,25 @@ def snapshot_files_v2(
     _, manifests = AV.read_container(
         _resolve(root, snaps[snapshot_id]["manifest-list"])
     )
-    data, deletes = [], []
+    data: list[tuple[str, int | None]] = []
+    deletes: list[tuple[str, int | None]] = []
     for m in manifests:
         bucket = deletes if m.get("content", 0) == 1 else data
         _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
         for e in entries:
             if e["status"] == _STATUS_DELETED:
                 continue
-            bucket.append(_resolve(root, e["data_file"]["file_path"]))
-    return sorted(data), sorted(deletes)
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = e.get("snapshot_id")
+            if seq is None:
+                seq = m.get("added_snapshot_id")
+            bucket.append(
+                (_resolve(root, e["data_file"]["file_path"]), seq)
+            )
+    data.sort()
+    deletes.sort()
+    return data, deletes
 
 
 def read_iceberg_merge_on_read(
@@ -1396,24 +1455,188 @@ def read_iceberg_resolved(
     caller-supplied field name is needed). Internal reads that chain
     commits (the MERGE exporter's previous-state load, a second delete)
     MUST use this resolver — resolving through raw data files would
-    resurrect deleted rows."""
-    data, deletes = snapshot_files_v2(root, snapshot_id)
-    pos_files, eq_groups = _classify_deletes(deletes)
-    if pos_files:
-        df = _with_position(spark, root, data)
-        dels = spark.read.parquet(*pos_files).select("file_path", "pos")
-        df = df.join(
-            dels,
-            (df["__file"] == dels["file_path"])
-            & (df["__pos"] == dels["pos"]),
-            "left_anti",
-        ).drop("__file", "__pos")
+    resurrect deleted rows.
+
+    Delete application is SEQUENCE-NUMBER SCOPED per the spec: an
+    equality delete file applies only to data files with STRICTLY lower
+    sequence numbers, a positional delete to data files with lower-or-
+    equal numbers — so a key appended AFTER an equality delete is never
+    wrongly dropped in a snapshot where both files are live. Entries
+    without any recorded sequence information fall back to unscoped
+    application (conservative legacy behavior for foreign metadata)."""
+    df = _resolved_with_position(spark, root, snapshot_id)
+    return df.drop("__file", "__pos", "__seq")
+
+
+def _resolved_with_position(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Core of :func:`read_iceberg_resolved` retaining the ``__file`` /
+    ``__pos`` identity columns (and ``__seq`` when scoping is active) —
+    shared with :func:`append_positional_delete`, whose new delete
+    records are positions over LIVE rows only."""
+    from pyspark.sql import functions as F
+
+    data_entries, delete_entries = snapshot_entries_v2(root, snapshot_id)
+    data = [p for p, _ in data_entries]
+    delete_seq = {p: s for p, s in delete_entries}
+    pos_files, eq_groups = _classify_deletes([p for p, _ in delete_entries])
+    scoped = all(s is not None for _, s in data_entries) and all(
+        s is not None for _, s in delete_entries
+    )
+    df = _with_position(spark, root, data)
+    if scoped and delete_entries:
+        seq_rows = [
+            (os.path.relpath(p, root), int(s)) for p, s in data_entries
+        ]
+        seq_df = F.broadcast(
+            spark.createDataFrame(seq_rows, "__sf string, __seq long")
+        )
+        df = df.join(seq_df, df["__file"] == seq_df["__sf"], "left").drop(
+            "__sf"
+        )
     else:
-        df = spark.read.parquet(*data)
+        df = df.withColumn("__seq", F.lit(None).cast("long"))
+
+    def _tagged(files: list[str], cols) -> DataFrame:
+        parts = []
+        for f in files:
+            d = spark.read.parquet(f).select(*cols)
+            s = delete_seq.get(f)
+            parts.append(
+                d.withColumn(
+                    "__dseq",
+                    F.lit(int(s) if scoped and s is not None else None).cast(
+                        "long"
+                    ),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    if pos_files:
+        dels = _tagged(pos_files, ["file_path", "pos"])
+        cond = (df["__file"] == dels["file_path"]) & (
+            df["__pos"] == dels["pos"]
+        )
+        if scoped:
+            # spec: position deletes apply to data files with
+            # data_seq <= delete_seq
+            cond = cond & (df["__seq"] <= dels["__dseq"])
+        df = df.join(dels, cond, "left_anti")
     for names in sorted(eq_groups):
-        keys = spark.read.parquet(*eq_groups[names]).distinct()
-        df = df.join(keys, list(names), "left_anti")
+        # a row is dropped iff SOME delete file carries its key with a
+        # higher sequence number — i.e. data_seq < max(del_seq) per key
+        keys = (
+            _tagged(eq_groups[names], list(names))
+            .groupBy(*names)
+            .agg(F.max("__dseq").alias("__dseq"))
+        )
+        cond = None
+        for c in names:
+            eq = df[c].eqNullSafe(keys[c])
+            cond = eq if cond is None else cond & eq
+        if scoped:
+            # spec: equality deletes apply only to data files with
+            # STRICTLY lower sequence numbers
+            cond = cond & (df["__seq"] < keys["__dseq"])
+        df = df.join(keys, cond, "left_anti")
     return df
+
+
+def append_data_file(
+    spark: SparkSession, root: str, rows: DataFrame
+) -> int:
+    """Commit a fast-append snapshot: one new data file + one content=0
+    manifest, previous manifests re-referenced untouched (the spec's
+    append operation — no rewrite, no delete-manifest drop). The new
+    entry's snapshot id IS its data sequence number, so a row appended
+    after an equality delete of the same key survives sequence-scoped
+    resolution (read_iceberg_resolved): the delete only applies to
+    strictly OLDER data files."""
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    meta = current_metadata(root)
+    _check_format_version(meta)
+    prev = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _, prev_manifests = AV.read_container(
+        _resolve(root, snaps[prev]["manifest-list"])
+    )
+    snap_id = prev + 1
+    name = f"data/append-{snap_id}.parquet"
+    _write_single_parquet(rows, root, name)
+    m_add = f"m-{snap_id}-append.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", m_add),
+        _MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": name,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, name)
+                    ),
+                },
+            }
+        ],
+    )
+    mlist_entries = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m["partition_spec_id"],
+            "content": m.get("content", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+        }
+        for m in prev_manifests
+    ] + [
+        {
+            "manifest_path": f"metadata/{m_add}",
+            "manifest_length": os.path.getsize(
+                os.path.join(root, "metadata", m_add)
+            ),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    mlist = f"snap-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", mlist),
+        _MANIFEST_LIST_SCHEMA_V2,
+        mlist_entries,
+    )
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "manifest-list": f"metadata/{mlist}",
+            "summary": {"operation": "append"},
+        }
+    ]
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return snap_id
 
 
 def append_equality_delete(
@@ -1557,23 +1780,11 @@ def append_positional_delete(
     meta = current_metadata(root)
     prev = meta["current-snapshot-id"]
     # Positions are computed over LIVE rows only: resolve the previous
-    # snapshot's delete files first, so a chained second delete never
-    # re-records (and re-counts) rows an earlier equality/positional
-    # delete already removed.
-    data_files, prev_deletes = snapshot_files_v2(root, prev)
-    live = _with_position(spark, root, data_files)
-    prev_pos, prev_eq = _classify_deletes(prev_deletes)
-    if prev_pos:
-        dels = spark.read.parquet(*prev_pos).select("file_path", "pos")
-        live = live.join(
-            dels,
-            (live["__file"] == dels["file_path"])
-            & (live["__pos"] == dels["pos"]),
-            "left_anti",
-        )
-    for names in sorted(prev_eq):
-        keys = spark.read.parquet(*prev_eq[names]).distinct()
-        live = live.join(keys, list(names), "left_anti")
+    # snapshot's delete files first (sequence-number scoped, via the
+    # shared resolver), so a chained second delete never re-records
+    # (and re-counts) rows an earlier equality/positional delete
+    # already removed.
+    live = _resolved_with_position(spark, root, prev)
     positions = (
         live.filter(condition)
         .select(
@@ -1670,6 +1881,361 @@ def read_iceberg_positional(
     if deletes:
         dels = spark.read.parquet(*deletes).select(
             "file_path", "pos"
+        )
+        df = df.join(
+            dels,
+            (df["__file"] == dels["file_path"])
+            & (df["__pos"] == dels["pos"]),
+            "left_anti",
+        )
+    return df.drop("__file", "__pos")
+
+
+# ---------------------------------------------------------------------------
+# format v3: deletion vectors in Puffin files
+# (clean-room from the public Iceberg v3 spec "Deletion vectors" + the
+# Puffin file-format spec; the bitmap body is the same 64-bit
+# RoaringBitmapArray serialization Delta uses, so the codec is shared
+# with operators/deltalog.py)
+# ---------------------------------------------------------------------------
+
+_PUFFIN_MAGIC = b"PFA1"
+
+
+def _puffin_write(
+    path: str, blobs: list[tuple[str, bytes, dict]]
+) -> list[dict]:
+    """Write a Puffin file: 4-byte magic, blobs back-to-back, then the
+    footer (magic + JSON payload + 4-byte LE payload size + 4-byte
+    flags + magic). Returns the footer's blob descriptors — each
+    carries the blob's absolute ``offset``/``length``, which manifest
+    entries reference directly as content_offset/content_size_in_bytes
+    (readers never need the footer on the hot path)."""
+    descs: list[dict] = []
+    with open(path, "wb") as fh:
+        fh.write(_PUFFIN_MAGIC)
+        off = len(_PUFFIN_MAGIC)
+        for typ, data, props in blobs:
+            fh.write(data)
+            descs.append(
+                {
+                    "type": typ,
+                    "fields": [],
+                    "offset": off,
+                    "length": len(data),
+                    "properties": props or {},
+                }
+            )
+            off += len(data)
+        payload = json.dumps({"blobs": descs, "properties": {}}).encode(
+            "utf-8"
+        )
+        fh.write(_PUFFIN_MAGIC)
+        fh.write(payload)
+        fh.write(len(payload).to_bytes(4, "little"))
+        fh.write((0).to_bytes(4, "little"))  # flags: uncompressed footer
+        fh.write(_PUFFIN_MAGIC)
+    return descs
+
+
+def _puffin_footer(path: str) -> dict:
+    """Parse + validate a Puffin footer -> its JSON payload."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if raw[:4] != _PUFFIN_MAGIC or raw[-4:] != _PUFFIN_MAGIC:
+        raise ValueError(f"not a Puffin file: {path}")
+    size = int.from_bytes(raw[-12:-8], "little")
+    payload = raw[-12 - size : -12]
+    head = raw[-12 - size - 4 : -12 - size]
+    if head != _PUFFIN_MAGIC:
+        raise ValueError(f"corrupt Puffin footer in {path}")
+    return json.loads(payload.decode("utf-8"))
+
+
+def _dv_blob_encode(indexes: list[int]) -> bytes:
+    """Iceberg v3 ``deletion-vector-v1`` blob: 4-byte BE length of
+    (magic + vector), the magic-prefixed 64-bit RoaringBitmapArray
+    (bit-identical to Delta's serialization — codec shared), and a
+    4-byte BE CRC-32 of (magic + vector)."""
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _roaring_array_serialize,
+    )
+
+    vec = _roaring_array_serialize(indexes)  # magic-prefixed
+    return (
+        len(vec).to_bytes(4, "big")
+        + vec
+        + zlib.crc32(vec).to_bytes(4, "big")
+    )
+
+
+def _dv_blob_decode(raw: bytes, offset: int, size: int) -> list[int]:
+    """Decode a ``deletion-vector-v1`` blob at (offset, size) -> sorted
+    deleted row positions; validates length framing and CRC."""
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _roaring_array_deserialize,
+    )
+
+    blob = raw[offset : offset + size]
+    ln = int.from_bytes(blob[:4], "big")
+    if 4 + ln + 4 != len(blob):
+        raise ValueError(
+            f"deletion-vector blob framing mismatch: header says {ln}, "
+            f"blob is {len(blob)} bytes"
+        )
+    vec = blob[4 : 4 + ln]
+    crc = int.from_bytes(blob[4 + ln : 8 + ln], "big")
+    if zlib.crc32(vec) != crc:
+        raise ValueError("deletion-vector blob checksum mismatch")
+    return _roaring_array_deserialize(vec)
+
+
+_MANIFEST_SCHEMA_V3 = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "partition",
+                            "fields": [
+                                {"name": "lang", "type": ["null", "string"]}
+                            ],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                    },
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+def write_iceberg_v3_dv_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> tuple[int, int]:
+    """Format-v3 table whose second snapshot deletes the ``fr`` rows via
+    a DELETION VECTOR: one Puffin file holding the positional bitmap of
+    the deleted rows, referenced by a content=1 delete manifest whose
+    entry carries (referenced_data_file, content_offset,
+    content_size_in_bytes) — zero data files rewritten, kilobytes
+    committed, the v3 merge-on-read DELETE shape. Returns
+    (snapshot_1, snapshot_2)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    slim = docs.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    data_name = "data/file-0.parquet"
+    _write_single_parquet(slim, root, data_name)
+    # positions (row ordinals in doc_id order) of the rows the DV kills;
+    # bounded by the deleted-row count — the same metadata-scale cost as
+    # Delta's DV encode
+    pos_rows = (
+        slim.select(
+            F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+            "lang",
+        )
+        .filter(F.col("lang") == "fr")
+        .select((F.col("rn") - 1).alias("pos"))
+        .collect()
+    )
+    positions = sorted(r.pos for r in pos_rows)
+    puffin_name = "data/dv-1.puffin"
+    blob = _dv_blob_encode(positions)
+    descs = _puffin_write(
+        os.path.join(root, puffin_name),
+        [
+            (
+                "deletion-vector-v1",
+                blob,
+                {"referenced-data-file": data_name, "cardinality": str(len(positions))},
+            )
+        ],
+    )
+
+    def _entry(content: int, path: str, n: int, extra: dict | None = None) -> dict:
+        full = os.path.join(root, path)
+        df_rec = {
+            "content": content,
+            "file_path": path,
+            "file_format": "PUFFIN" if content == 1 else "PARQUET",
+            "partition": {"lang": None},
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(full),
+            "referenced_data_file": None,
+            "content_offset": None,
+            "content_size_in_bytes": None,
+        }
+        df_rec.update(extra or {})
+        return {"status": 1, "snapshot_id": None, "data_file": df_rec}
+
+    s1, s2 = 3001, 3002
+    m_data = "m-3001-data.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", m_data),
+        _MANIFEST_SCHEMA_V3,
+        [dict(_entry(0, data_name, 0), snapshot_id=s1)],
+    )
+    m_dv = "m-3002-dv.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", m_dv),
+        _MANIFEST_SCHEMA_V3,
+        [
+            dict(
+                _entry(
+                    1,
+                    puffin_name,
+                    len(positions),
+                    {
+                        "referenced_data_file": data_name,
+                        "content_offset": descs[0]["offset"],
+                        "content_size_in_bytes": descs[0]["length"],
+                    },
+                ),
+                snapshot_id=s2,
+            )
+        ],
+    )
+
+    def _mlist(name: str, entries: list[tuple[str, int, int]]) -> None:
+        AV.write_container(
+            os.path.join(root, "metadata", name),
+            _MANIFEST_LIST_SCHEMA_V2,
+            [
+                {
+                    "manifest_path": f"metadata/{m}",
+                    "manifest_length": os.path.getsize(
+                        os.path.join(root, "metadata", m)
+                    ),
+                    "partition_spec_id": 0,
+                    "content": c,
+                    "added_snapshot_id": snap,
+                }
+                for m, c, snap in entries
+            ],
+        )
+
+    _mlist("snap-3001.avro", [(m_data, 0, s1)])
+    _mlist("snap-3002.avro", [(m_data, 0, s1), (m_dv, 1, s2)])
+    meta = {
+        "format-version": 3,
+        "table-uuid": "spark-graft-iceberg-v3-dv",
+        "location": root,
+        "current-snapshot-id": s2,
+        "snapshots": [
+            {
+                "snapshot-id": s1,
+                "manifest-list": "metadata/snap-3001.avro",
+                "summary": {"operation": "append"},
+            },
+            {
+                "snapshot-id": s2,
+                "manifest-list": "metadata/snap-3002.avro",
+                "summary": {"operation": "delete"},
+            },
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v1.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(meta, fh)
+    return s1, s2
+
+
+def read_iceberg_v3(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Snapshot read of a format-v3 table applying Puffin deletion
+    vectors: delete manifests' entries point (referenced_data_file,
+    content_offset, content_size_in_bytes) into Puffin files; the
+    bitmap decode is driver-side metadata-scale (bounded by DV
+    cardinality, exactly like the Delta DV path), the apply is one
+    distributed anti-join on the scan's (file, row_index) identity. v1
+    and v2 tables read fine too (they simply have no DV entries)."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in {sorted(snaps)} for {root}"
+        )
+    _, manifests = AV.read_container(
+        _resolve(root, snaps[snapshot_id]["manifest-list"])
+    )
+    data_files: list[str] = []
+    dv_positions: dict[str, list[int]] = {}
+    for m in manifests:
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            d = e["data_file"]
+            if m.get("content", 0) == 1:
+                ref = d.get("referenced_data_file")
+                if ref is None or d.get("content_offset") is None:
+                    raise ValueError(
+                        "v3 delete manifest entry without deletion-vector "
+                        f"addressing (file {d.get('file_path')!r}); "
+                        "positional/equality delete FILES belong in v2 "
+                        "resolution"
+                    )
+                with open(_resolve(root, d["file_path"]), "rb") as fh:
+                    raw = fh.read()
+                dv_positions.setdefault(ref, []).extend(
+                    _dv_blob_decode(
+                        raw,
+                        int(d["content_offset"]),
+                        int(d["content_size_in_bytes"]),
+                    )
+                )
+            else:
+                data_files.append(_resolve(root, d["file_path"]))
+    df = _with_position(spark, root, sorted(data_files))
+    if dv_positions:
+        rows = [
+            (ref, pos)
+            for ref, poss in sorted(dv_positions.items())
+            for pos in poss
+        ]
+        dels = F.broadcast(
+            spark.createDataFrame(rows, "file_path string, pos long")
         )
         df = df.join(
             dels,

@@ -620,3 +620,86 @@ def test_expire_snapshots_retains_current_after_rollback(tmp_path, spark):
     assert s1 in {s["snapshot-id"] for s in meta["snapshots"]}
     # live read still works — s1's data files were NOT deleted
     assert {r.v for r in IB.read_iceberg(spark, root).collect()} == {"a"}
+
+
+def test_format_version_gate(tmp_path, spark):
+    root = str(tmp_path / "v3gate")
+    b = spark.createDataFrame([(1, "a")], "k long, v string")
+    IB.export_merge_to_iceberg(spark, root, b, key="k")
+    meta = IB.current_metadata(root)
+    meta["format-version"] = 3
+    with open(
+        os.path.join(root, "metadata", "v99.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="format-version 3"):
+        IB.read_iceberg(spark, root)
+    with pytest.raises(ValueError, match="format-version 3"):
+        IB.snapshot_files_v2(root)
+
+
+def test_equality_delete_sequence_scoping(tmp_path, spark):
+    """A key appended AFTER an equality delete must survive resolution:
+    the delete file applies only to data files with strictly lower
+    sequence numbers."""
+    root = str(tmp_path / "seqscope")
+    b = spark.createDataFrame(
+        [(1, "a"), (2, "old"), (3, "c")], "k long, v string"
+    )
+    IB.export_merge_to_iceberg(spark, root, b, key="k")
+    IB.append_equality_delete(
+        spark, root, spark.createDataFrame([(2,)], "k long"), "k"
+    )
+    # resurrection commit: same key appended after the delete
+    IB.append_data_file(
+        spark, root, spark.createDataFrame([(2, "new")], "k long, v string")
+    )
+    rows = {r.k: r.v for r in IB.read_iceberg_resolved(spark, root).collect()}
+    assert rows == {1: "a", 2: "new", 3: "c"}
+    # the old k=2 row stays deleted; the delete is not globally unscoped
+    assert "old" not in rows.values()
+    # positional delete chained on top only sees live rows
+    from pyspark.sql import functions as F
+
+    snap, n = IB.append_positional_delete(spark, root, F.col("k") == 2)
+    assert n == 1  # exactly the NEW row, not the already-deleted old one
+    rows2 = {r.k: r.v for r in IB.read_iceberg_resolved(spark, root).collect()}
+    assert rows2 == {1: "a", 3: "c"}
+
+
+def test_v3_deletion_vector_roundtrip(tmp_path, spark):
+    """Puffin DV fixture -> read_iceberg_v3 applies the bitmap; the v2
+    resolvers gate on format-version 3 by name."""
+    root = str(tmp_path / "v3dv")
+    docs = spark.createDataFrame(
+        [(1, "en", 700), (2, "fr", 800), (3, "fr", 500), (4, "de", 900)],
+        "doc_id long, lang string, n_chars long",
+    )
+    s1, s2 = IB.write_iceberg_v3_dv_fixture(spark, docs, root)
+    rows = {r.doc_id for r in IB.read_iceberg_v3(spark, root).collect()}
+    assert rows == {1, 4}  # fr rows deleted positionally via the DV
+    # snapshot 1 (pre-delete) still sees everything
+    rows1 = {r.doc_id for r in IB.read_iceberg_v3(spark, root, s1).collect()}
+    assert rows1 == {1, 2, 3, 4}
+    # blob validates: CRC + length framing + magic
+    foot = IB._puffin_footer(os.path.join(root, "data", "dv-1.puffin"))
+    assert foot["blobs"][0]["type"] == "deletion-vector-v1"
+    with open(os.path.join(root, "data", "dv-1.puffin"), "rb") as fh:
+        raw = fh.read()
+    b = foot["blobs"][0]
+    assert IB._dv_blob_decode(raw, b["offset"], b["length"]) == [1, 2]
+    # v2 resolvers refuse the v3 table by feature name
+    with pytest.raises(ValueError, match="format-version 3"):
+        IB.read_iceberg(spark, root)
+    with pytest.raises(ValueError, match="format-version 3"):
+        IB.read_iceberg_resolved(spark, root)
+
+
+def test_dv_blob_corruption_detected(tmp_path):
+    blob = IB._dv_blob_encode([0, 5, 1 << 33])
+    raw = b"XX" + blob
+    assert IB._dv_blob_decode(raw, 2, len(blob)) == [0, 5, 1 << 33]
+    bad = bytearray(raw)
+    bad[10] ^= 0xFF
+    with pytest.raises(ValueError):
+        IB._dv_blob_decode(bytes(bad), 2, len(blob))
