@@ -454,8 +454,11 @@ def ngram_jaccard_pairs_cached(
     SparkContext recomputes instead of dereferencing dead RDDs; the
     pair table is tiny (already threshold-filtered), so the pinned
     blocks are a rounding error against executor storage memory."""
+    from news_ingestion_data_pipeline_spark.plans import artifact_cache
+
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIR_CACHE.get(key)
+    artifact_cache.record("ngram_jaccard_pairs", df is not None)
     if df is None:
         df = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
         _PAIR_CACHE[key] = df
@@ -1144,8 +1147,11 @@ def connected_clusters_cached(
     shingle join + pointer-jumping iterations per composition is the
     expensive path; the assignment itself is tiny (only docs in the
     pair graph)."""
+    from news_ingestion_data_pipeline_spark.plans import artifact_cache
+
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _CLUSTER_CACHE.get(key)
+    artifact_cache.record("connected_clusters", df is not None)
     if df is None:
         df = dedup_connected_clusters(spark, sf_dir).localCheckpoint()
         _CLUSTER_CACHE[key] = df

@@ -146,8 +146,11 @@ def weighted_band_candidates_cached(
     ngram_jaccard_pairs_cached applied to the weighted family. The
     candidate table is threshold-filtered and tiny next to the
     corpus; a restarted SparkContext recomputes."""
+    from news_ingestion_data_pipeline_spark.plans import artifact_cache
+
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _WB_CACHE.get(key)
+    artifact_cache.record("weighted_band_candidates", df is not None)
     if df is None:
         sigs = DD.minhash_signatures_from_hashes(
             _weighted_elements(t(spark, sf_dir, "documents")),
