@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     # round 7
     "scan_iceberg_v3_dv",
     "curation_mixture_doremi",
+    "pipeline_iceberg_dv_delete",
 ]
 
 

@@ -2244,3 +2244,169 @@ def read_iceberg_v3(
             "left_anti",
         )
     return df.drop("__file", "__pos")
+
+
+def append_dv_delete(
+    spark: SparkSession, root: str, condition
+) -> tuple[int, int]:
+    """Commit a v3 merge-on-read DELETE as a DELETION VECTOR: rows of
+    the current snapshot matching ``condition`` become per-data-file
+    position bitmaps in ONE new Puffin file, referenced by a content=1
+    delete manifest — zero data files rewritten, kilobytes committed
+    (the v3 replacement for v2's positional-delete parquet files).
+    Existing DVs merge: a data file that already carries deleted
+    positions gets ONE superseding bitmap holding the union, per the
+    spec's one-DV-per-data-file rule. Returns
+    (snapshot_id, n_newly_deleted)."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    prev = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _, prev_manifests = AV.read_container(
+        _resolve(root, snaps[prev]["manifest-list"])
+    )
+    # current live state: data files + existing DV positions
+    data_files: list[str] = []
+    existing: dict[str, list[int]] = {}
+    keep_manifests: list[dict] = []
+    for m in prev_manifests:
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        if m.get("content", 0) == 1:
+            # DV entries are folded into the superseding bitmaps below;
+            # re-referencing their manifest would double-apply nothing
+            # (positions are idempotent) but violates one-DV-per-file
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                d = e["data_file"]
+                with open(_resolve(root, d["file_path"]), "rb") as fh:
+                    raw = fh.read()
+                existing.setdefault(d["referenced_data_file"], []).extend(
+                    _dv_blob_decode(
+                        raw,
+                        int(d["content_offset"]),
+                        int(d["content_size_in_bytes"]),
+                    )
+                )
+            continue
+        keep_manifests.append(m)
+        for e in entries:
+            if e["status"] != _STATUS_DELETED:
+                data_files.append(_resolve(root, e["data_file"]["file_path"]))
+    # live rows (existing DVs applied) matching the predicate
+    live = _with_position(spark, root, sorted(data_files))
+    if existing:
+        rows = [
+            (ref, p)
+            for ref, poss in sorted(existing.items())
+            for p in poss
+        ]
+        dels = F.broadcast(
+            spark.createDataFrame(rows, "file_path string, pos long")
+        )
+        live = live.join(
+            dels,
+            (live["__file"] == dels["file_path"])
+            & (live["__pos"] == dels["pos"]),
+            "left_anti",
+        )
+    new_pos = (
+        live.filter(condition)
+        .select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        .collect()
+    )
+    n_del = len(new_pos)
+    merged: dict[str, list[int]] = {
+        ref: sorted(poss) for ref, poss in existing.items()
+    }
+    for r in new_pos:
+        merged.setdefault(r.file_path, []).append(r.pos)
+    merged = {ref: sorted(set(poss)) for ref, poss in merged.items()}
+    snap_id = prev + 1
+    puffin_name = f"data/dv-{snap_id}.puffin"
+    blobs = [
+        (
+            "deletion-vector-v1",
+            _dv_blob_encode(poss),
+            {"referenced-data-file": ref, "cardinality": str(len(poss))},
+        )
+        for ref, poss in sorted(merged.items())
+    ]
+    descs = _puffin_write(os.path.join(root, puffin_name), blobs)
+    m_dv = f"m-{snap_id}-dv.avro"
+    dv_entries = []
+    for (ref, poss), desc in zip(sorted(merged.items()), descs):
+        dv_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin_name,
+                    "file_format": "PUFFIN",
+                    "partition": {"lang": None},
+                    "record_count": len(poss),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, puffin_name)
+                    ),
+                    "referenced_data_file": ref,
+                    "content_offset": desc["offset"],
+                    "content_size_in_bytes": desc["length"],
+                },
+            }
+        )
+    AV.write_container(
+        os.path.join(root, "metadata", m_dv), _MANIFEST_SCHEMA_V3, dv_entries
+    )
+    mlist_entries = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m["partition_spec_id"],
+            "content": m.get("content", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+        }
+        for m in keep_manifests
+    ] + [
+        {
+            "manifest_path": f"metadata/{m_dv}",
+            "manifest_length": os.path.getsize(
+                os.path.join(root, "metadata", m_dv)
+            ),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    mlist = f"snap-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", mlist),
+        _MANIFEST_LIST_SCHEMA_V2,
+        mlist_entries,
+    )
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "manifest-list": f"metadata/{mlist}",
+            "summary": {"operation": "delete"},
+        }
+    ]
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return snap_id, n_del

@@ -85,3 +85,59 @@ def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids_md5"),
         F.lit(n_dv).cast("bigint").alias("n_dv_deleted"),
     )
+
+
+@register(
+    "pipeline_iceberg_dv_delete",
+    oracle="""
+WITH kept AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE lang <> 'fr' AND n_chars >= 300
+),
+audit AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE lang <> 'fr' AND n_chars < 300)
+              AS BIGINT) AS n_second_delete
+  FROM documents
+)
+SELECT kept.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS ids_md5,
+       audit.n_second_delete
+FROM kept CROSS JOIN audit
+GROUP BY kept.lang, audit.n_second_delete
+""",
+    description="Iceberg v3 DV WRITE path, chained: the fixture's DV "
+    "kills the French rows, then append_dv_delete commits a SECOND "
+    "deletion-vector snapshot for the short (< 300 chars) survivors — "
+    "each data file ends with ONE superseding Puffin bitmap holding the "
+    "union of its deleted positions (the spec's one-DV-per-data-file "
+    "rule), zero data files rewritten across both deletes, positions "
+    "computed over LIVE rows only (the already-DV-deleted fr rows are "
+    "never re-recorded — certified by the audit column). The open-v3 "
+    "twin of the Delta delete_where_with_dv path, sharing its roaring "
+    "codec.",
+    tags=("scan", "storage", "pipeline"),
+)
+def pipeline_iceberg_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_dvw_{sfx}"
+    docs = t(spark, sf_dir, "documents")
+    IB.write_iceberg_v3_dv_fixture(spark, docs, root)
+    _, n_second = IB.append_dv_delete(spark, root, F.col("n_chars") < 300)
+    back = IB.read_iceberg_v3(spark, root)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("ids_md5"),
+        F.lit(n_second).cast("bigint").alias("n_second_delete"),
+    )

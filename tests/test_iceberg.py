@@ -703,3 +703,50 @@ def test_dv_blob_corruption_detected(tmp_path):
     bad[10] ^= 0xFF
     with pytest.raises(ValueError):
         IB._dv_blob_decode(bytes(bad), 2, len(blob))
+
+
+def test_append_dv_delete_chained(tmp_path, spark):
+    """v3 DV DELETE write path: two chained DV commits — the second
+    folds the first file's positions into ONE superseding bitmap per
+    data file (the spec's one-DV-per-data-file rule), zero data files
+    rewritten, and time travel across the chain stays exact."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "dvw")
+    docs = spark.createDataFrame(
+        [(1, "en", 700), (2, "fr", 800), (3, "fr", 500), (4, "de", 900),
+         (5, "en", 100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    s1, s2 = IB.write_iceberg_v3_dv_fixture(spark, docs, root)
+    data_before = sorted(glob.glob(os.path.join(root, "data", "*.parquet")))
+    # chained DV delete on the LIVE rows (fr already gone)
+    s3, n = IB.append_dv_delete(spark, root, F.col("n_chars") < 500)
+    assert n == 1  # only doc 5; the fr rows were already DV-deleted
+    assert {r.doc_id for r in IB.read_iceberg_v3(spark, root).collect()} == {1, 4}
+    # zero data files rewritten
+    assert sorted(glob.glob(os.path.join(root, "data", "*.parquet"))) == data_before
+    # one superseding DV per data file: the new snapshot references
+    # exactly one delete manifest whose bitmap is the UNION {2,3} ∪ {5}
+    meta = IB.current_metadata(root)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _, manifests = AV.read_container(
+        IB._resolve(root, snaps[s3]["manifest-list"])
+    )
+    dv_manifests = [m for m in manifests if m.get("content", 0) == 1]
+    assert len(dv_manifests) == 1
+    _, entries = AV.read_container(
+        IB._resolve(root, dv_manifests[0]["manifest_path"])
+    )
+    assert len(entries) == 1 and entries[0]["data_file"]["record_count"] == 3
+    # time travel: s2 sees the first deletion only, s1 sees everything
+    assert {r.doc_id for r in IB.read_iceberg_v3(spark, root, s2).collect()} \
+        == {1, 4, 5}
+    assert {r.doc_id for r in IB.read_iceberg_v3(spark, root, s1).collect()} \
+        == {1, 2, 3, 4, 5}
+    # idempotent second predicate: nothing new to delete
+    s4, n2 = IB.append_dv_delete(spark, root, F.col("lang") == "fr")
+    assert n2 == 0
+    assert {r.doc_id for r in IB.read_iceberg_v3(spark, root).collect()} == {1, 4}
