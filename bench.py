@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "scan_iceberg_v3_dv",
     "curation_mixture_doremi",
     "pipeline_iceberg_dv_delete",
+    "scan_delta_checkpoint_v2",
 ]
 
 

@@ -105,11 +105,13 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
         return
     if mrv == 3:
         feats = set(protocol.get("readerFeatures") or [])
-        unsupported = sorted(feats - {"deletionVectors", "columnMapping"})
+        unsupported = sorted(
+            feats - {"deletionVectors", "columnMapping", "v2Checkpoint"}
+        )
         if unsupported:
             raise ValueError(
                 f"unsupported Delta reader features {unsupported} "
-                "(supported: deletionVectors, columnMapping)"
+                "(supported: deletionVectors, columnMapping, v2Checkpoint)"
             )
         return
     raise ValueError(f"unsupported Delta minReaderVersion {mrv}")
@@ -1184,6 +1186,154 @@ def write_checkpoint(root: str, version: int, parts: int = 1) -> str:
     return cp
 
 
+def write_checkpoint_v2(
+    root: str, version: int, sidecars: int = 2, uuid: str | None = None
+) -> str:
+    """Materialize the snapshot state at ``version`` as a V2 CHECKPOINT
+    per the protocol's v2Checkpoint feature: a UUID-named manifest
+    ``%020d.checkpoint.<uuid>.parquet`` carrying checkpointMetadata /
+    protocol / metaData / sidecar actions, with the add actions split
+    across ``sidecars`` files under ``_delta_log/_sidecars/`` — the
+    layout that lets large tables rewrite only changed sidecar slices
+    between checkpoints instead of one monolithic parquet. Returns the
+    manifest path and updates ``_last_checkpoint``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds, protocol, metadata = _replay(root, version)
+    _check_protocol(protocol, metadata)
+    uuid = uuid or str(_uuidlib.uuid4())
+    log_dir = os.path.join(root, "_delta_log")
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv_t),
+        ]
+    )
+
+    def _add_row(p: str) -> dict:
+        a = adds[p]
+        return {
+            "path": p,
+            "partitionValues": list((a.get("partitionValues") or {}).items()),
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
+            "dataChange": bool(a.get("dataChange", True)),
+            "stats": a.get("stats"),
+            "deletionVector": a.get("deletionVector"),
+        }
+
+    rel = sorted(adds)
+    n_side = max(1, min(sidecars, len(rel) or 1))
+    per = -(-len(rel) // n_side) if rel else 0
+    sidecar_rows = []
+    for i in range(n_side):
+        chunk = rel[i * per : (i + 1) * per]
+        name = f"{uuid}-{i + 1:03d}.parquet"
+        sp = os.path.join(side_dir, name)
+        pq.write_table(
+            pa.table(
+                {"add": pa.array([_add_row(p) for p in chunk], type=add_t)}
+            ),
+            sp,
+        )
+        sidecar_rows.append(
+            {
+                "path": name,
+                "sizeInBytes": os.path.getsize(sp),
+                "modificationTime": 1700000000000,
+            }
+        )
+    sidecar_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    cpmeta_t = pa.struct([("version", pa.int64())])
+    protocol_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_row = {
+        "minReaderVersion": (protocol or {}).get("minReaderVersion", 1),
+        "minWriterVersion": (protocol or {}).get("minWriterVersion", 2),
+        "readerFeatures": (protocol or {}).get("readerFeatures"),
+        "writerFeatures": (protocol or {}).get("writerFeatures"),
+    }
+    meta_row = None
+    if metadata is not None:
+        meta_row = {
+            "id": metadata.get("id"),
+            "format": {
+                "provider": (metadata.get("format") or {}).get(
+                    "provider", "parquet"
+                )
+            },
+            "schemaString": metadata.get("schemaString"),
+            "partitionColumns": metadata.get("partitionColumns") or [],
+            "configuration": list(
+                (metadata.get("configuration") or {}).items()
+            ),
+        }
+    n = len(sidecar_rows)
+    manifest = pa.table(
+        {
+            "checkpointMetadata": pa.array(
+                [{"version": version}] + [None] * (n + 2), type=cpmeta_t
+            ),
+            "sidecar": pa.array(
+                [None] + sidecar_rows + [None, None], type=sidecar_t
+            ),
+            "protocol": pa.array(
+                [None] * (n + 1) + [proto_row, None], type=protocol_t
+            ),
+            "metaData": pa.array(
+                [None] * (n + 2) + [meta_row], type=meta_t
+            ),
+        }
+    )
+    cp = os.path.join(
+        log_dir, f"{version:020d}.checkpoint.{uuid}.parquet"
+    )
+    pq.write_table(manifest, cp)
+    with open(
+        os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"version": version, "size": n + 3}, fh)
+    return cp
+
+
 def delta_snapshot_files_checkpointed(
     root: str, version: int | None = None
 ) -> tuple[list[str], int, int]:
@@ -1260,39 +1410,66 @@ def _replay_from_checkpoint(
             log_dir, f"{cp_version:020d}.checkpoint.parquet"
         )
         if not os.path.exists(single):
-            # a pointer without `parts` whose classic file is absent is
-            # a layout we don't speak (e.g. checkpointPolicy=v2 UUID
-            # manifests with sidecars) — raise by feature name, same
-            # discipline as the readerFeatures gate
+            # V2 CHECKPOINT (checkpointPolicy=v2): a UUID-named manifest
+            # carrying checkpointMetadata/protocol/metaData/sidecar
+            # actions, add actions living in _delta_log/_sidecars/
             import glob as _glob
 
-            uuid_named = _glob.glob(
-                os.path.join(
-                    log_dir, f"{cp_version:020d}.checkpoint.*.parquet"
-                )
-            ) + _glob.glob(
-                os.path.join(
-                    log_dir, f"{cp_version:020d}.checkpoint.*.json"
+            uuid_named = sorted(
+                _glob.glob(
+                    os.path.join(
+                        log_dir, f"{cp_version:020d}.checkpoint.*.parquet"
+                    )
                 )
             )
-            if uuid_named:
+            json_named = sorted(
+                _glob.glob(
+                    os.path.join(
+                        log_dir, f"{cp_version:020d}.checkpoint.*.json"
+                    )
+                )
+            )
+            if json_named and not uuid_named:
                 raise ValueError(
-                    "unsupported Delta checkpoint layout: v2Checkpoint "
-                    "(UUID-named manifest"
-                    f" {os.path.basename(uuid_named[0])!r} with sidecar "
-                    "files; supported: classic and multi-part)"
+                    "unsupported Delta checkpoint layout: JSON v2 "
+                    f"manifest {os.path.basename(json_named[0])!r} "
+                    "(supported: classic, multi-part, parquet "
+                    "v2Checkpoint)"
                 )
-            raise FileNotFoundError(
-                f"checkpoint v{cp_version} referenced by _last_checkpoint "
-                "not found"
-            )
-        cp_paths = [single]
+            if not uuid_named:
+                raise FileNotFoundError(
+                    f"checkpoint v{cp_version} referenced by "
+                    "_last_checkpoint not found"
+                )
+            cp_paths = [uuid_named[-1]]
+        else:
+            cp_paths = [single]
     adds: dict[str, dict] = {}
     protocol: dict | None = None
     metadata: dict | None = None
     rows: list[dict] = []
     for p in cp_paths:
         rows.extend(pq.read_table(p).to_pylist())
+    # v2 manifests reference sidecar files holding the add actions:
+    # validate the embedded checkpointMetadata version, then splice the
+    # sidecar rows in (they carry ONLY add/remove columns)
+    side_dir = os.path.join(log_dir, "_sidecars")
+    for row in list(rows):
+        cpm = row.get("checkpointMetadata")
+        if cpm is not None and cpm.get("version") is not None:
+            if int(cpm["version"]) != cp_version:
+                raise ValueError(
+                    f"v2 checkpoint manifest says version {cpm['version']}"
+                    f" but _last_checkpoint points at {cp_version}"
+                )
+        sc = row.get("sidecar")
+        if sc is not None and sc.get("path"):
+            sp = os.path.join(side_dir, sc["path"])
+            if not os.path.exists(sp):
+                raise FileNotFoundError(
+                    f"v2 checkpoint sidecar missing: {sc['path']}"
+                )
+            rows.extend(pq.read_table(sp).to_pylist())
     for row in rows:
         if row.get("add") is not None:
             a = {k: v for k, v in row["add"].items() if v is not None}

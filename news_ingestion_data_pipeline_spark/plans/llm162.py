@@ -124,3 +124,54 @@ def scan_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(cp_version).cast("bigint").alias("checkpoint_version"),
         F.lit(replayed).cast("bigint").alias("json_commits_replayed"),
     )
+
+
+@register(
+    "scan_delta_checkpoint_v2",
+    oracle=f"""
+WITH live AS ({_LIVE3_SQL}),
+agg AS ({_AGG_SQL.format(extra="", extra_grp="", src="live")})
+SELECT agg.*,
+       CAST(1 AS BIGINT) AS checkpoint_version,
+       CAST(1 AS BIGINT) AS json_commits_replayed,
+       CAST(2 AS BIGINT) AS n_sidecars
+FROM agg
+""",
+    description="Delta V2 CHECKPOINT resolution (checkpointPolicy=v2): "
+    "the same three-commit fixture compacts at version 1 into a "
+    "UUID-named manifest (checkpointMetadata/protocol/metaData/sidecar "
+    "actions) with the add actions split across TWO sidecar files under "
+    "_delta_log/_sidecars/ — the layout that lets a huge table rewrite "
+    "only changed sidecar slices between checkpoints. The reader "
+    "resolves manifest -> sidecars -> one tail JSON commit; the "
+    "embedded checkpointMetadata version is validated against the "
+    "pointer and a missing sidecar is a hard named error (tests). "
+    "Byte-identical to classic-checkpoint and full-replay resolution.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = _fixture(spark, sf_dir) + "_v2"
+    if not os.path.exists(os.path.join(root, "_delta_log")):
+        import shutil
+
+        shutil.copytree(_fixture(spark, sf_dir), root)
+        # drop the classic checkpoint; compact as v2 instead
+        log = os.path.join(root, "_delta_log")
+        for n in os.listdir(log):
+            if ".checkpoint." in n or n == "_last_checkpoint":
+                os.remove(os.path.join(log, n))
+    DL.write_checkpoint_v2(root, 1, sidecars=2)
+    n_sidecars = len(os.listdir(os.path.join(root, "_delta_log", "_sidecars")))
+    files, cp_version, replayed = DL.delta_snapshot_files_checkpointed(root)
+    assert files == DL.delta_snapshot_files(root), (
+        "v2 checkpoint resolution diverged from full replay"
+    )
+    df = spark.read.parquet(*files)
+    return _snapshot_agg(df).select(
+        "*",
+        F.lit(cp_version).cast("bigint").alias("checkpoint_version"),
+        F.lit(replayed).cast("bigint").alias("json_commits_replayed"),
+        F.lit(n_sidecars).cast("bigint").alias("n_sidecars"),
+    )

@@ -642,21 +642,60 @@ def test_multipart_checkpoint_roundtrip(tmp_path):
         DL.delta_snapshot_files_checkpointed(root)
 
 
-def test_v2_uuid_checkpoint_layout_raises_by_name(tmp_path):
-    """A _last_checkpoint pointer whose classic file is absent but a
-    UUID-named manifest exists is the v2Checkpoint layout — gate by
-    feature name instead of FileNotFoundError."""
-    root = _mk_table(tmp_path, {0: [_add("a.parquet")]})
-    log = os.path.join(root, "_delta_log")
-    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
-        json.dump({"version": 0, "size": 3}, fh)
-    uuid_cp = os.path.join(
-        log, f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+def test_v2_checkpoint_roundtrip(tmp_path):
+    """The v2Checkpoint layout (UUID-named manifest + sidecar files in
+    _delta_log/_sidecars) writes and resolves: sidecar adds splice into
+    the state, the manifest's checkpointMetadata version is validated,
+    and a missing sidecar is a hard named error."""
+    root = _mk_table(
+        tmp_path,
+        {
+            0: [_add(f"f{i}.parquet") for i in range(5)],
+            1: [_rm("f0.parquet"), _add("g.parquet")],
+            2: [_add("h.parquet")],
+        },
     )
-    with open(uuid_cp, "wb") as fh:
-        fh.write(b"PAR1")
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    cp = DL.write_checkpoint_v2(root, 1, sidecars=2)
+    assert os.path.basename(cp).startswith(f"{1:020d}.checkpoint.")
+    side = os.path.join(root, "_delta_log", "_sidecars")
+    assert len(os.listdir(side)) == 2
+    files, cp_v, replayed = DL.delta_snapshot_files_checkpointed(root)
+    assert cp_v == 1 and replayed == 1
+    assert files == DL.delta_snapshot_files(root)
+    # protocol/metaData reconstruct from the manifest
+    adds, protocol, metadata, _, _ = DL._replay_from_checkpoint(root, 1)
+    assert sorted(adds) == [f"f{i}.parquet" for i in range(1, 5)] + [
+        "g.parquet"
+    ]
+    # a missing sidecar is a hard error, never a silent subset
+    victims = sorted(os.listdir(side))
+    os.remove(os.path.join(side, victims[0]))
+    with pytest.raises(FileNotFoundError, match="sidecar"):
         DL.delta_snapshot_files_checkpointed(root)
+
+
+def test_v2_checkpoint_version_mismatch_raises(tmp_path):
+    root = _mk_table(tmp_path, {0: [_add("a.parquet")],
+                                1: [_add("b.parquet")]})
+    DL.write_checkpoint_v2(root, 1, sidecars=1)
+    # corrupt the pointer to disagree with the manifest's own version
+    with open(
+        os.path.join(root, "_delta_log", "_last_checkpoint"), "w"
+    ) as fh:
+        json.dump({"version": 0, "size": 4}, fh)
+    os.rename(
+        [
+            os.path.join(root, "_delta_log", n)
+            for n in os.listdir(os.path.join(root, "_delta_log"))
+            if ".checkpoint." in n and n.endswith(".parquet")
+        ][0],
+        os.path.join(
+            root, "_delta_log",
+            f"{0:020d}.checkpoint.00000000-0000-0000-0000-000000000000.parquet",
+        ),
+    )
+    with pytest.raises(ValueError, match="version"):
+        DL.delta_snapshot_files_checkpointed(root, 1)
 
 
 def test_checkpoint_carries_full_add_actions_and_features(tmp_path):
