@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "curation_mixture_doremi",
     "pipeline_iceberg_dv_delete",
     "scan_delta_checkpoint_v2",
+    "scan_iceberg_v3_row_lineage",
 ]
 
 

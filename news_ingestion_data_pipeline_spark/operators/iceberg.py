@@ -2026,6 +2026,7 @@ _MANIFEST_SCHEMA_V3 = {
                         "name": "content_size_in_bytes",
                         "type": ["null", "long"],
                     },
+                    {"name": "first_row_id", "type": ["null", "long"]},
                 ],
             },
         },
@@ -2096,6 +2097,7 @@ def write_iceberg_v3_dv_fixture(
             "referenced_data_file": None,
             "content_offset": None,
             "content_size_in_bytes": None,
+            "first_row_id": None,
         }
         df_rec.update(extra or {})
         return {"status": 1, "snapshot_id": None, "data_file": df_rec}
@@ -2356,6 +2358,7 @@ def append_dv_delete(
                     "referenced_data_file": ref,
                     "content_offset": desc["offset"],
                     "content_size_in_bytes": desc["length"],
+                    "first_row_id": None,
                 },
             }
         )
@@ -2410,3 +2413,173 @@ def append_dv_delete(
     ) as fh:
         json.dump(new_meta, fh)
     return snap_id, n_del
+
+
+def write_iceberg_v3_lineage_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> tuple[int, int]:
+    """Format-v3 table exercising ROW LINEAGE: snapshot 1 adds the
+    even-doc_id rows (first_row_id = 0), snapshot 2 fast-appends the
+    odd rows with first_row_id = next-row-id — per the v3 spec a row's
+    durable ``_row_id`` is its data file's first_row_id plus its
+    position, assigned once at commit and carried by the table
+    metadata's next-row-id counter. Returns (snapshot_1, snapshot_2)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    slim = docs.select("doc_id", "lang", "n_chars")
+    even = slim.filter(F.col("doc_id") % 2 == 0).orderBy("doc_id")
+    odd = slim.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id")
+    _write_single_parquet(even, root, "data/file-even.parquet")
+    _write_single_parquet(odd, root, "data/file-odd.parquet")
+    n_even = even.count()
+    n_odd = odd.count()
+
+    def _data_entry(snap: int, path: str, n: int, first: int) -> dict:
+        return {
+            "status": 1,
+            "snapshot_id": snap,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {"lang": None},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, path)
+                ),
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
+                "first_row_id": first,
+            },
+        }
+
+    s1, s2 = 3101, 3102
+    AV.write_container(
+        os.path.join(root, "metadata", "m-3101-even.avro"),
+        _MANIFEST_SCHEMA_V3,
+        [_data_entry(s1, "data/file-even.parquet", n_even, 0)],
+    )
+    AV.write_container(
+        os.path.join(root, "metadata", "m-3102-odd.avro"),
+        _MANIFEST_SCHEMA_V3,
+        [_data_entry(s2, "data/file-odd.parquet", n_odd, n_even)],
+    )
+
+    def _mlist(name: str, entries: list[tuple[str, int]]) -> None:
+        AV.write_container(
+            os.path.join(root, "metadata", name),
+            _MANIFEST_LIST_SCHEMA_V2,
+            [
+                {
+                    "manifest_path": f"metadata/{m}",
+                    "manifest_length": os.path.getsize(
+                        os.path.join(root, "metadata", m)
+                    ),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "added_snapshot_id": snap,
+                }
+                for m, snap in entries
+            ],
+        )
+
+    _mlist("snap-3101.avro", [("m-3101-even.avro", s1)])
+    _mlist(
+        "snap-3102.avro",
+        [("m-3101-even.avro", s1), ("m-3102-odd.avro", s2)],
+    )
+    meta = {
+        "format-version": 3,
+        "table-uuid": "spark-graft-iceberg-v3-lineage",
+        "location": root,
+        "current-snapshot-id": s2,
+        "next-row-id": n_even + n_odd,
+        "snapshots": [
+            {
+                "snapshot-id": s1,
+                "manifest-list": "metadata/snap-3101.avro",
+                "summary": {"operation": "append"},
+                "first-row-id": 0,
+            },
+            {
+                "snapshot-id": s2,
+                "manifest-list": "metadata/snap-3102.avro",
+                "summary": {"operation": "append"},
+                "first-row-id": n_even,
+            },
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v1.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(meta, fh)
+    return s1, s2
+
+
+def read_iceberg_v3_lineage(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Like :func:`read_iceberg_v3` but exposing the v3 ROW-LINEAGE
+    metadata column ``_row_id`` = the data file's ``first_row_id`` plus
+    the row's position — the durable per-row identity that survives
+    compaction and rewrites (a rewritten file carries the SAME
+    first_row_id), enabling CDC/audit joins without a user key. The
+    file -> first_row_id map is manifest metadata (broadcast); the id
+    materializes map-side from the scan's row_index."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in {sorted(snaps)} for {root}"
+        )
+    _, manifests = AV.read_container(
+        _resolve(root, snaps[snapshot_id]["manifest-list"])
+    )
+    firsts: list[tuple[str, int]] = []
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            continue
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            d = e["data_file"]
+            if d.get("first_row_id") is None:
+                raise ValueError(
+                    f"data file {d['file_path']!r} has no first_row_id — "
+                    "row lineage requires v3 row-id assignment"
+                )
+            firsts.append(
+                (
+                    os.path.relpath(_resolve(root, d["file_path"]), root),
+                    int(d["first_row_id"]),
+                )
+            )
+    df = _with_position(
+        spark, root, sorted(_resolve(root, p) for p, _ in firsts)
+    )
+    fmap = F.broadcast(
+        spark.createDataFrame(firsts, "__lf string, __first long")
+    )
+    return (
+        df.join(fmap, df["__file"] == fmap["__lf"])
+        .withColumn("_row_id", F.col("__first") + F.col("__pos"))
+        .drop("__file", "__pos", "__lf", "__first")
+    )

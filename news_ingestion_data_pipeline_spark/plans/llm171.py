@@ -141,3 +141,42 @@ def pipeline_iceberg_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids_md5"),
         F.lit(n_second).cast("bigint").alias("n_second_delete"),
     )
+
+
+@register(
+    "scan_iceberg_v3_row_lineage",
+    oracle="""
+WITH evens AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS _row_id
+  FROM documents WHERE doc_id % 2 = 0
+),
+odds AS (
+  SELECT doc_id, lang, n_chars,
+         (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+         + ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS _row_id
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(_row_id AS BIGINT) AS _row_id
+FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+""",
+    description="Iceberg v3 ROW LINEAGE: every row carries a durable "
+    "_row_id = its data file's first_row_id (manifest metadata, "
+    "assigned from the table's next-row-id counter at commit) plus its "
+    "row position — snapshot 1 adds the even doc_ids at row-id 0.., "
+    "snapshot 2 fast-appends the odds starting at next-row-id. The id "
+    "materializes map-side from the scan's row_index against a "
+    "broadcast file->first_row_id map (manifest-scale) — no shuffle, "
+    "no user key, the identity CDC/audit joins need at 100 TB. Oracle "
+    "replays the assignment as per-batch ROW_NUMBERs in doc_id order.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_v3_lineage_{sfx}"
+    docs = t(spark, sf_dir, "documents")
+    IB.write_iceberg_v3_lineage_fixture(spark, docs, root)
+    return IB.read_iceberg_v3_lineage(spark, root).select(
+        "doc_id", "lang", F.col("n_chars").cast("long"), F.col("_row_id")
+    )

@@ -750,3 +750,29 @@ def test_append_dv_delete_chained(tmp_path, spark):
     s4, n2 = IB.append_dv_delete(spark, root, F.col("lang") == "fr")
     assert n2 == 0
     assert {r.doc_id for r in IB.read_iceberg_v3(spark, root).collect()} == {1, 4}
+
+
+def test_v3_row_lineage_assignment(tmp_path, spark):
+    """Row ids: file's first_row_id + position; appended file starts at
+    the table's next-row-id; ids are unique and stable across reads."""
+    root = str(tmp_path / "v3lin")
+    docs = spark.createDataFrame(
+        [(1, "en", 700), (2, "fr", 800), (3, "fr", 500), (4, "de", 900),
+         (6, "en", 100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    s1, s2 = IB.write_iceberg_v3_lineage_fixture(spark, docs, root)
+    out = {r.doc_id: r._row_id
+           for r in IB.read_iceberg_v3_lineage(spark, root).collect()}
+    # evens (2,4,6) get 0..2 in doc_id order; odds (1,3) get 3..4
+    assert out == {2: 0, 4: 1, 6: 2, 1: 3, 3: 4}
+    assert IB.current_metadata(root)["next-row-id"] == 5
+    # snapshot 1 sees only the even batch, same ids (durable)
+    out1 = {r.doc_id: r._row_id
+            for r in IB.read_iceberg_v3_lineage(spark, root, s1).collect()}
+    assert out1 == {2: 0, 4: 1, 6: 2}
+    # a data file without first_row_id cannot serve lineage — named error
+    root2 = str(tmp_path / "v3dv")
+    IB.write_iceberg_v3_dv_fixture(spark, docs, root2)
+    with pytest.raises(ValueError, match="first_row_id"):
+        IB.read_iceberg_v3_lineage(spark, root2)
