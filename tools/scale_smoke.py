@@ -189,6 +189,7 @@ DOC_QUERIES = [
     "curation_cluster_keep_best",
     "pipeline_dedup_delta_dv",
     "dedup_embedding_neardup_banded",
+    "curation_mixture_doremi",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
