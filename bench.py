@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "pipeline_iceberg_dv_delete",
     "scan_delta_checkpoint_v2",
     "scan_iceberg_v3_row_lineage",
+    "scan_iceberg_branch_tag",
+    "pipeline_iceberg_pos_to_dv",
 ]
 
 

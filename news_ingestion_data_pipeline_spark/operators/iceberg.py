@@ -1221,17 +1221,24 @@ def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
     meta = current_metadata(root)
     snapshots = meta["snapshots"]
     retained = list(snapshots[-keep_last:])
-    current_id = meta.get("current-snapshot-id")
-    if current_id is not None and current_id not in {
-        s["snapshot-id"] for s in retained
-    }:
-        current = [s for s in snapshots if s["snapshot-id"] == current_id]
-        if not current:
+    # pinned set: the current snapshot (never expirable) plus every
+    # snapshot referenced by a tag/branch ref — the spec's ref-aware
+    # retention (a tagged audit snapshot survives expiry by name)
+    pinned = {meta.get("current-snapshot-id")}
+    for ref in (meta.get("refs") or {}).values():
+        pinned.add(ref.get("snapshot-id"))
+    pinned.discard(None)
+    retained_ids = {s["snapshot-id"] for s in retained}
+    missing = sorted(pinned - retained_ids)
+    if missing:
+        by_id = {s["snapshot-id"]: s for s in snapshots}
+        unknown = [i for i in missing if i not in by_id]
+        if unknown:
             raise ValueError(
-                f"current-snapshot-id {current_id} not in snapshot history"
+                f"pinned snapshots {unknown} not in snapshot history"
             )
-        # keep history ordering: current precedes the retained tail
-        retained = current + retained
+        # keep history ordering: pinned predecessors precede the tail
+        retained = [by_id[i] for i in missing] + retained
     keep: set[str] = set()
     for s in retained:
         mlist = s["manifest-list"]
@@ -2583,3 +2590,202 @@ def read_iceberg_v3_lineage(
         .withColumn("_row_id", F.col("__first") + F.col("__pos"))
         .drop("__file", "__pos", "__lf", "__first")
     )
+
+
+def set_ref(
+    root: str, name: str, snapshot_id: int, ref_type: str = "tag"
+) -> int:
+    """Create/update a named REF (spec table metadata ``refs``): a
+    ``tag`` pins a snapshot immutably (audits, releases), a ``branch``
+    is a movable head (write-audit-publish staging). Pure metadata —
+    publishes a new vN.metadata.json. Returns the metadata version."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref type must be 'tag' or 'branch', got {ref_type!r}")
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    if snapshot_id not in {s["snapshot-id"] for s in meta["snapshots"]}:
+        raise ValueError(f"snapshot {snapshot_id} not in history")
+    new_meta = dict(meta)
+    refs = dict(new_meta.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    new_meta["refs"] = refs
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return version
+
+
+def resolve_ref(root: str, name: str) -> int:
+    """Ref name -> snapshot id (``main`` falls back to
+    current-snapshot-id when no explicit ref exists, per the spec's
+    default branch)."""
+    meta = current_metadata(root)
+    refs = meta.get("refs") or {}
+    if name in refs:
+        return refs[name]["snapshot-id"]
+    if name == "main":
+        return meta["current-snapshot-id"]
+    raise ValueError(
+        f"unknown ref {name!r} (have: {sorted(refs)} + 'main')"
+    )
+
+
+def read_iceberg_ref(
+    spark: SparkSession, root: str, ref: str
+) -> DataFrame:
+    """Snapshot read at a named tag/branch — ``read_iceberg`` with the
+    ref resolved through the metadata's refs map (time travel by NAME,
+    the audit/WAP read path)."""
+    return read_iceberg(spark, root, resolve_ref(root, ref))
+
+
+def rewrite_position_deletes_to_dvs(
+    spark: SparkSession, root: str
+) -> tuple[int, int, int]:
+    """Maintenance action migrating v2 POSITIONAL DELETE FILES to v3
+    DELETION VECTORS (the spec's upgrade path: v3 readers must not see
+    position-delete parquet files): every live (file_path, pos) record
+    is folded into one roaring bitmap per data file, written as
+    deletion-vector-v1 blobs in ONE Puffin file, committed as a new
+    snapshot whose manifest list re-references the data manifests
+    untouched and replaces all delete manifests with the DV manifest;
+    the table's format-version bumps to 3. Data files: zero rewritten.
+    Returns (snapshot_id, n_files_with_dvs, n_positions)."""
+    meta = current_metadata(root)
+    _check_format_version(meta)  # source table must be v1/v2
+    prev = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _, prev_manifests = AV.read_container(
+        _resolve(root, snaps[prev]["manifest-list"])
+    )
+    delete_files: list[str] = []
+    keep_manifests: list[dict] = []
+    for m in prev_manifests:
+        if m.get("content", 0) == 1:
+            _, entries = AV.read_container(
+                _resolve(root, m["manifest_path"])
+            )
+            for e in entries:
+                if e["status"] != _STATUS_DELETED:
+                    delete_files.append(
+                        _resolve(root, e["data_file"]["file_path"])
+                    )
+        else:
+            keep_manifests.append(m)
+    pos_files, eq_groups = _classify_deletes(delete_files)
+    if eq_groups:
+        raise ValueError(
+            "equality delete files present "
+            f"({sorted(k for g in eq_groups.values() for k in g)}); "
+            "rewrite_position_deletes_to_dvs converts POSITIONAL "
+            "deletes only — compact equality deletes first"
+        )
+    positions: dict[str, set[int]] = {}
+    n_pos = 0
+    if pos_files:
+        for r in (
+            spark.read.parquet(*pos_files)
+            .select("file_path", "pos")
+            .collect()
+        ):
+            positions.setdefault(r.file_path, set()).add(r.pos)
+            n_pos += 1
+    snap_id = prev + 1
+    mlist_entries = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m["partition_spec_id"],
+            "content": m.get("content", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+        }
+        for m in keep_manifests
+    ]
+    if positions:
+        puffin_name = f"data/dv-{snap_id}.puffin"
+        merged = {ref: sorted(poss) for ref, poss in positions.items()}
+        blobs = [
+            (
+                "deletion-vector-v1",
+                _dv_blob_encode(poss),
+                {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(poss)),
+                },
+            )
+            for ref, poss in sorted(merged.items())
+        ]
+        descs = _puffin_write(os.path.join(root, puffin_name), blobs)
+        m_dv = f"m-{snap_id}-dv.avro"
+        AV.write_container(
+            os.path.join(root, "metadata", m_dv),
+            _MANIFEST_SCHEMA_V3,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": puffin_name,
+                        "file_format": "PUFFIN",
+                        "partition": {"lang": None},
+                        "record_count": len(poss),
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(root, puffin_name)
+                        ),
+                        "referenced_data_file": ref,
+                        "content_offset": desc["offset"],
+                        "content_size_in_bytes": desc["length"],
+                        "first_row_id": None,
+                    },
+                }
+                for (ref, poss), desc in zip(sorted(merged.items()), descs)
+            ],
+        )
+        mlist_entries.append(
+            {
+                "manifest_path": f"metadata/{m_dv}",
+                "manifest_length": os.path.getsize(
+                    os.path.join(root, "metadata", m_dv)
+                ),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": snap_id,
+            }
+        )
+    mlist = f"snap-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", mlist),
+        _MANIFEST_LIST_SCHEMA_V2,
+        mlist_entries,
+    )
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "manifest-list": f"metadata/{mlist}",
+            "summary": {"operation": "replace"},
+        }
+    ]
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return snap_id, len(positions), n_pos

@@ -180,3 +180,138 @@ def scan_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IB.read_iceberg_v3_lineage(spark, root).select(
         "doc_id", "lang", F.col("n_chars").cast("long"), F.col("_row_id")
     )
+
+
+@register(
+    "scan_iceberg_branch_tag",
+    oracle="""
+WITH v0 AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS content_h FROM documents
+),
+live AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS content_h
+  FROM documents WHERE lang <> 'fr'
+  UNION ALL
+  SELECT doc_id, lang, n_chars, md5(text)
+  FROM documents WHERE lang = 'fr' AND n_chars >= 600
+),
+a0 AS (
+  SELECT 'audit-v0' AS ref, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         md5(string_agg(content_h, '' ORDER BY doc_id)) AS content_md5
+  FROM v0 GROUP BY lang
+),
+a1 AS (
+  SELECT 'main' AS ref, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         md5(string_agg(content_h, '' ORDER BY doc_id)) AS content_md5
+  FROM live GROUP BY lang
+)
+SELECT * FROM a0 UNION ALL SELECT * FROM a1
+""",
+    description="Iceberg REFS — time travel by NAME: the append "
+    "snapshot is pinned under the tag 'audit-v0' (pure-metadata "
+    "set_ref commit), the movable 'main' branch resolves to the "
+    "current rewrite snapshot, and both read side by side through "
+    "read_iceberg_ref. Tagged snapshots are EXPIRY-PINNED: "
+    "expire_snapshots(keep_last=1) retains the tagged snapshot's files "
+    "(asserted in-plan — the audit read still works after expiry), the "
+    "spec's ref-aware retention and the metadata half of the "
+    "write-audit-publish pattern.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_iceberg_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_refs_{sfx}"
+    docs = t(spark, sf_dir, "documents")
+    s1, s2 = IB.write_iceberg_fixture(spark, docs, root)
+    IB.set_ref(root, "audit-v0", s1, ref_type="tag")
+    # tagged snapshots survive expiry: keep_last=1 would retain only the
+    # current snapshot, but the tag pins s1's files too
+    IB.expire_snapshots(root, keep_last=1)
+    assert IB.resolve_ref(root, "audit-v0") == s1
+
+    def _agg(df: DataFrame, ref: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "content_h"))
+                        ),
+                        lambda s: s["content_h"],
+                    ),
+                    "",
+                )
+            ).alias("content_md5"),
+        ).select(F.lit(ref).alias("ref"), "*")
+
+    tagged = _agg(IB.read_iceberg_ref(spark, root, "audit-v0"), "audit-v0")
+    main = _agg(IB.read_iceberg_ref(spark, root, "main"), "main")
+    return tagged.unionByName(main)
+
+
+@register(
+    "pipeline_iceberg_pos_to_dv",
+    oracle="""
+WITH live AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'fr'
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE lang = 'fr' AND n_chars >= 600
+),
+kept AS (SELECT * FROM live WHERE doc_id % 5 <> 0),
+audit AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT)
+           AS n_converted_positions
+  FROM live
+)
+SELECT kept.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS ids_md5,
+       audit.n_converted_positions
+FROM kept CROSS JOIN audit
+GROUP BY kept.lang, audit.n_converted_positions
+""",
+    description="Iceberg maintenance: REWRITE POSITIONAL DELETES TO "
+    "DELETION VECTORS — the v2->v3 migration path. A v2 positional "
+    "DELETE (doc_id % 5 = 0 over the live rows) lands as a "
+    "(file_path, pos) parquet delete file; the rewrite action folds "
+    "every position into one roaring bitmap per data file inside a "
+    "single Puffin file, drops the delete manifests, re-references the "
+    "data manifests untouched, and bumps format-version to 3 — zero "
+    "data files rewritten, and v2 resolvers now correctly REFUSE the "
+    "table while read_iceberg_v3 serves the identical answer (the "
+    "oracle certifies content equality with the pre-migration v2 "
+    "resolution).",
+    tags=("scan", "storage", "pipeline"),
+)
+def pipeline_iceberg_pos_to_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_pos2dv_{sfx}"
+    docs = t(spark, sf_dir, "documents")
+    IB.write_iceberg_fixture(spark, docs, root)
+    _, n_del = IB.append_positional_delete(
+        spark, root, F.col("doc_id") % 5 == 0
+    )
+    _, n_files, n_pos = IB.rewrite_position_deletes_to_dvs(spark, root)
+    assert n_pos == n_del, "conversion lost positions"
+    back = IB.read_iceberg_v3(spark, root)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("ids_md5"),
+        F.lit(n_pos).cast("bigint").alias("n_converted_positions"),
+    )

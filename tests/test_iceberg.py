@@ -776,3 +776,63 @@ def test_v3_row_lineage_assignment(tmp_path, spark):
     IB.write_iceberg_v3_dv_fixture(spark, docs, root2)
     with pytest.raises(ValueError, match="first_row_id"):
         IB.read_iceberg_v3_lineage(spark, root2)
+
+
+def test_refs_pin_snapshots_from_expiry(tmp_path, spark):
+    """Tags/branches: set_ref is pure metadata; expire_snapshots
+    retains every ref-pinned snapshot; resolve_ref('main') defaults to
+    current-snapshot-id; unknown refs raise by name."""
+    root = str(tmp_path / "refs")
+    b1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    b3 = spark.createDataFrame([(3, "c")], "k long, v string")
+    s1 = IB.export_merge_to_iceberg(spark, root, b1, key="k")
+    s2 = IB.export_merge_to_iceberg(spark, root, b2, key="k")
+    IB.export_merge_to_iceberg(spark, root, b3, key="k")
+    IB.set_ref(root, "release-1", s1, ref_type="tag")
+    IB.set_ref(root, "staging", s2, ref_type="branch")
+    assert IB.resolve_ref(root, "release-1") == s1
+    assert IB.resolve_ref(root, "main") == s1 + 2
+    with pytest.raises(ValueError, match="unknown ref"):
+        IB.resolve_ref(root, "nope")
+    with pytest.raises(ValueError):
+        IB.set_ref(root, "bad", 999999)
+    # expiry: keep_last=1 retains current AND both ref-pinned snapshots
+    IB.expire_snapshots(root, keep_last=1)
+    assert {r.v for r in IB.read_iceberg_ref(spark, root, "release-1").collect()} == {"a"}
+    assert {r.v for r in IB.read_iceberg_ref(spark, root, "staging").collect()} == {"a", "b"}
+    assert {r.v for r in IB.read_iceberg_ref(spark, root, "main").collect()} == {"a", "b", "c"}
+
+
+def test_rewrite_position_deletes_to_dvs(tmp_path, spark):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "p2dv")
+    docs = spark.createDataFrame(
+        [(1, "en", 700, "a"), (2, "fr", 800, "b"), (3, "de", 500, "c"),
+         (4, "de", 900, "d")],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    IB.write_iceberg_fixture(spark, docs, root)
+    before = {r.doc_id for r in IB.read_iceberg_resolved(spark, root).collect()}
+    IB.append_positional_delete(spark, root, F.col("doc_id") == 3)
+    expect = before - {3}
+    data_before = sorted(glob.glob(os.path.join(root, "data", "*.parquet")))
+    snap, n_files, n_pos = IB.rewrite_position_deletes_to_dvs(spark, root)
+    assert n_pos == 1 and n_files == 1
+    # v3 read serves the identical answer; v2 resolvers refuse by name
+    assert {r.doc_id for r in IB.read_iceberg_v3(spark, root).collect()} == expect
+    with pytest.raises(ValueError, match="format-version 3"):
+        IB.read_iceberg_resolved(spark, root)
+    # only the posdel parquet remains unreferenced; data files untouched
+    assert sorted(glob.glob(os.path.join(root, "data", "*.parquet"))) == data_before
+    # equality deletes block the conversion by name
+    root2 = str(tmp_path / "p2dv_eq")
+    IB.write_iceberg_fixture(spark, docs, root2)
+    IB.append_equality_delete(
+        spark, root2, spark.createDataFrame([(1,)], "doc_id long"), "doc_id"
+    )
+    with pytest.raises(ValueError, match="equality delete"):
+        IB.rewrite_position_deletes_to_dvs(spark, root2)
