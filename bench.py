@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "scan_iceberg_v3_row_lineage",
     "scan_iceberg_branch_tag",
     "pipeline_iceberg_pos_to_dv",
+    "pipeline_delta_version_checksum",
 ]
 
 

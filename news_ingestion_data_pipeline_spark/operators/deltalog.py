@@ -1804,3 +1804,78 @@ def append_batch_to_delta(
     )
     _commit(root, version, actions)
     return True
+
+
+def write_version_checksum(root: str, version: int | None = None) -> str:
+    """Write the ``%020d.crc`` VERSION CHECKSUM file for ``version``
+    (default: latest) — the state-validation artifact the reference
+    implementation emits per commit: a one-line JSON carrying the
+    snapshot's tableSizeBytes / numFiles / numDeletedRecordsOpt (DV
+    cardinality total) plus the protocol and metaData, letting a reader
+    cross-check its reconstructed state without re-listing data files.
+    Returns the crc path."""
+    versions = list_commit_versions(root)
+    if version is None:
+        version = versions[-1]
+    adds, protocol, metadata = _replay(root, version)
+    n_deleted = 0
+    for a in adds.values():
+        dv = a.get("deletionVector")
+        if dv and dv.get("cardinality") is not None:
+            n_deleted += int(dv["cardinality"])
+    state = {
+        "tableSizeBytes": sum(int(a.get("size") or 0) for a in adds.values()),
+        "numFiles": len(adds),
+        "numDeletedRecordsOpt": n_deleted,
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "protocol": protocol
+        or {"minReaderVersion": 1, "minWriterVersion": 2},
+    }
+    if metadata is not None:
+        state["metadata"] = metadata
+    path = os.path.join(root, "_delta_log", f"{version:020d}.crc")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(state, fh)
+    return path
+
+
+def validate_version_checksum(root: str, version: int | None = None) -> dict:
+    """Recompute the snapshot state at ``version`` and compare against
+    the recorded ``.crc`` — the reader-side state validation. Raises
+    ``ValueError`` naming every diverging field (a divergence means the
+    log was mutated after the checksum, or replay is buggy); returns
+    the validated state dict."""
+    versions = list_commit_versions(root)
+    if version is None:
+        version = versions[-1]
+    path = os.path.join(root, "_delta_log", f"{version:020d}.crc")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no version checksum at {path}")
+    with open(path, encoding="utf-8") as fh:
+        recorded = json.load(fh)
+    adds, protocol, metadata = _replay(root, version)
+    n_deleted = 0
+    for a in adds.values():
+        dv = a.get("deletionVector")
+        if dv and dv.get("cardinality") is not None:
+            n_deleted += int(dv["cardinality"])
+    actual = {
+        "tableSizeBytes": sum(int(a.get("size") or 0) for a in adds.values()),
+        "numFiles": len(adds),
+        "numDeletedRecordsOpt": n_deleted,
+    }
+    diverged = [
+        f"{k}: crc={recorded.get(k)!r} actual={v!r}"
+        for k, v in actual.items()
+        if recorded.get(k) != v
+    ]
+    if protocol is not None and recorded.get("protocol") != protocol:
+        diverged.append(
+            f"protocol: crc={recorded.get('protocol')!r} actual={protocol!r}"
+        )
+    if diverged:
+        raise ValueError(
+            f"version checksum mismatch at v{version}: " + "; ".join(diverged)
+        )
+    return recorded

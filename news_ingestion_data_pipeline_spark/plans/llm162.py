@@ -175,3 +175,70 @@ def scan_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(replayed).cast("bigint").alias("json_commits_replayed"),
         F.lit(n_sidecars).cast("bigint").alias("n_sidecars"),
     )
+
+
+@register(
+    "pipeline_delta_version_checksum",
+    oracle=f"""
+WITH live AS ({_LIVE3_SQL}),
+kept AS (SELECT * FROM live WHERE doc_id % 9 <> 0),
+audit AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 9 = 0) AS BIGINT)
+           AS n_dv_deleted
+  FROM live
+)
+SELECT kept.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(content_h, '' ORDER BY doc_id)) AS content_md5,
+       CAST(2 AS BIGINT) AS num_files,
+       audit.n_dv_deleted
+FROM kept CROSS JOIN audit
+GROUP BY kept.lang, audit.n_dv_deleted
+""",
+    description="Delta VERSION CHECKSUM (.crc) state validation: after "
+    "a DV DELETE (doc_id % 9 = 0) the commit's %020d.crc records the "
+    "snapshot's numFiles / numDeletedRecordsOpt / tableSizeBytes + "
+    "protocol, and validate_version_checksum recomputes the state from "
+    "log replay and cross-checks field-by-name (a tamper or replay bug "
+    "is a hard error — unit-tested). The audit columns carry the "
+    "VALIDATED numbers: numFiles stays 2 (DV delete rewrites zero data "
+    "files) and numDeletedRecordsOpt equals the predicate count the "
+    "oracle recomputes. The reader-side cheap integrity check a "
+    "thousand-commit production table runs on every snapshot load.",
+    tags=("scan", "storage", "pipeline"),
+)
+def pipeline_delta_version_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _fixture(spark, sf_dir)
+    root = f"{_ROOT}/delta_crc_{sfx}"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(base, root)
+    version, n_del = DL.delete_where_with_dv(
+        spark, root, F.col("doc_id") % 9 == 0
+    )
+    DL.write_version_checksum(root, version)
+    state = DL.validate_version_checksum(root, version)
+    assert state["numDeletedRecordsOpt"] == n_del
+    back = DL.read_delta(spark, root)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "content_h"))
+                    ),
+                    lambda s: s["content_h"],
+                ),
+                "",
+            )
+        ).alias("content_md5"),
+        F.lit(state["numFiles"]).cast("bigint").alias("num_files"),
+        F.lit(n_del).cast("bigint").alias("n_dv_deleted"),
+    )

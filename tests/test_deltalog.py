@@ -175,14 +175,25 @@ def test_roaring_run_container_decode():
 
 
 def test_protocol_gate_unknown_reader_feature(tmp_path):
+    # v2Checkpoint became a SUPPORTED reader feature in round 7 — use a
+    # feature this reader genuinely does not implement
     root = _mk_table(
         tmp_path,
         {0: [{"protocol": {"minReaderVersion": 3,
-                           "readerFeatures": ["v2Checkpoint"]}},
+                           "readerFeatures": ["typeWidening"]}},
              _add("a.parquet")]},
     )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         DL.delta_snapshot_files(root)
+    # supported v3 features pass the gate
+    root2 = _mk_table(
+        tmp_path / "ok",
+        {0: [{"protocol": {"minReaderVersion": 3,
+                           "readerFeatures": ["v2Checkpoint",
+                                              "deletionVectors"]}},
+             _add("a.parquet")]},
+    )
+    assert len(DL.delta_snapshot_files(root2)) == 1
 
 
 def test_protocol_gate_column_mapping(tmp_path):
@@ -765,3 +776,28 @@ def test_checkpoint_carries_full_add_actions_and_features(tmp_path):
     assert a["size"] == 1234
     assert json.loads(a["stats"])["maxValues"]["k"] == 9
     assert protocol["readerFeatures"] == ["deletionVectors"]
+
+
+def test_version_checksum_roundtrip_and_tamper(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "crc")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    DL.export_merge_to_delta(spark, root, b1, key="k")
+    DL.delete_where_with_dv(spark, root, F.col("k") == 1)
+    p = DL.write_version_checksum(root)
+    assert os.path.basename(p) == f"{1:020d}.crc"
+    state = DL.validate_version_checksum(root)
+    assert state["numFiles"] == 1 and state["numDeletedRecordsOpt"] == 1
+    assert state["tableSizeBytes"] > 0
+    # tampering with the recorded state is detected field-by-name
+    with open(p) as fh:
+        rec = json.load(fh)
+    rec["numFiles"] = 99
+    with open(p, "w") as fh:
+        json.dump(rec, fh)
+    with pytest.raises(ValueError, match="numFiles"):
+        DL.validate_version_checksum(root)
+    # missing checksum is a named FileNotFoundError
+    with pytest.raises(FileNotFoundError):
+        DL.validate_version_checksum(root, 0)
