@@ -106,12 +106,19 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
     if mrv == 3:
         feats = set(protocol.get("readerFeatures") or [])
         unsupported = sorted(
-            feats - {"deletionVectors", "columnMapping", "v2Checkpoint"}
+            feats
+            - {
+                "deletionVectors",
+                "columnMapping",
+                "v2Checkpoint",
+                "typeWidening",
+            }
         )
         if unsupported:
             raise ValueError(
                 f"unsupported Delta reader features {unsupported} "
-                "(supported: deletionVectors, columnMapping, v2Checkpoint)"
+                "(supported: deletionVectors, columnMapping, "
+                "v2Checkpoint, typeWidening)"
             )
         return
     raise ValueError(f"unsupported Delta minReaderVersion {mrv}")
@@ -174,6 +181,91 @@ def _apply_column_mapping(spark, df, files: list[str], mapping: list[dict]):
     return df.select(*cols)
 
 
+def _widen_casts(metadata: dict | None) -> dict[str, str] | None:
+    """Logical target types of fields whose schemaString metadata
+    records ``delta.typeChanges`` (the typeWidening reader feature,
+    Delta protocol "Type Widening"): {fieldName: wideType}. None when
+    the schema records no widened fields — the common case, costing
+    one dict scan and zero file I/O."""
+    if not metadata or "schemaString" not in metadata:
+        return None
+    fields = json.loads(metadata["schemaString"])["fields"]
+    out = {
+        f["name"]: f["type"]
+        for f in fields
+        if isinstance(f.get("type"), str)
+        and (f.get("metadata") or {}).get("delta.typeChanges")
+    }
+    return out or None
+
+
+def _grouped_scan(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    metadata: dict | None,
+    tag_identity: bool,
+) -> DataFrame:
+    """Vectorized parquet scan(s) over a snapshot's live files.
+
+    Normally ONE distributed scan. When the schemaString carries
+    ``delta.typeChanges`` (typeWidening: files written before the
+    widen commit keep their narrow physical type), files are grouped
+    by the physical types of the widened columns — parquet footer
+    reads, metadata-scale like the log replay — and each group gets
+    its own scan with a per-group upcast projection, because a single
+    mixed scan cannot promote int32 pages to the widened logical type
+    (the vectorized reader refuses the conversion). ``tag_identity``
+    adds the (__file, __pos) columns per group BEFORE the union so
+    merge-on-read DV masking composes with widening."""
+    from pyspark.sql import functions as F
+
+    widen = _widen_casts(metadata)
+
+    def one(group: list[str]) -> DataFrame:
+        g = spark.read.parquet(*group)
+        if tag_identity:
+            pcol = F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""
+            )
+            prefix = root.rstrip("/") + "/"
+            rel = F.when(
+                pcol.startswith(F.lit(prefix)),
+                F.substring(pcol, len(prefix) + 1, 1 << 20),
+            ).otherwise(pcol)
+            g = g.select(
+                "*",
+                rel.alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        if widen:
+            g = g.select(
+                [
+                    F.col(c).cast(widen[c]).alias(c) if c in widen else F.col(c)
+                    for c in g.columns
+                ]
+            )
+        return g
+
+    if not widen:
+        return one(files)
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        sch = pq.read_schema(f)
+        sig = tuple(
+            str(sch.field(c).type) if c in sch.names else ""
+            for c in sorted(widen)
+        )
+        groups.setdefault(sig, []).append(f)
+    parts = [one(g) for _, g in sorted(groups.items())]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def delta_snapshot_files(root: str, version: int | None = None) -> list[str]:
     """Absolute paths of the data files live at ``version`` (default:
     latest). Raises on protocol requirements this reader does not
@@ -215,12 +307,10 @@ def _resolve_df(
     add actions carry deletion vectors, physical->logical projection
     when column mapping is on. Shared by the full-replay and
     checkpointed read paths."""
-    from pyspark.sql import functions as F
-
     files = [os.path.join(root, p) for p in sorted(adds)]
-    df = spark.read.parquet(*files)
     mapping = _column_mapping(metadata)
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
+    df = _grouped_scan(spark, root, files, metadata, bool(dv_adds))
     if not dv_adds:
         if mapping:
             df = _apply_column_mapping(spark, df, files, mapping)
@@ -230,21 +320,9 @@ def _resolve_df(
         for idx in _dv_indexes(root, dv_adds[p]["deletionVector"]):
             rows.append((p, idx))
     dels = spark.createDataFrame(rows, "file_path string, pos long")
-    pcol = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
-    prefix = root.rstrip("/") + "/"
-    rel = F.when(
-        pcol.startswith(F.lit(prefix)),
-        F.substring(pcol, len(prefix) + 1, 1 << 20),
-    ).otherwise(pcol)
-    tagged = df.select(
-        "*",
-        rel.alias("__file"),
-        F.col("_metadata.row_index").alias("__pos"),
-    )
-    df = tagged.join(
+    df = df.join(
         dels,
-        (tagged["__file"] == dels["file_path"])
-        & (tagged["__pos"] == dels["pos"]),
+        (df["__file"] == dels["file_path"]) & (df["__pos"] == dels["pos"]),
         "left_anti",
     ).drop("__file", "__pos")
     if mapping:
@@ -438,6 +516,112 @@ def write_delta_column_mapping_fixture(
         ],
     )
     _commit(root, 1, [_meta("char_count")])
+    return root
+
+
+def write_delta_type_widening_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> str:
+    """Delta table exercising the typeWidening reader feature:
+
+      * v0: legacy protocol (reader 1), schema has ``score`` as
+        INTEGER; file-0 holds the non-French docs with int32 scores
+        (``n_chars % 90000``).
+      * v1: the widen commit — metaData's ``score`` becomes LONG with
+        the spec's ``delta.typeChanges`` field metadata recording
+        {integer -> long, tableVersion 1}; protocol upgrades to
+        reader 3 / writer 7 with the typeWidening feature; file-1
+        adds the French docs with scores ABOVE int32 range
+        (``n_chars + 3_000_000_000``) — readable only if the widened
+        logical type actually reaches the old files' scan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    _write_single_parquet(
+        docs.filter(F.col("lang") != "fr").select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") % 90000).cast("int").alias("score"),
+        ),
+        root,
+        "file-0.parquet",
+    )
+    _write_single_parquet(
+        docs.filter(F.col("lang") == "fr").select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") + F.lit(3_000_000_000)).cast("long").alias(
+                "score"
+            ),
+        ),
+        root,
+        "file-1.parquet",
+    )
+
+    def _add(name: str) -> dict:
+        st = os.stat(os.path.join(root, name))
+        return {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }
+        }
+
+    def _meta(score_type: str, type_changes: list | None) -> dict:
+        md = {"delta.typeChanges": type_changes} if type_changes else {}
+        return {
+            "metaData": {
+                "id": "spark-graft-delta-widening-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                            {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+                            {"name": "score", "type": score_type, "nullable": True, "metadata": md},
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta("integer", None),
+            _add("file-0.parquet"),
+        ],
+    )
+    _commit(
+        root,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            },
+            _meta(
+                "long",
+                [{"fromType": "integer", "toType": "long", "tableVersion": 1}],
+            ),
+            _add("file-1.parquet"),
+        ],
+    )
     return root
 
 
@@ -656,8 +840,6 @@ def delete_keys_with_dv(
 
 
 def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
-    from pyspark.sql import functions as F
-
     adds, protocol, metadata = _replay(root)
     _check_protocol(protocol, metadata)
     existing: dict[str, list[int]] = {
@@ -666,22 +848,10 @@ def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
         if a.get("deletionVector")
     }
     # live rows with identity = current scan minus existing DVs
-    pcol = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
-    prefix = root.rstrip("/") + "/"
-    rel = F.when(
-        pcol.startswith(F.lit(prefix)),
-        F.substring(pcol, len(prefix) + 1, 1 << 20),
-    ).otherwise(pcol)
-    # read_delta dropped its identity cols; re-derive on the same scan
+    # (read_delta dropped its identity cols; re-derive on the same
+    # grouped scan so widened tables filter on the logical types)
     files = [os.path.join(root, p) for p in sorted(adds)]
-    tagged = (
-        spark.read.parquet(*files)
-        .select(
-            "*",
-            rel.alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
-    )
+    tagged = _grouped_scan(spark, root, files, metadata, True)
     if existing:
         old = spark.createDataFrame(
             [(p, i) for p, idxs in existing.items() for i in idxs],
@@ -723,13 +893,22 @@ def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
         }
     with open(os.path.join(root, dv_name), "wb") as fh:
         fh.write(blob)
+    # upgrade preserves features the table already declares (a DV
+    # delete on e.g. a typeWidening table must not clobber the list —
+    # protocol actions REPLACE, they don't merge)
+    prior_r = set((protocol or {}).get("readerFeatures") or [])
+    prior_w = set((protocol or {}).get("writerFeatures") or [])
     actions: list[dict] = [
         {
             "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "minReaderVersion": max(
+                    3, (protocol or {}).get("minReaderVersion", 1)
+                ),
+                "minWriterVersion": max(
+                    7, (protocol or {}).get("minWriterVersion", 1)
+                ),
+                "readerFeatures": sorted(prior_r | {"deletionVectors"}),
+                "writerFeatures": sorted(prior_w | {"deletionVectors"}),
             }
         }
     ]

@@ -1,0 +1,98 @@
+"""Hundred-seventy-third wave: Delta type widening (reader feature).
+
+The typeWidening feature lets a table widen a column's type in place
+(integer -> long here): files written BEFORE the widen commit keep
+their narrow physical type, and the reader must upcast them to the
+schemaString's logical type at scan time. The clean-room reader
+(operators/deltalog.py) groups the snapshot's live files by the
+physical types of the widened columns (parquet footer reads —
+metadata-scale) and gives each group its own vectorized scan with a
+per-group upcast projection, because one mixed scan cannot promote
+int32 pages to the widened type. The widen commit records the change
+in the spec's ``delta.typeChanges`` field metadata and upgrades the
+protocol to reader 3 / writer 7 with the feature named.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.operators import deltalog as DL
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
+
+_ROOT = scratch_root("llm173")
+
+
+def _fixture(spark: SparkSession, sf_dir: str) -> str:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_widen_{sfx}"
+    DL.write_delta_type_widening_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    return root
+
+
+def _agg(df: DataFrame, version: int) -> DataFrame:
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").cast("long").alias("sum_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .select(F.lit(version).alias("version"), "*")
+    )
+
+
+@register(
+    "scan_delta_type_widening",
+    oracle="""
+WITH pre AS (
+  SELECT lang, CAST(n_chars % 90000 AS BIGINT) AS score
+  FROM documents WHERE lang <> 'fr'
+),
+post AS (
+  SELECT * FROM pre
+  UNION ALL
+  SELECT lang, n_chars + 3000000000 FROM documents WHERE lang = 'fr'
+),
+a1 AS (
+  SELECT 1 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(score) AS BIGINT) AS sum_score,
+         CAST(MAX(score) AS BIGINT) AS max_score
+  FROM pre GROUP BY lang
+),
+a2 AS (
+  SELECT 2 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(score) AS BIGINT) AS sum_score,
+         CAST(MAX(score) AS BIGINT) AS max_score
+  FROM post GROUP BY lang
+)
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+""",
+    description="Delta TYPE WIDENING (reader feature): v0 writes the "
+    "score column as INTEGER; the v1 widen commit flips the "
+    "schemaString to LONG, records the change in the spec's "
+    "delta.typeChanges field metadata, upgrades the protocol to "
+    "reader 3 / writer 7 with typeWidening named, and appends a file "
+    "whose scores exceed int32 range. The reader groups live files by "
+    "the widened columns' physical footer types (metadata-scale) and "
+    "upcasts each group in its own vectorized scan — a single mixed "
+    "scan cannot promote int32 pages. Pre-widen (v0) and post-widen "
+    "(latest) snapshots of the SAME directory aggregate side by side; "
+    "the post-widen max_score > 2^31 certifies the narrow files really "
+    "read under the widened logical type. Scale: footer reads are one "
+    "per file like production Delta readers' schema adaptation; the "
+    "data path stays whole-stage-codegen parquet scans with pushdown "
+    "intact.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _fixture(spark, sf_dir)
+    pre = _agg(DL.read_delta(spark, root, 0), 1)
+    post = _agg(DL.read_delta(spark, root), 2)
+    return pre.unionByName(post)

@@ -175,15 +175,15 @@ def test_roaring_run_container_decode():
 
 
 def test_protocol_gate_unknown_reader_feature(tmp_path):
-    # v2Checkpoint became a SUPPORTED reader feature in round 7 — use a
-    # feature this reader genuinely does not implement
+    # v2Checkpoint and typeWidening became SUPPORTED reader features in
+    # round 7 — use a feature this reader genuinely does not implement
     root = _mk_table(
         tmp_path,
         {0: [{"protocol": {"minReaderVersion": 3,
-                           "readerFeatures": ["typeWidening"]}},
+                           "readerFeatures": ["variantType"]}},
              _add("a.parquet")]},
     )
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType"):
         DL.delta_snapshot_files(root)
     # supported v3 features pass the gate
     root2 = _mk_table(
@@ -801,3 +801,49 @@ def test_version_checksum_roundtrip_and_tamper(tmp_path, spark):
     # missing checksum is a named FileNotFoundError
     with pytest.raises(FileNotFoundError):
         DL.validate_version_checksum(root, 0)
+
+
+def test_type_widening_read_and_dv_compose(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "fr" if i % 3 == 0 else "en", 100 + i, f"t{i}")
+         for i in range(12)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "widen")
+    DL.write_delta_type_widening_fixture(spark, docs, root)
+    # latest snapshot: widened LONG column, values above int32 range
+    cur = DL.read_delta(spark, root)
+    assert dict(cur.dtypes)["score"] == "bigint"
+    assert cur.filter(F.col("score") > 2_147_483_647).count() == 4
+    assert cur.count() == 12
+    # pre-widen snapshot: still the narrow INTEGER schema
+    pre = DL.read_delta(spark, root, 0)
+    assert dict(pre.dtypes)["score"] == "int"
+    assert pre.count() == 8
+    # merge-on-read DV delete composes with widening: the condition
+    # filters on the widened logical type, and the protocol upgrade
+    # must PRESERVE the typeWidening feature (protocol actions replace)
+    v, n = DL.delete_where_with_dv(
+        spark, root, F.col("score") > 2_147_483_647
+    )
+    assert n == 4
+    after = DL.read_delta(spark, root)
+    assert after.count() == 8
+    assert dict(after.dtypes)["score"] == "bigint"
+    _, protocol, _ = DL._replay(root)
+    assert set(protocol["readerFeatures"]) == {
+        "deletionVectors",
+        "typeWidening",
+    }
+
+
+def test_type_widening_gate_accepts_feature(tmp_path):
+    root = _mk_table(
+        tmp_path,
+        {0: [{"protocol": {"minReaderVersion": 3,
+                           "readerFeatures": ["typeWidening"]}},
+             _add("a.parquet")]},
+    )
+    assert len(DL.delta_snapshot_files(root)) == 1
