@@ -305,15 +305,23 @@ _ICEBERG_TYPES = {
 
 
 def _read_with_field_ids(
-    spark: SparkSession, files: list[str], schema: dict
+    spark: SparkSession,
+    files: list[str],
+    schema: dict,
+    root: str | None = None,
+    tag_identity: bool = False,
 ) -> DataFrame:
     """Field-id column projection: group data files by their parquet
     (field_id -> physical name) signature (footer-only reads,
     metadata-scale like the manifests), read each group as one
     distributed scan, alias physical names to the table schema's names
     by id, and union. Files without field ids fall back to the spec's
-    name mapping; columns absent from a file read as typed NULLs
-    (schema-evolution adds)."""
+    name mapping; columns absent from a file resolve to the field's
+    ``initial-default`` when the schema declares one (the v3 default-
+    values rule in "Column Projection"), else to typed NULLs
+    (schema-evolution adds). ``tag_identity`` carries the (__file,
+    __pos) positional identity through the projection so DV masking
+    composes with field-id resolution (requires ``root``)."""
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
@@ -328,7 +336,10 @@ def _read_with_field_ids(
     out: DataFrame | None = None
     for key in sorted(groups):
         idmap = dict(key)
-        df = spark.read.parquet(*groups[key])
+        if tag_identity:
+            df = _with_position(spark, root, groups[key])
+        else:
+            df = spark.read.parquet(*groups[key])
         cols = []
         for fld in schema["fields"]:
             name = fld["name"]
@@ -344,7 +355,11 @@ def _read_with_field_ids(
             if phys is not None and phys in df.columns:
                 cols.append(F.col(phys).cast(spark_t).alias(name))
             else:
-                cols.append(F.lit(None).cast(spark_t).alias(name))
+                cols.append(
+                    F.lit(fld.get("initial-default")).cast(spark_t).alias(name)
+                )
+        if tag_identity:
+            cols += [F.col("__file"), F.col("__pos")]
         part = df.select(*cols)
         out = part if out is None else out.unionByName(part)
     if out is None:
@@ -2236,7 +2251,15 @@ def read_iceberg_v3(
                 )
             else:
                 data_files.append(_resolve(root, d["file_path"]))
-    df = _with_position(spark, root, sorted(data_files))
+    schema = _table_schema(meta, snapshot_id)
+    if schema is None:
+        df = _with_position(spark, root, sorted(data_files))
+    else:
+        # field-id projection with v3 initial-default resolution; the
+        # positional identity rides through for the DV anti-join below
+        df = _read_with_field_ids(
+            spark, sorted(data_files), schema, root=root, tag_identity=True
+        )
     if dv_positions:
         rows = [
             (ref, pos)
@@ -2590,6 +2613,169 @@ def read_iceberg_v3_lineage(
         .withColumn("_row_id", F.col("__first") + F.col("__pos"))
         .drop("__file", "__pos", "__lf", "__first")
     )
+
+
+def write_iceberg_v3_default_values_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> tuple[int, int]:
+    """Format-v3 table exercising DEFAULT VALUES (spec: "Default
+    values" + the initial-default rule in "Column Projection"):
+
+      * snapshot 1 (schema 0): file-a holds the non-French docs with
+        fields (doc_id:1, lang:2, n_chars:3) — written BEFORE the
+        ``tier`` column existed;
+      * schema 1 adds field 4 ``tier: string`` with
+        ``initial-default: "legacy"`` and ``write-default:
+        "standard"``; snapshot 2 appends file-b (the French docs) with
+        explicit tier values.
+
+    A correct reader must resolve file-a's missing field 4 to the
+    string ``legacy`` — NOT null: that is precisely what
+    initial-default changes about column projection. Files carry real
+    parquet field ids (pyarrow writer). Returns (snap_1, snap_2)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    pdf = docs.select("doc_id", "lang", "n_chars").toPandas()
+
+    def _field(name: str, typ, fid: int):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    sa = pa.schema(
+        [
+            _field("doc_id", pa.int64(), 1),
+            _field("lang", pa.string(), 2),
+            _field("n_chars", pa.int64(), 3),
+        ]
+    )
+    sb = pa.schema(
+        [
+            _field("doc_id", pa.int64(), 1),
+            _field("lang", pa.string(), 2),
+            _field("n_chars", pa.int64(), 3),
+            _field("tier", pa.string(), 4),
+        ]
+    )
+    old = pdf[pdf.lang != "fr"]
+    new = pdf[pdf.lang == "fr"].copy()
+    new["tier"] = new.n_chars.map(
+        lambda c: "standard" if c >= 600 else "short"
+    )
+    pq.write_table(
+        pa.Table.from_pandas(old, schema=sa, preserve_index=False),
+        os.path.join(root, "data", "file-a.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(new, schema=sb, preserve_index=False),
+        os.path.join(root, "data", "file-b.parquet"),
+    )
+
+    def _entry(status: int, snap: int, name: str) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snap,
+            "data_file": {
+                "file_path": name,
+                "file_format": "PARQUET",
+                "partition": {"lang": None},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, name)
+                ),
+            },
+        }
+
+    snap1, snap2 = 3201, 3202
+    for mname, entries in (
+        ("dm1.avro", [_entry(1, snap1, "data/file-a.parquet")]),
+        (
+            "dm2.avro",
+            [
+                _entry(0, snap1, "data/file-a.parquet"),
+                _entry(1, snap2, "data/file-b.parquet"),
+            ],
+        ),
+    ):
+        AV.write_container(
+            os.path.join(root, "metadata", mname), _MANIFEST_SCHEMA, entries
+        )
+    for lname, mname in (
+        ("dsnap-1.avro", "dm1.avro"),
+        ("dsnap-2.avro", "dm2.avro"),
+    ):
+        AV.write_container(
+            os.path.join(root, "metadata", lname),
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": f"metadata/{mname}",
+                    "manifest_length": os.path.getsize(
+                        os.path.join(root, "metadata", mname)
+                    ),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": None,
+                }
+            ],
+        )
+
+    base_fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "lang", "type": "string", "required": False},
+        {"id": 3, "name": "n_chars", "type": "long", "required": False},
+    ]
+    meta = {
+        "format-version": 3,
+        "table-uuid": "spark-graft-iceberg-v3-defaults",
+        "location": root,
+        "current-snapshot-id": snap2,
+        "current-schema-id": 1,
+        "schemas": [
+            {"schema-id": 0, "type": "struct", "fields": base_fields},
+            {
+                "schema-id": 1,
+                "type": "struct",
+                "fields": base_fields
+                + [
+                    {
+                        "id": 4,
+                        "name": "tier",
+                        "type": "string",
+                        "required": False,
+                        "initial-default": "legacy",
+                        "write-default": "standard",
+                    }
+                ],
+            },
+        ],
+        "snapshots": [
+            {
+                "snapshot-id": snap1,
+                "schema-id": 0,
+                "manifest-list": "metadata/dsnap-1.avro",
+                "summary": {"operation": "append"},
+            },
+            {
+                "snapshot-id": snap2,
+                "schema-id": 1,
+                "manifest-list": "metadata/dsnap-2.avro",
+                "summary": {"operation": "append"},
+            },
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v1.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(meta, fh)
+    return snap1, snap2
 
 
 def set_ref(

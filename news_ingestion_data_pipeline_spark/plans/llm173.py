@@ -96,3 +96,89 @@ def scan_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = _agg(DL.read_delta(spark, root, 0), 1)
     post = _agg(DL.read_delta(spark, root), 2)
     return pre.unionByName(post)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v3 default values
+# ---------------------------------------------------------------------------
+
+from news_ingestion_data_pipeline_spark.operators import iceberg as IC  # noqa: E402
+
+
+def _defaults_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_defaults_{sfx}"
+    s1, s2 = IC.write_iceberg_v3_default_values_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    return root, s1, s2
+
+
+@register(
+    "scan_iceberg_default_values",
+    oracle="""
+WITH pre AS (
+  SELECT lang, n_chars FROM documents WHERE lang <> 'fr'
+),
+cur AS (
+  SELECT lang, 'legacy' AS tier, n_chars FROM pre
+  UNION ALL
+  SELECT lang, CASE WHEN n_chars >= 600 THEN 'standard' ELSE 'short' END,
+         n_chars
+  FROM documents WHERE lang = 'fr'
+),
+a1 AS (
+  SELECT 1 AS version, lang, '(schema-0)' AS tier,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM pre GROUP BY lang
+),
+a2 AS (
+  SELECT 2 AS version, lang, tier,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM cur GROUP BY lang, tier
+)
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+""",
+    description="Iceberg v3 DEFAULT VALUES: schema 1 adds a tier "
+    "column carrying initial-default 'legacy' (and write-default "
+    "'standard'); data files written under schema 0 resolve the "
+    "missing field 4 to the DEFAULT — not null — per the spec's "
+    "Column Projection rule, while the post-add file reads its "
+    "explicit values. Snapshot 1 is read under its PINNED schema-id 0 "
+    "(no tier column at all), certifying both default resolution and "
+    "schema pinning from the same directory. Scale: defaults are "
+    "schema metadata folded into the per-file-group projection the "
+    "field-id reader already does — zero extra distributed work.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_iceberg_default_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root, s1, _ = _defaults_fixture(spark, sf_dir)
+    pre = (
+        IC.read_iceberg_v3(spark, root, s1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.lit(1).alias("version"),
+            "lang",
+            F.lit("(schema-0)").alias("tier"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+    cur = (
+        IC.read_iceberg_v3(spark, root)
+        .groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(F.lit(2).alias("version"), "*")
+    )
+    return pre.unionByName(cur)

@@ -836,3 +836,33 @@ def test_rewrite_position_deletes_to_dvs(tmp_path, spark):
     )
     with pytest.raises(ValueError, match="equality delete"):
         IB.rewrite_position_deletes_to_dvs(spark, root2)
+
+
+def test_v3_default_values_projection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "fr" if i % 3 == 0 else "en", 500 + 100 * (i % 3), f"t{i}")
+         for i in range(12)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "defaults")
+    s1, s2 = IB.write_iceberg_v3_default_values_fixture(spark, docs, root)
+    cur = IB.read_iceberg_v3(spark, root)
+    # rows from the pre-add file resolve tier to the initial-default,
+    # NOT null; the post-add file keeps its explicit values
+    assert cur.filter(F.col("tier").isNull()).count() == 0
+    legacy = cur.filter(F.col("tier") == "legacy")
+    assert legacy.count() == 8
+    assert {r.lang for r in legacy.select("lang").distinct().collect()} == {
+        "en"
+    }
+    fr = cur.filter(F.col("lang") == "fr")
+    assert {r.tier for r in fr.select("tier").distinct().collect()} <= {
+        "standard",
+        "short",
+    }
+    # snapshot 1 reads under its pinned schema-id 0: no tier column
+    pre = IB.read_iceberg_v3(spark, root, s1)
+    assert "tier" not in pre.columns
+    assert pre.count() == 8
