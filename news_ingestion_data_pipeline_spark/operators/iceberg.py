@@ -451,22 +451,25 @@ def write_iceberg_fixture(
     slim = docs.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
     )
-    langs = sorted(
-        r[0] for r in slim.select("lang").distinct().collect()
-    )  # metadata-scale: one value per partition
+    # metadata-scale: one row per partition value
+    lang_counts = {
+        r["lang"]: r["n"]
+        for r in slim.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    langs = sorted(lang_counts)
     for lang in langs:
         _write_single_parquet(
             slim.filter(F.col("lang") == lang),
             root,
             f"data/lang={lang}/file-1.parquet",
         )
-    _write_single_parquet(
-        slim.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 600)),
-        root,
-        "data/lang=fr/file-2.parquet",
+    fr_keep = slim.filter(
+        (F.col("lang") == "fr") & (F.col("n_chars") >= 600)
     )
+    n_fr_keep = fr_keep.count()
+    _write_single_parquet(fr_keep, root, "data/lang=fr/file-2.parquet")
 
-    def _entry(status: int, snap: int, name: str, lang: str) -> dict:
+    def _entry(status: int, snap: int, name: str, lang: str, n: int) -> dict:
         p = os.path.join(root, name)
         return {
             "status": status,
@@ -475,7 +478,7 @@ def write_iceberg_fixture(
                 "file_path": name,
                 "file_format": "PARQUET",
                 "partition": {"lang": lang},
-                "record_count": 0,
+                "record_count": n,
                 "file_size_in_bytes": os.path.getsize(p),
             },
         }
@@ -495,7 +498,10 @@ def write_iceberg_fixture(
     m1 = _manifest(
         "m1.avro",
         [
-            _entry(1, snap1, f"data/lang={lang}/file-1.parquet", lang)
+            _entry(
+                1, snap1, f"data/lang={lang}/file-1.parquet", lang,
+                lang_counts[lang],
+            )
             for lang in langs
         ],
     )
@@ -507,12 +513,14 @@ def write_iceberg_fixture(
                 snap1 if lang != "fr" else snap2,
                 f"data/lang={lang}/file-1.parquet",
                 lang,
+                lang_counts[lang],
             )
             for lang in langs
         ],
     )
     m3 = _manifest(
-        "m3.avro", [_entry(1, snap2, "data/lang=fr/file-2.parquet", "fr")]
+        "m3.avro",
+        [_entry(1, snap2, "data/lang=fr/file-2.parquet", "fr", n_fr_keep)],
     )
 
     AV.write_container(
@@ -1292,6 +1300,110 @@ def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
     ) as fh:
         json.dump(new_meta, fh)
     return sorted(deleted)
+
+
+def iceberg_metadata_table(
+    spark: SparkSession,
+    root: str,
+    kind: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg INSPECTION TABLES — the spec's queryable metadata
+    relations (``table$snapshots``, ``$files``, ``$manifests``,
+    ``$history``, ``$refs``) as DataFrames, so operational queries
+    ("which files back this partition?", "when did snapshot X land?")
+    run through the same engine as data queries.
+
+    Scale: every relation here is MANIFEST-scale, not row-scale — the
+    files table has one row per live data file, never per data row, so
+    materializing from the driver mirrors what production engines do
+    when they plan a scan (read the manifest list + manifests)."""
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    if kind == "snapshots":
+        rows = [
+            (
+                s["snapshot-id"],
+                (s.get("summary") or {}).get("operation"),
+                s["manifest-list"],
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, operation string, manifest_list string"
+        )
+    if kind == "history":
+        cur = meta.get("current-snapshot-id")
+        rows = [
+            (i, s["snapshot-id"], s["snapshot-id"] == cur)
+            for i, s in enumerate(meta.get("snapshots", []))
+        ]
+        return spark.createDataFrame(
+            rows, "ordinal int, snapshot_id long, is_current boolean"
+        )
+    if kind == "refs":
+        rows = [
+            (name, r.get("type"), r.get("snapshot-id"))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if kind not in ("files", "manifests"):
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            "(supported: snapshots, history, refs, files, manifests)"
+        )
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in {sorted(snaps)} for {root}"
+        )
+    _, manifests = AV.read_container(
+        _resolve(root, snaps[snapshot_id]["manifest-list"])
+    )
+    if kind == "manifests":
+        rows = [
+            (
+                m["manifest_path"],
+                m.get("manifest_length", 0),
+                m.get("partition_spec_id", 0),
+                m.get("content", 0),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(
+            rows, "path string, length long, partition_spec_id int, "
+            "content int"
+        )
+    rows = []
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            continue  # delete manifests are not data files
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            d = e["data_file"]
+            part = d.get("partition") or {}
+            rows.append(
+                (
+                    d["file_path"],
+                    json.dumps(
+                        {k: part[k] for k in sorted(part)}, default=str
+                    ),
+                    int(d.get("record_count") or 0),
+                    int(d.get("file_size_in_bytes") or 0),
+                    m["manifest_path"],
+                )
+            )
+    return spark.createDataFrame(
+        sorted(rows),
+        "file_path string, partition string, record_count long, "
+        "file_size_in_bytes long, manifest string",
+    )
 
 
 def read_iceberg_incremental(

@@ -182,3 +182,100 @@ def scan_iceberg_default_values(
         .select(F.lit(2).alias("version"), "*")
     )
     return pre.unionByName(cur)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg metadata (inspection) tables
+# ---------------------------------------------------------------------------
+
+from news_ingestion_data_pipeline_spark.plans.llm158 import (  # noqa: E402
+    _fixture as _iceberg_fixture,
+)
+
+
+@register(
+    "storage_iceberg_metadata_tables",
+    oracle="""
+WITH langs AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM langs),
+files AS (
+  SELECT 'files' AS section,
+         'data/lang=' || lang || '/file-1.parquet' AS name,
+         lang AS detail, n
+  FROM langs WHERE lang <> 'fr'
+  UNION ALL
+  SELECT 'files', 'data/lang=fr/file-2.parquet', 'fr',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+          WHERE lang = 'fr' AND n_chars >= 600)
+),
+snaps AS (
+  SELECT 'snapshots' AS section, '1001' AS name, 'append' AS detail,
+         (SELECT k FROM nl) AS n
+  UNION ALL
+  SELECT 'snapshots', '1002', 'overwrite', (SELECT k FROM nl)
+),
+mans AS (
+  SELECT 'manifests' AS section, 'metadata/m2.avro' AS name,
+         'data' AS detail, (SELECT k - 1 FROM nl) AS n
+  UNION ALL
+  SELECT 'manifests', 'metadata/m3.avro', 'data', 1
+)
+SELECT * FROM files UNION ALL SELECT * FROM snaps UNION ALL
+SELECT * FROM mans
+""",
+    description="Iceberg INSPECTION TABLES (the spec's table$files / "
+    "$snapshots / $manifests relations): operational metadata queried "
+    "through the same engine as data. The files section lists every "
+    "live data file of the current snapshot with its partition value "
+    "and manifest-recorded record_count; the snapshots section lists "
+    "both snapshots with their summary operation and live-file count; "
+    "the manifests section lists the current manifest list's entries "
+    "with their LIVE entry counts. All three replay from the documents "
+    "table via the deterministic fixture layout, so the oracle "
+    "certifies the metadata pipeline (manifest-list -> manifest -> "
+    "entry) end to end. Scale: inspection tables are manifest-scale — "
+    "one row per file/manifest/snapshot, never per data row — exactly "
+    "how production engines answer these queries at 100 TB.",
+    tags=("storage", "scan"),
+)
+def storage_iceberg_metadata_tables(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root, s1, s2 = _iceberg_fixture(spark, sf_dir)
+    files = IC.iceberg_metadata_table(spark, root, "files").select(
+        F.lit("files").alias("section"),
+        F.col("file_path").alias("name"),
+        F.get_json_object("partition", "$.lang").alias("detail"),
+        F.col("record_count").alias("n"),
+    )
+    live_counts = {
+        s1: IC.iceberg_metadata_table(spark, root, "files", s1).count(),
+        s2: IC.iceberg_metadata_table(spark, root, "files", s2).count(),
+    }
+    snaps_df = IC.iceberg_metadata_table(spark, root, "snapshots")
+    counts = spark.createDataFrame(
+        [(k, v) for k, v in live_counts.items()], "sid long, n_live long"
+    )
+    snaps = (
+        snaps_df.join(counts, snaps_df["snapshot_id"] == counts["sid"])
+        .select(
+            F.lit("snapshots").alias("section"),
+            F.col("snapshot_id").cast("string").alias("name"),
+            F.col("operation").alias("detail"),
+            F.col("n_live").alias("n"),
+        )
+    )
+    mans = (
+        IC.iceberg_metadata_table(spark, root, "files")
+        .groupBy("manifest")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("manifests").alias("section"),
+            F.col("manifest").alias("name"),
+            F.lit("data").alias("detail"),
+            F.col("n"),
+        )
+    )
+    return files.unionByName(snaps).unionByName(mans)

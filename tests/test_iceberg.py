@@ -866,3 +866,36 @@ def test_v3_default_values_projection(spark, tmp_path):
     pre = IB.read_iceberg_v3(spark, root, s1)
     assert "tier" not in pre.columns
     assert pre.count() == 8
+
+
+def test_metadata_tables(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], 400 + 100 * (i % 4), f"t{i}")
+         for i in range(12)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "meta")
+    s1, s2 = IB.write_iceberg_fixture(spark, docs, root)
+    snaps = IB.iceberg_metadata_table(spark, root, "snapshots")
+    assert {r.snapshot_id for r in snaps.collect()} == {s1, s2}
+    hist = IB.iceberg_metadata_table(spark, root, "history").collect()
+    assert [h.is_current for h in hist] == [False, True]
+    # refs: empty table (schema intact), then one tag after set_ref
+    assert IB.iceberg_metadata_table(spark, root, "refs").count() == 0
+    IB.set_ref(root, "audit-2024", s1, ref_type="tag")
+    refs = IB.iceberg_metadata_table(spark, root, "refs").collect()
+    assert [(r.name, r.type, r.snapshot_id) for r in refs] == [
+        ("audit-2024", "tag", s1)
+    ]
+    # files at snapshot 1: one per lang with REAL record counts
+    f1 = IB.iceberg_metadata_table(spark, root, "files", s1)
+    assert f1.count() == 3
+    assert {r.record_count for r in f1.collect()} == {4}
+    # files at snapshot 2: fr file replaced by the filtered rewrite
+    f2 = {r.file_path: r.record_count
+          for r in IB.iceberg_metadata_table(spark, root, "files").collect()}
+    assert f2["data/lang=fr/file-2.parquet"] == 2  # n_chars >= 600
+    mans = IB.iceberg_metadata_table(spark, root, "manifests")
+    assert mans.count() == 2
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        IB.iceberg_metadata_table(spark, root, "partitions")
