@@ -625,6 +625,193 @@ def write_delta_type_widening_fixture(
     return root
 
 
+def commit_with_ict(
+    root: str, version: int, actions: list[dict], now_millis: int
+) -> int:
+    """Commit with an IN-COMMIT TIMESTAMP (writer feature
+    inCommitTimestamp): the commit's logical time lives in the
+    commitInfo action — the FIRST action of the commit per the spec —
+    instead of the file's modification time, making timestamp
+    semantics stable across file copies/restores. Monotonicity is the
+    writer's job: a wall clock at or behind the previous commit's ICT
+    is clamped to previous + 1. Returns the recorded ICT."""
+    ict = now_millis
+    versions = list_commit_versions(root) if os.path.isdir(
+        os.path.join(root, "_delta_log")
+    ) else []
+    if versions:
+        prev = _commit_ict(root, versions[-1])
+        if prev is not None and ict <= prev:
+            ict = prev + 1
+    _commit(
+        root,
+        version,
+        [{"commitInfo": {"inCommitTimestamp": ict}}] + actions,
+    )
+    return ict
+
+
+def _commit_ict(root: str, version: int) -> int | None:
+    """The commit's inCommitTimestamp, or None when it carries no
+    commitInfo ICT (feature not enabled at that version)."""
+    path = os.path.join(root, "_delta_log", f"{version:020d}.json")
+    with open(path, encoding="utf-8") as fh:
+        first = fh.readline().strip()
+    if not first:
+        return None
+    action = json.loads(first)
+    info = action.get("commitInfo")
+    if info is None:
+        return None
+    ts = info.get("inCommitTimestamp")
+    return int(ts) if ts is not None else None
+
+
+def version_as_of_timestamp(root: str, ts_millis: int) -> int:
+    """LATEST version whose in-commit timestamp is <= ``ts_millis`` —
+    the spec's timestamp-based time travel under inCommitTimestamp.
+    Commits without an ICT fall back to the log file's modification
+    time (the pre-feature rule). Raises when the timestamp precedes
+    the first commit, and on a non-monotonic ICT sequence (a corrupt
+    log — the feature's core guarantee is monotonicity)."""
+    versions = list_commit_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits under {root}/_delta_log")
+    best: int | None = None
+    prev_ts: int | None = None
+    for v in versions:
+        ict = _commit_ict(root, v)
+        if ict is None:
+            path = os.path.join(root, "_delta_log", f"{v:020d}.json")
+            ict = int(os.stat(path).st_mtime * 1000)
+        if prev_ts is not None and ict < prev_ts:
+            raise ValueError(
+                f"non-monotonic inCommitTimestamp at version {v}: "
+                f"{ict} < {prev_ts}"
+            )
+        prev_ts = ict
+        if ict <= ts_millis:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_millis} precedes the first commit "
+            f"(version {versions[0]})"
+        )
+    return best
+
+
+def read_delta_as_of_timestamp(
+    spark: SparkSession, root: str, ts_millis: int
+) -> DataFrame:
+    """Snapshot read at the version resolved by
+    :func:`version_as_of_timestamp` — `VERSION AS OF` semantics keyed
+    by the commit's logical time."""
+    return read_delta(spark, root, version_as_of_timestamp(root, ts_millis))
+
+
+def write_delta_ict_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> tuple[int, int, int]:
+    """Three-commit Delta table with the inCommitTimestamp writer
+    feature enabled from version 0 (deterministic logical clock, 10 s
+    apart):
+
+      * v0 @ T0: file-0 = all docs;
+      * v1 @ T1: quality filter — remove file-0, add file-1
+        (n_chars >= 600);
+      * v2 @ T2: drop French — remove file-1, add file-2
+        (n_chars >= 600 AND lang <> 'fr').
+
+    Returns (T0, T1, T2)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    slim = docs.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
+    )
+    _write_single_parquet(slim, root, "file-0.parquet")
+    _write_single_parquet(
+        slim.filter(F.col("n_chars") >= 600), root, "file-1.parquet"
+    )
+    _write_single_parquet(
+        slim.filter((F.col("n_chars") >= 600) & (F.col("lang") != "fr")),
+        root,
+        "file-2.parquet",
+    )
+
+    def _add(name: str) -> dict:
+        st = os.stat(os.path.join(root, name))
+        return {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }
+        }
+
+    def _rm(name: str) -> dict:
+        return {
+            "remove": {
+                "path": name,
+                "deletionTimestamp": 1700000000000,
+                "dataChange": True,
+            }
+        }
+
+    t0, t1, t2 = 1700000000000, 1700000010000, 1700000020000
+    meta = {
+        "metaData": {
+            "id": "spark-graft-delta-ict-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+                        {"name": "n_chars", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "content_h", "type": "string", "nullable": True, "metadata": {}},
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.enableInCommitTimestamps": "true",
+                "delta.inCommitTimestampEnablementVersion": "0",
+                "delta.inCommitTimestampEnablementTimestamp": str(t0),
+            },
+        }
+    }
+    commit_with_ict(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["inCommitTimestamp"],
+                }
+            },
+            meta,
+            _add("file-0.parquet"),
+        ],
+        t0,
+    )
+    commit_with_ict(
+        root, 1, [_rm("file-0.parquet"), _add("file-1.parquet")], t1
+    )
+    commit_with_ict(
+        root, 2, [_rm("file-1.parquet"), _add("file-2.parquet")], t2
+    )
+    return t0, t1, t2
+
+
 # ---------------------------------------------------------------------------
 # deletion vectors (clean-room decode/encode per PROTOCOL.md "Deletion
 # Vectors" + the public RoaringFormatSpec)

@@ -279,3 +279,60 @@ def storage_iceberg_metadata_tables(
         )
     )
     return files.unionByName(snaps).unionByName(mans)
+
+
+# ---------------------------------------------------------------------------
+# Delta in-commit timestamps
+# ---------------------------------------------------------------------------
+
+from news_ingestion_data_pipeline_spark.plans.llm157 import (  # noqa: E402
+    _AGG_SQL,
+    _snapshot_agg,
+)
+
+
+@register(
+    "scan_delta_ict_time_travel",
+    oracle=f"""
+WITH all_docs AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS content_h FROM documents
+),
+filt AS (SELECT * FROM all_docs WHERE n_chars >= 600),
+nofr AS (SELECT * FROM filt WHERE lang <> 'fr'),
+a1 AS ({_AGG_SQL.format(extra="1 AS version,", extra_grp="1,", src="all_docs")}),
+a2 AS ({_AGG_SQL.format(extra="2 AS version,", extra_grp="1,", src="filt")}),
+a3 AS ({_AGG_SQL.format(extra="3 AS version,", extra_grp="1,", src="nofr")})
+SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+""",
+    description="Delta IN-COMMIT TIMESTAMPS (writer feature "
+    "inCommitTimestamp): each commit's logical time lives in its "
+    "commitInfo action — the first action per the spec — so "
+    "timestamp-based time travel is stable across file copies and "
+    "restores (file mtimes no longer matter). Three commits 10 s "
+    "apart (all docs; n_chars >= 600; plus drop-French) are read "
+    "TIMESTAMP AS OF the exact first ICT (inclusive boundary), "
+    "mid-window, and the last ICT; the writer clamps non-monotonic "
+    "clocks to previous+1 and the resolver raises on a non-monotonic "
+    "log. Scale: resolution reads one commitInfo line per commit — "
+    "pure log metadata, zero data I/O until the chosen snapshot "
+    "scans.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_ict_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_ict_{sfx}"
+    t0, t1, t2 = DL.write_delta_ict_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    a1 = _snapshot_agg(
+        DL.read_delta_as_of_timestamp(spark, root, t0)
+    ).select(F.lit(1).alias("version"), "*")
+    a2 = _snapshot_agg(
+        DL.read_delta_as_of_timestamp(spark, root, t1 + 5000)
+    ).select(F.lit(2).alias("version"), "*")
+    a3 = _snapshot_agg(
+        DL.read_delta_as_of_timestamp(spark, root, t2)
+    ).select(F.lit(3).alias("version"), "*")
+    return a1.unionByName(a2).unionByName(a3)

@@ -847,3 +847,26 @@ def test_type_widening_gate_accepts_feature(tmp_path):
              _add("a.parquet")]},
     )
     assert len(DL.delta_snapshot_files(root)) == 1
+
+
+def test_ict_monotonic_clamp_and_resolution(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "en", 500 + 100 * i, f"t{i}") for i in range(6)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "ict")
+    t0, t1, t2 = DL.write_delta_ict_fixture(spark, docs, root)
+    # inclusive boundary + mid-window + before-first error
+    assert DL.version_as_of_timestamp(root, t0) == 0
+    assert DL.version_as_of_timestamp(root, t1 - 1) == 0
+    assert DL.version_as_of_timestamp(root, t1) == 1
+    assert DL.version_as_of_timestamp(root, t2 + 10**9) == 2
+    with pytest.raises(ValueError, match="precedes the first commit"):
+        DL.version_as_of_timestamp(root, t0 - 1)
+    # a wall clock at/behind the previous ICT is clamped to prev + 1
+    ict = DL.commit_with_ict(root, 3, [], t1)
+    assert ict == t2 + 1
+    # a hand-corrupted non-monotonic log is detected by name
+    DL._commit(root, 4, [{"commitInfo": {"inCommitTimestamp": t0}}])
+    with pytest.raises(ValueError, match="non-monotonic"):
+        DL.version_as_of_timestamp(root, t2)
