@@ -2890,6 +2890,81 @@ def write_iceberg_v3_default_values_fixture(
     return snap1, snap2
 
 
+def publish_iceberg_metadata_for_delta(root: str) -> int:
+    """UNIFORM-STYLE DUAL PUBLISH: generate Iceberg metadata (manifest
+    -> manifest list -> vN.metadata.json) over the LIVE data files of
+    the Delta table at ``root``, without copying or rewriting a byte
+    of data — the two formats' metadata layers describe the same
+    parquet. After this, the directory reads correctly through BOTH
+    protocol readers (read_delta and read_iceberg). Pure metadata:
+    cost is one log replay plus kilobytes of Avro/JSON, independent of
+    data size — exactly how production dual-format tables stay cheap.
+    Returns the Iceberg snapshot id."""
+    from news_ingestion_data_pipeline_spark.operators import deltalog as DL
+
+    adds, protocol, metadata = DL._replay(root)
+    DL._check_protocol(protocol, metadata)
+    dv_paths = sorted(p for p, a in adds.items() if a.get("deletionVector"))
+    if dv_paths:
+        raise ValueError(
+            "cannot publish Iceberg metadata over deletion-vector adds "
+            f"{dv_paths}: the DV row masks have no v2 file-level "
+            "equivalent here — compact first"
+        )
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    snap_id = 7001
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "data_file": {
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {"lang": None},
+                "record_count": 0,
+                "file_size_in_bytes": adds[p].get("size")
+                or os.path.getsize(os.path.join(root, p)),
+            },
+        }
+        for p in sorted(adds)
+    ]
+    mpath = os.path.join(root, "metadata", "uniform-m1.avro")
+    AV.write_container(mpath, _MANIFEST_SCHEMA, entries)
+    lpath = os.path.join(root, "metadata", "uniform-snap-1.avro")
+    AV.write_container(
+        lpath,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": "metadata/uniform-m1.avro",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "spark-graft-uniform-dual",
+        "location": root,
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "manifest-list": "metadata/uniform-snap-1.avro",
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(
+        os.path.join(root, "metadata", "v1.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(meta, fh)
+    return snap_id
+
+
 def set_ref(
     root: str, name: str, snapshot_id: int, ref_type: str = "tag"
 ) -> int:

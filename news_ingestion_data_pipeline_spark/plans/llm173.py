@@ -336,3 +336,49 @@ def scan_delta_ict_time_travel(
         DL.read_delta_as_of_timestamp(spark, root, t2)
     ).select(F.lit(3).alias("version"), "*")
     return a1.unionByName(a2).unionByName(a3)
+
+
+# ---------------------------------------------------------------------------
+# UniForm-style dual publish (one dataset, two protocol readers)
+# ---------------------------------------------------------------------------
+
+from news_ingestion_data_pipeline_spark.plans.llm157 import (  # noqa: E402
+    _LIVE_SQL,
+)
+
+
+@register(
+    "pipeline_uniform_dual_publish",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL}),
+a1 AS ({_AGG_SQL.format(extra="'delta' AS reader,", extra_grp="1,", src="live")}),
+a2 AS ({_AGG_SQL.format(extra="'iceberg' AS reader,", extra_grp="1,", src="live")})
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+""",
+    description="UniForm-style DUAL-FORMAT publish: a Delta table's "
+    "live snapshot gains generated Iceberg metadata (manifest -> "
+    "manifest list -> metadata.json) over the SAME parquet files — no "
+    "data copied or rewritten, the two formats are metadata layers on "
+    "one dataset. Both protocol readers then scan the directory "
+    "independently and their per-lang counts, char sums and "
+    "order-pinned content checksums must agree exactly (and match the "
+    "generating SQL). DV-carrying snapshots are refused by name: a "
+    "row-level mask has no v2 file-level equivalent. Scale: the "
+    "publish is one log replay plus kilobytes of Avro/JSON regardless "
+    "of data size — how production dual-format tables stay cheap.",
+    tags=("pipeline", "storage", "scan"),
+)
+def pipeline_uniform_dual_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/uniform_{sfx}"
+    DL.write_delta_fixture(spark, t(spark, sf_dir, "documents"), root)
+    IC.publish_iceberg_metadata_for_delta(root)
+    via_delta = _snapshot_agg(DL.read_delta(spark, root)).select(
+        F.lit("delta").alias("reader"), "*"
+    )
+    via_iceberg = _snapshot_agg(IC.read_iceberg(spark, root)).select(
+        F.lit("iceberg").alias("reader"), "*"
+    )
+    return via_delta.unionByName(via_iceberg)

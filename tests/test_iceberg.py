@@ -899,3 +899,24 @@ def test_metadata_tables(spark, tmp_path):
     assert mans.count() == 2
     with pytest.raises(ValueError, match="unknown metadata table"):
         IB.iceberg_metadata_table(spark, root, "partitions")
+
+
+def test_uniform_dual_publish_refuses_dv_tables(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from news_ingestion_data_pipeline_spark.operators import deltalog as DL
+
+    docs = spark.createDataFrame(
+        [(i, "en", 500 + i, f"t{i}") for i in range(8)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "uni")
+    DL.write_delta_fixture(spark, docs, root)
+    snap = IB.publish_iceberg_metadata_for_delta(root)
+    d = DL.read_delta(spark, root)
+    i = IB.read_iceberg(spark, root, snap)
+    assert sorted(map(tuple, d.collect())) == sorted(map(tuple, i.collect()))
+    # a DV-carrying snapshot is refused by name
+    DL.delete_where_with_dv(spark, root, F.col("doc_id") == 0)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        IB.publish_iceberg_metadata_for_delta(root)
