@@ -812,6 +812,125 @@ def write_delta_ict_fixture(
     return t0, t1, t2
 
 
+def write_delta_row_tracking_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> str:
+    """Delta table with the rowTracking writer feature: every add
+    action carries ``baseRowId`` (assigned from a monotone counter at
+    commit) and ``defaultRowCommitVersion``; a row's FRESH row id is
+    its file's baseRowId plus its position — the Delta twin of Iceberg
+    v3 row lineage. v0 adds the even doc_ids (baseRowId 0), v1 appends
+    the odds (baseRowId = even count)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    slim = docs.select("doc_id", "lang", "n_chars")
+    even = slim.filter(F.col("doc_id") % 2 == 0).orderBy("doc_id")
+    odd = slim.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id")
+    _write_single_parquet(even, root, "file-even.parquet")
+    _write_single_parquet(odd, root, "file-odd.parquet")
+    n_even = even.count()
+    n_odd = odd.count()
+
+    def _add(name: str, base: int, version: int) -> dict:
+        st = os.stat(os.path.join(root, name))
+        return {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+                "baseRowId": base,
+                "defaultRowCommitVersion": version,
+            }
+        }
+
+    meta = {
+        "metaData": {
+            "id": "spark-graft-delta-rowtracking-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                        {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+                        {"name": "n_chars", "type": "long", "nullable": True, "metadata": {}},
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.rowIdHighWaterMark": str(
+                    n_even + n_odd - 1
+                ),
+            },
+        }
+    }
+    _commit(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["rowTracking", "domainMetadata"],
+                }
+            },
+            meta,
+            _add("file-even.parquet", 0, 0),
+        ],
+    )
+    _commit(root, 1, [_add("file-odd.parquet", n_even, 1)])
+    return root
+
+
+def read_delta_with_row_ids(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read materializing the rowTracking ``_row_id``
+    metadata column: baseRowId (add-action metadata) plus the row's
+    position in its file. Map-side against a broadcast
+    file -> baseRowId map (log-scale) — no shuffle, the durable
+    identity CDC/audit joins need without a user key. Raises by name
+    when an add lacks baseRowId (rowTracking not enabled for that
+    file)."""
+    from pyspark.sql import functions as F
+
+    adds, protocol, metadata = _replay(root, version)
+    _check_protocol(protocol, metadata)
+    missing = sorted(p for p, a in adds.items() if a.get("baseRowId") is None)
+    if missing:
+        raise ValueError(
+            f"rowTracking: add actions without baseRowId on {missing}"
+        )
+    dv_adds = sorted(p for p, a in adds.items() if a.get("deletionVector"))
+    if dv_adds:
+        raise ValueError(
+            f"rowTracking read over deletion-vector adds {dv_adds} not "
+            "supported here — compact first"
+        )
+    files = [os.path.join(root, p) for p in sorted(adds)]
+    tagged = _grouped_scan(spark, root, files, metadata, True)
+    fmap = F.broadcast(
+        spark.createDataFrame(
+            [(p, int(a["baseRowId"])) for p, a in sorted(adds.items())],
+            "__lf string, __base long",
+        )
+    )
+    return (
+        tagged.join(fmap, tagged["__file"] == fmap["__lf"])
+        .withColumn("_row_id", F.col("__base") + F.col("__pos"))
+        .drop("__file", "__pos", "__lf", "__base")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deletion vectors (clean-room decode/encode per PROTOCOL.md "Deletion
 # Vectors" + the public RoaringFormatSpec)

@@ -1773,6 +1773,135 @@ def append_data_file(
     return snap_id
 
 
+def append_batch_to_iceberg(
+    spark: SparkSession,
+    root: str,
+    batch_df: DataFrame,
+    app_id: str,
+    batch_id: int,
+) -> bool:
+    """Streaming-sink append: commit one micro-batch as one fast-append
+    snapshot whose SUMMARY carries (streaming-app-id,
+    streaming-batch-id) — the Iceberg idiom for exactly-once streaming
+    writes (production engines record the checkpointed batch id in the
+    snapshot summary and skip replays). A batch id at or below the
+    app's last recorded id is skipped BEFORE writing anything and the
+    call returns False. Creates the table on the first batch. The
+    Iceberg twin of deltalog.append_batch_to_delta's txn guard."""
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    meta_dir = os.path.join(root, "metadata")
+    have_meta = os.path.isdir(meta_dir) and any(
+        n.startswith("v") and n.endswith(".metadata.json")
+        for n in os.listdir(meta_dir)
+    )
+    if have_meta:
+        meta = current_metadata(root)
+        _check_format_version(meta)
+        last = max(
+            (
+                int(s["summary"]["streaming-batch-id"])
+                for s in meta.get("snapshots", [])
+                if (s.get("summary") or {}).get("streaming-app-id") == app_id
+            ),
+            default=None,
+        )
+        if last is not None and batch_id <= last:
+            return False
+        prev = meta["current-snapshot-id"]
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        _, prev_manifests = AV.read_container(
+            _resolve(root, snaps[prev]["manifest-list"])
+        )
+        snap_id = prev + 1
+    else:
+        os.makedirs(meta_dir, exist_ok=True)
+        meta = {
+            "format-version": 2,
+            "table-uuid": "spark-graft-iceberg-stream-sink",
+            "location": root,
+            "snapshots": [],
+        }
+        prev_manifests = []
+        snap_id = 6001
+    name = f"data/stream-{snap_id}.parquet"
+    _write_single_parquet(batch_df, root, name)
+    m_add = f"m-stream-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", m_add),
+        _MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": name,
+                    "file_format": "PARQUET",
+                    "partition": {"lang": None},
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, name)
+                    ),
+                },
+            }
+        ],
+    )
+    mlist_entries = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m["partition_spec_id"],
+            "content": m.get("content", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+        }
+        for m in prev_manifests
+    ] + [
+        {
+            "manifest_path": f"metadata/{m_add}",
+            "manifest_length": os.path.getsize(
+                os.path.join(root, "metadata", m_add)
+            ),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    mlist = f"snap-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", mlist),
+        _MANIFEST_LIST_SCHEMA_V2,
+        mlist_entries,
+    )
+    existing_versions = [
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(meta_dir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    ]
+    version = 1 + max(existing_versions, default=0)
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [
+        {
+            "snapshot-id": snap_id,
+            "manifest-list": f"metadata/{mlist}",
+            "summary": {
+                "operation": "append",
+                "streaming-app-id": app_id,
+                "streaming-batch-id": str(batch_id),
+            },
+        }
+    ]
+    with open(
+        os.path.join(meta_dir, f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return True
+
+
 def append_equality_delete(
     spark: SparkSession,
     root: str,

@@ -382,3 +382,139 @@ def pipeline_uniform_dual_publish(
         F.lit("iceberg").alias("reader"), "*"
     )
     return via_delta.unionByName(via_iceberg)
+
+
+# ---------------------------------------------------------------------------
+# Delta row tracking (the Iceberg row-lineage twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_delta_row_tracking",
+    oracle="""
+WITH evens AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS _row_id
+  FROM documents WHERE doc_id % 2 = 0
+),
+odds AS (
+  SELECT doc_id, lang, n_chars,
+         (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+         + ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS _row_id
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(_row_id AS BIGINT) AS _row_id
+FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+""",
+    description="Delta ROW TRACKING (writer feature rowTracking): add "
+    "actions carry baseRowId + defaultRowCommitVersion, and a row's "
+    "fresh _row_id is its file's baseRowId plus its position — the "
+    "Delta protocol's twin of Iceberg v3 row lineage, giving every row "
+    "a durable identity without a user key. v0 adds even doc_ids at "
+    "row-id 0.., v1 appends odds at the high-water mark. The id "
+    "materializes map-side from the scan's row_index against a "
+    "broadcast file->baseRowId map (log-scale) — no shuffle. Oracle "
+    "replays the assignment as per-commit ROW_NUMBERs in doc_id order.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_rowtrack_{sfx}"
+    DL.write_delta_row_tracking_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    return DL.read_delta_with_row_ids(spark, root).select(
+        "doc_id", "lang", F.col("n_chars").cast("long"), "_row_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg as a streaming sink (the Delta sink's twin)
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+import shutil  # noqa: E402
+
+
+@register(
+    "stream_iceberg_append_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       CAST(4 AS BIGINT) AS n_snapshots,
+       TRUE AS replay_skipped
+FROM events
+GROUP BY event_type
+""",
+    description="Streaming -> Iceberg sink (the Delta sink's twin): a "
+    "maxFilesPerTrigger=1 AvailableNow stream drains 4 source files "
+    "through foreachBatch, each micro-batch committing one FAST-APPEND "
+    "snapshot whose summary records (streaming-app-id, "
+    "streaming-batch-id) — Iceberg's idiom for exactly-once streaming "
+    "writes. The last batch is then deliberately REPLAYED (the "
+    "restart-after-commit crash window) and the summary guard skips it "
+    "before writing a byte; audit columns certify exactly 4 snapshots "
+    "and the skip, and the read-back per-type counts/sums equal the "
+    "batch aggregate — each record exactly once. Scale: the guard is "
+    "one metadata read; each commit is one manifest + manifest list, "
+    "kilobytes regardless of batch size.",
+    tags=("streaming", "storage", "pipeline"),
+)
+def stream_iceberg_append_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"{_ROOT}/ice_sink_src_{sfx}"
+    tbl = f"{_ROOT}/ice_sink_tbl_{sfx}"
+    ckpt = f"{_ROOT}/ice_sink_ckpt_{sfx}"
+    for p in (src, tbl, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    app_id = f"ice_sink_{sfx}"
+
+    batch_ids: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        committed = IC.append_batch_to_iceberg(
+            spark, tbl, batch_df, app_id=app_id, batch_id=batch_id
+        )
+        assert committed, f"batch {batch_id} unexpectedly deduped"
+        batch_ids.append(batch_id)
+
+    q = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    replay_committed = IC.append_batch_to_iceberg(
+        spark,
+        tbl,
+        spark.read.parquet(src),
+        app_id=app_id,
+        batch_id=max(batch_ids),
+    )
+    n_snapshots = len(IC.current_metadata(tbl)["snapshots"])
+
+    back = IC.read_iceberg(spark, tbl)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,10)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.lit(n_snapshots).cast("bigint").alias("n_snapshots"),
+        F.lit(not replay_committed).alias("replay_skipped"),
+    )
