@@ -268,6 +268,13 @@ BENCH_QUERIES = [
     "scan_iceberg_branch_tag",
     "pipeline_iceberg_pos_to_dv",
     "pipeline_delta_version_checksum",
+    "scan_delta_type_widening",
+    "scan_iceberg_default_values",
+    "storage_iceberg_metadata_tables",
+    "scan_delta_ict_time_travel",
+    "pipeline_uniform_dual_publish",
+    "scan_delta_row_tracking",
+    "stream_iceberg_append_sink",
 ]
 
 
