@@ -1349,10 +1349,11 @@ def iceberg_metadata_table(
         return spark.createDataFrame(
             rows, "name string, type string, snapshot_id long"
         )
-    if kind not in ("files", "manifests"):
+    if kind not in ("files", "manifests", "partitions"):
         raise ValueError(
             f"unknown metadata table {kind!r} "
-            "(supported: snapshots, history, refs, files, manifests)"
+            "(supported: snapshots, history, refs, files, manifests, "
+            "partitions)"
         )
     if snapshot_id is None:
         snapshot_id = meta["current-snapshot-id"]
@@ -1399,6 +1400,18 @@ def iceberg_metadata_table(
                     m["manifest_path"],
                 )
             )
+    if kind == "partitions":
+        agg: dict[str, list[int]] = {}
+        for _, part, n, size, _m in rows:
+            cur = agg.setdefault(part, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += n
+            cur[2] += size
+        return spark.createDataFrame(
+            [(p, c[0], c[1], c[2]) for p, c in sorted(agg.items())],
+            "partition string, n_files long, record_count long, "
+            "file_size_in_bytes long",
+        )
     return spark.createDataFrame(
         sorted(rows),
         "file_path string, partition string, record_count long, "

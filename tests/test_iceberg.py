@@ -897,8 +897,13 @@ def test_metadata_tables(spark, tmp_path):
     assert f2["data/lang=fr/file-2.parquet"] == 2  # n_chars >= 600
     mans = IB.iceberg_metadata_table(spark, root, "manifests")
     assert mans.count() == 2
+    parts = {r.partition: (r.n_files, r.record_count)
+             for r in IB.iceberg_metadata_table(
+                 spark, root, "partitions").collect()}
+    assert parts['{"lang": "fr"}'] == (1, 2)
+    assert parts['{"lang": "en"}'] == (1, 4)
     with pytest.raises(ValueError, match="unknown metadata table"):
-        IB.iceberg_metadata_table(spark, root, "partitions")
+        IB.iceberg_metadata_table(spark, root, "entries")
 
 
 def test_uniform_dual_publish_refuses_dv_tables(spark, tmp_path):
