@@ -275,6 +275,8 @@ BENCH_QUERIES = [
     "pipeline_uniform_dual_publish",
     "scan_delta_row_tracking",
     "stream_iceberg_append_sink",
+    "stream_iceberg_source_tail",
+    "pipeline_delta_cdf_dv",
 ]
 
 

@@ -2159,8 +2159,8 @@ def read_delta_changes(
     out: DataFrame | None = None
     for v in versions:
         cdc_files: list[str] = []
-        add_files: list[str] = []
-        has_data_remove = False
+        add_actions: list[dict] = []
+        remove_actions: list[dict] = []
         with open(
             os.path.join(root, "_delta_log", f"{v:020d}.json"),
             encoding="utf-8",
@@ -2175,17 +2175,62 @@ def read_delta_changes(
                 elif "add" in action and action["add"].get(
                     "dataChange", True
                 ):
-                    add_files.append(action["add"]["path"])
+                    add_actions.append(action["add"])
                 elif "remove" in action and action["remove"].get(
                     "dataChange", True
                 ):
-                    has_data_remove = True
+                    remove_actions.append(action["remove"])
+        add_files = [a["path"] for a in add_actions]
+        dv_shape = (
+            add_actions
+            and all(a.get("deletionVector") for a in add_actions)
+            and {a["path"] for a in add_actions}
+            == {r["path"] for r in remove_actions}
+        )
         if cdc_files:
             part = spark.read.parquet(
                 *[os.path.join(root, p) for p in cdc_files]
             )
+        elif dv_shape:
+            # a DV commit re-adds each file with a grown bitmap: the
+            # commit's DELETES are exactly (new DV minus old DV) per
+            # file — the spec's derivation for merge-on-read deletes.
+            # Bitmap diff is metadata-scale; the row fetch is one scan
+            # of the touched files semi-joined on (file, position).
+            old_dv = {
+                r["path"]: r.get("deletionVector") for r in remove_actions
+            }
+            pairs = []
+            for a in add_actions:
+                new_idx = set(_dv_indexes(root, a["deletionVector"]))
+                prev = old_dv.get(a["path"])
+                prev_idx = set(_dv_indexes(root, prev)) if prev else set()
+                pairs.extend((a["path"], i) for i in sorted(new_idx - prev_idx))
+            if not pairs:
+                continue  # DV rewrite that masked nothing new
+            dels = spark.createDataFrame(
+                pairs, "file_path string, pos long"
+            )
+            _, _, metadata = _replay(root, v)
+            tagged = _grouped_scan(
+                spark,
+                root,
+                [os.path.join(root, p) for p in sorted({p for p, _ in pairs})],
+                metadata,
+                True,
+            )
+            part = (
+                tagged.join(
+                    dels,
+                    (tagged["__file"] == dels["file_path"])
+                    & (tagged["__pos"] == dels["pos"]),
+                    "left_semi",
+                )
+                .drop("__file", "__pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
         elif add_files:
-            if has_data_remove:
+            if remove_actions:
                 raise ValueError(
                     f"commit {v} rewrites data without a cdc action — "
                     "changes are not derivable"

@@ -518,3 +518,127 @@ def stream_iceberg_append_sink(
         F.lit(n_snapshots).cast("bigint").alias("n_snapshots"),
         F.lit(not replay_committed).alias("replay_skipped"),
     )
+
+
+@register(
+    "stream_iceberg_source_tail",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       CAST(4 AS BIGINT) AS n_batches_ge
+FROM events
+GROUP BY event_type
+""",
+    description="Iceberg table as a STREAMING SOURCE (completes the "
+    "2x2 open-format streaming matrix: Delta/Iceberg x sink/source): "
+    "an append-only table built by 4 summary-guarded streaming commits "
+    "is tailed snapshot by snapshot via the spec's incremental append "
+    "scan — each snapshot's ADDED manifest entries are one micro-batch. "
+    "The streamed aggregate must equal the batch aggregate of the "
+    "whole corpus (nothing dropped or doubled across snapshot "
+    "boundaries), with the batch count as audit. At 100 TB this is how "
+    "downstream jobs consume an ingest table continuously: per-snapshot "
+    "increments resolved from manifest metadata, never full-table "
+    "re-reads.",
+    tags=("streaming", "storage", "pipeline"),
+)
+def stream_iceberg_source_tail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"{_ROOT}/ice_srctbl_{sfx}"
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        (F.col("event_id") % 4).alias("slice"),
+    )
+    for i in range(4):
+        IC.append_batch_to_iceberg(
+            spark,
+            tbl,
+            ev.filter(F.col("slice") == i).drop("slice"),
+            app_id=f"ice_tail_{sfx}",
+            batch_id=i,
+        )
+
+    snaps = [
+        s["snapshot-id"] for s in IC.current_metadata(tbl)["snapshots"]
+    ]
+    agg = None
+    n_batches = 0
+    prev = None
+    for sid in snaps:
+        if prev is None:
+            batch = IC.read_iceberg(spark, tbl, sid)
+        else:
+            batch = IC.read_iceberg_incremental(spark, tbl, prev, sid).drop(
+                "_snapshot_id"
+            )
+        prev = sid
+        n_batches += 1
+        part = batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,10)")).alias("s"),
+        )
+        agg = part if agg is None else agg.unionByName(part)
+    return (
+        agg.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.lit(n_batches).cast("bigint").alias("n_batches_ge"),
+        )
+    )
+
+
+@register(
+    "pipeline_delta_cdf_dv",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL}),
+dropped AS (SELECT * FROM live WHERE doc_id % 5 = 0)
+SELECT 'delete' AS _change_type, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       md5(string_agg(content_h, '' ORDER BY doc_id)) AS content_md5
+FROM dropped GROUP BY lang
+""",
+    description="Change Data Feed DERIVED FROM DELETION VECTORS: a DV "
+    "commit re-adds each touched file with a grown bitmap and no cdc "
+    "files, so the CDF reader computes the commit's deletes as the "
+    "per-file bitmap DIFF (new DV minus old DV) and fetches exactly "
+    "those rows via a (file, position) semi-join — the spec's "
+    "derivation for merge-on-read deletes, previously a hard error "
+    "here. Per-lang counts and order-pinned content checksums of the "
+    "emitted delete rows must equal the predicate's selection. Scale: "
+    "the bitmap diff is metadata-scale; the row fetch scans only the "
+    "touched files.",
+    tags=("pipeline", "storage", "scan"),
+)
+def pipeline_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_cdf_dv_{sfx}"
+    DL.write_delta_fixture(spark, t(spark, sf_dir, "documents"), root)
+    v_dv, _ = DL.delete_where_with_dv(spark, root, F.col("doc_id") % 5 == 0)
+    changes = DL.read_delta_changes(spark, root, v_dv, v_dv)
+    return changes.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "content_h"))
+                    ),
+                    lambda s: s["content_h"],
+                ),
+                "",
+            )
+        ).alias("content_md5"),
+    )
