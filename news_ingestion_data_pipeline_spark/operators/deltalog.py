@@ -891,6 +891,108 @@ def write_delta_row_tracking_fixture(
     return root
 
 
+def replay_domain_metadata(
+    root: str, version: int | None = None
+) -> dict[str, str]:
+    """Latest per-domain configuration from ``domainMetadata`` actions
+    (writer feature domainMetadata): within the replay, later actions
+    win and ``removed: true`` tombstones drop the domain. Returns
+    {domain: configuration-json-string}."""
+    versions = list_commit_versions(root)
+    if version is None:
+        version = versions[-1]
+    domains: dict[str, str] = {}
+    for v in versions:
+        if v > version:
+            break
+        path = os.path.join(root, "_delta_log", f"{v:020d}.json")
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                dm = action.get("domainMetadata")
+                if dm is None:
+                    continue
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration", "{}")
+    return domains
+
+
+def append_batch_with_row_tracking(
+    spark: SparkSession, root: str, batch: DataFrame
+) -> tuple[int, int]:
+    """Append one data file to a row-tracked table, assigning its
+    ``baseRowId`` from the table's row-id HIGH-WATER MARK — stored in
+    the ``delta.rowTracking`` domainMetadata domain, the protocol's
+    mechanism for cross-commit counters. The commit carries the add
+    (baseRowId = hwm + 1) and the domain update (new hwm), so
+    concurrent readers always see ids consistent with the commit they
+    resolve. Returns (version, assigned_baseRowId)."""
+    adds, protocol, metadata = _replay(root)
+    _check_protocol(protocol, metadata)
+    feats = set((protocol or {}).get("writerFeatures") or [])
+    if not {"rowTracking", "domainMetadata"} <= feats:
+        raise ValueError(
+            "append_batch_with_row_tracking requires the rowTracking "
+            "and domainMetadata writer features, table has "
+            f"{sorted(feats)}"
+        )
+    domains = replay_domain_metadata(root)
+    dm = json.loads(domains.get("delta.rowTracking", "{}"))
+    hwm = int(dm.get("rowIdHighWaterMark", -1))
+    if hwm < 0:
+        # fall back to the max assigned id across current adds
+        hwm = -1
+        for a in adds.values():
+            base = a.get("baseRowId")
+            if base is not None:
+                import pyarrow.parquet as pq
+
+                n = pq.read_metadata(
+                    os.path.join(root, a["path"])
+                ).num_rows
+                hwm = max(hwm, int(base) + n - 1)
+    version = list_commit_versions(root)[-1] + 1
+    name = f"rowtrack-{version:05d}.parquet"
+    _write_single_parquet(batch, root, name)
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(os.path.join(root, name)).num_rows
+    base = hwm + 1
+    st = os.stat(os.path.join(root, name))
+    _commit(
+        root,
+        version,
+        [
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "baseRowId": base,
+                    "defaultRowCommitVersion": version,
+                }
+            },
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": base + n_rows - 1}
+                    ),
+                    "removed": False,
+                }
+            },
+        ],
+    )
+    return version, base
+
+
 def read_delta_with_row_ids(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:

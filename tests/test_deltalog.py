@@ -870,3 +870,53 @@ def test_ict_monotonic_clamp_and_resolution(spark, tmp_path):
     DL._commit(root, 4, [{"commitInfo": {"inCommitTimestamp": t0}}])
     with pytest.raises(ValueError, match="non-monotonic"):
         DL.version_as_of_timestamp(root, t2)
+
+
+def test_domain_metadata_and_row_tracked_append(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "en", 100 + i, f"t{i}") for i in range(10)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "rowtrack")
+    DL.write_delta_row_tracking_fixture(spark, docs, root)
+    # seed the high-water mark domain (fixture assigns ids 0..9)
+    DL._commit(root, 2, [{
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 9}),
+            "removed": False,
+        }
+    }])
+    assert json.loads(
+        DL.replay_domain_metadata(root)["delta.rowTracking"]
+    ) == {"rowIdHighWaterMark": 9}
+    # append assigns baseRowId = hwm + 1 and advances the domain
+    extra = spark.createDataFrame(
+        [(100, "fr", 900), (101, "fr", 950)],
+        "doc_id long, lang string, n_chars long",
+    )
+    v, base = DL.append_batch_with_row_tracking(spark, root, extra)
+    assert base == 10
+    ids = {
+        r.doc_id: r._row_id
+        for r in DL.read_delta_with_row_ids(spark, root).collect()
+    }
+    assert ids[100] == 10 and ids[101] == 11
+    assert len(set(ids.values())) == 12  # all row ids distinct
+    assert json.loads(
+        DL.replay_domain_metadata(root)["delta.rowTracking"]
+    ) == {"rowIdHighWaterMark": 11}
+    # a second append continues from the advanced mark
+    v2, base2 = DL.append_batch_with_row_tracking(
+        spark,
+        root,
+        spark.createDataFrame([(200, "de", 10)],
+                              "doc_id long, lang string, n_chars long"),
+    )
+    assert base2 == 12
+    # a removed tombstone drops the domain
+    DL._commit(root, v2 + 1, [{
+        "domainMetadata": {"domain": "delta.rowTracking",
+                           "configuration": "{}", "removed": True}
+    }])
+    assert "delta.rowTracking" not in DL.replay_domain_metadata(root)
