@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "stream_iceberg_append_sink",
     "stream_iceberg_source_tail",
     "pipeline_delta_cdf_dv",
+    "pipeline_delta_optimize_zorder",
 ]
 
 

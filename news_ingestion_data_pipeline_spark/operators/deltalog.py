@@ -1455,8 +1455,58 @@ def restore_delta(spark: SparkSession, root: str, version: int) -> int:
     return new_version
 
 
+def _footer_stats(path: str) -> str:
+    """Per-file stats JSON recovered from the parquet FOOTER (row-group
+    min/max + num_rows) — metadata-scale, the write-side half of data
+    skipping for files the engine just produced. Columns with missing
+    or non-decodable statistics in any row group are omitted (skipping
+    must never claim bounds it can't prove)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict = {}
+    maxs: dict = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            col = rgm.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    bad.add(name)
+                    continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in bad:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    )
+
+
+#: z-order grid depth: 8 bits per key -> 16-bit interleaved z-value
+_Z_BITS = 8
+_Z_SIDE = 1 << _Z_BITS
+
+
 def compact_delta(
-    spark: SparkSession, root: str, max_files: int = 1
+    spark: SparkSession,
+    root: str,
+    max_files: int = 1,
+    zorder_by: tuple[str, str] | None = None,
 ) -> tuple[int, int, int]:
     """OPTIMIZE: bin-pack the snapshot's data files into ``max_files``
     larger ones and commit the rewrite with ``dataChange: false`` on
@@ -1501,7 +1551,15 @@ def compact_delta(
     version = list_commit_versions(root)[-1] + 1
     names = []
     try:
-        if max_files == 1:
+        if zorder_by is not None:
+            if mapping is not None:
+                raise ValueError(
+                    "OPTIMIZE ZORDER on a column-mapped table is not "
+                    "supported here"
+                )
+            names = _write_zordered(spark, df, root, version, max_files,
+                                    zorder_by)
+        elif max_files == 1:
             name = f"compact-{version:05d}.parquet"
             _write_single_parquet(df, root, name)
             names.append(name)
@@ -1543,6 +1601,9 @@ def compact_delta(
                     "size": os.path.getsize(os.path.join(root, name)),
                     "modificationTime": ts,
                     "dataChange": False,
+                    # compaction must not lose data skipping: stats
+                    # come back from the parquet footers just written
+                    "stats": _footer_stats(os.path.join(root, name)),
                 }
             }
         )
@@ -1553,6 +1614,81 @@ def compact_delta(
         actions.append({"remove": rm})
     _commit(root, version, actions)
     return version, n_before, len(names)
+
+
+def _write_zordered(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    version: int,
+    max_files: int,
+    zorder_by: tuple[str, str],
+) -> list[str]:
+    """OPTIMIZE ZORDER write path: quantize the two clustering keys to
+    an 8-bit grid, interleave the bits into a 16-bit Morton z-value,
+    and split the z-RANGE (not the row stream) into ``max_files``
+    groups — a deterministic assignment (``zf = zval * max_files >>
+    16``) with no sampling-dependent range partitioner, so layouts are
+    reproducible. One distributed pass: rows hash-repartition on their
+    group id (each group lands wholly in one task) and a partitionBy
+    write emits one file per group, each covering a small (x, y) box
+    whose footer min/max prune range queries on EITHER key."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cx, cy = zorder_by
+    b = df.agg(
+        F.min(cx).alias("xlo"),
+        F.max(cx).alias("xhi"),
+        F.min(cy).alias("ylo"),
+        F.max(cy).alias("yhi"),
+    ).collect()[0]  # 4 scalars — metadata-scale
+
+    def _quant(col, lo, hi):
+        return ((col - F.lit(lo)) * _Z_SIDE / F.lit(hi - lo + 1)).cast(
+            "long"
+        )
+
+    x = _quant(F.col(cx), b["xlo"], b["xhi"])
+    y = _quant(F.col(cy), b["ylo"], b["yhi"])
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    zf = (z * max_files / (1 << (2 * _Z_BITS))).cast("long")
+    tmp = os.path.join(root, f"._tmp_zorder_{version}")
+    (
+        df.withColumn("__zf", zf)
+        .repartition(max_files, F.col("__zf"))
+        .sortWithinPartitions("__zf")
+        .write.mode("overwrite")
+        .partitionBy("__zf")
+        .parquet(tmp)
+    )
+    names: list[str] = []
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("__zf="):
+            continue
+        zval = int(d.split("=", 1)[1])
+        parts = sorted(
+            n
+            for n in os.listdir(os.path.join(tmp, d))
+            if n.endswith(".parquet") and not n.startswith(".")
+        )
+        assert len(parts) == 1, f"z-group {zval} split across tasks"
+        name = f"compact-{version:05d}-z{zval:03d}.parquet"
+        shutil.move(
+            os.path.join(tmp, d, parts[0]), os.path.join(root, name)
+        )
+        names.append(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return names
 
 
 def vacuum_delta(root: str, retain_last: int = 1) -> list[str]:

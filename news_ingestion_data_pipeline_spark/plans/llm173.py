@@ -642,3 +642,90 @@ def pipeline_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta OPTIMIZE ZORDER (clustered compaction that keeps data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _zsql(x: str, y: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "pipeline_delta_optimize_zorder",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, n_chars FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM docs),
+stats AS (SELECT MIN(doc_id) AS xlo, MAX(doc_id) AS xhi,
+                 MIN(n_chars) AS ylo, MAX(n_chars) AS yhi FROM docs),
+q AS (
+  SELECT n_chars,
+         CAST(floor((doc_id - xlo) * 256.0 / (xhi - xlo + 1)) AS BIGINT)
+           AS x,
+         CAST(floor((n_chars - ylo) * 256.0 / (yhi - ylo + 1)) AS BIGINT)
+           AS y
+  FROM docs, stats
+),
+z AS (SELECT n_chars, {_zsql('x', 'y')} AS zval FROM q),
+g AS (
+  SELECT (zval * 4) // 65536 AS zf, MAX(n_chars) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM z GROUP BY 1
+)
+SELECT 'pre' AS phase, CAST(1 AS BIGINT) AS n_files,
+       CAST(1 AS BIGINT) AS n_kept, (SELECT total FROM nn) AS n_rows_kept
+UNION ALL
+SELECT 'zorder', (SELECT CAST(COUNT(*) AS BIGINT) FROM g),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE mx >= 300),
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM g WHERE mx >= 300)
+""",
+    description="Delta OPTIMIZE ZORDER: compaction that CLUSTERS "
+    "instead of just concatenating — (doc_id, n_chars) quantize to an "
+    "8-bit grid, interleave into a 16-bit Morton z-value, and the "
+    "z-RANGE splits deterministically into 4 files (zf = z*4 >> 16, no "
+    "sampling-dependent range partitioner), one distributed pass via "
+    "hash-repartition on the group id + partitionBy write. Every "
+    "rewritten add carries stats recovered from its parquet FOOTER, so "
+    "data skipping survives the rewrite: an n_chars >= 300 range query "
+    "prunes the low-n_chars z-files from the log alone, and scanning "
+    "only the kept files yields exactly the kept groups' row count. "
+    "The oracle replays the quantization, interleave, grouping and "
+    "pruning decision bit for bit. Scale: this is the OPTIMIZE ZORDER "
+    "BY command users run nightly at 100 TB — clustering cost is one "
+    "shuffle, skipping benefit is permanent.",
+    tags=("pipeline", "storage", "scan"),
+)
+def pipeline_delta_optimize_zorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_zorder_{sfx}"
+    shutil.rmtree(root, ignore_errors=True)
+    slim = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    DL.export_merge_to_delta(spark, root, slim, key="doc_id")
+    pre_files, pre_total = DL.delta_snapshot_files_pruned(
+        root, {"n_chars": (300, None)}
+    )
+    n_pre = spark.read.parquet(*pre_files).count() if pre_files else 0
+    DL.compact_delta(
+        spark, root, max_files=4, zorder_by=("doc_id", "n_chars")
+    )
+    post_files, post_total = DL.delta_snapshot_files_pruned(
+        root, {"n_chars": (300, None)}
+    )
+    n_post = (
+        spark.read.parquet(*post_files).count() if post_files else 0
+    )
+    return spark.createDataFrame(
+        [
+            ("pre", pre_total, len(pre_files), n_pre),
+            ("zorder", post_total, len(post_files), n_post),
+        ],
+        "phase string, n_files long, n_kept long, n_rows_kept long",
+    )

@@ -920,3 +920,32 @@ def test_domain_metadata_and_row_tracked_append(spark, tmp_path):
                            "configuration": "{}", "removed": True}
     }])
     assert "delta.rowTracking" not in DL.replay_domain_metadata(root)
+
+
+def test_compact_zorder_stats_and_pruning(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(64)],
+        "doc_id long, n_chars long",
+    )
+    root = str(tmp_path / "zorder")
+    DL.export_merge_to_delta(spark, root, docs, key="doc_id")
+    version, n_before, n_after = DL.compact_delta(
+        spark, root, max_files=4, zorder_by=("doc_id", "n_chars")
+    )
+    assert n_after >= 2
+    # every compacted add carries footer-derived stats
+    adds, _, _ = DL._replay(root)
+    for a in adds.values():
+        s = json.loads(a["stats"])
+        assert s["numRecords"] > 0
+        assert "n_chars" in s["minValues"]
+    # pruning drops at least one file for a tight range, keeps all rows
+    kept, total = DL.delta_snapshot_files_pruned(
+        root, {"n_chars": (450, None)}
+    )
+    assert len(kept) < total
+    got = spark.read.parquet(*kept).filter("n_chars >= 450").count()
+    want = docs.filter("n_chars >= 450").count()
+    assert got == want
+    # full read-back unchanged by the clustered rewrite
+    assert DL.read_delta(spark, root).count() == 64
