@@ -278,6 +278,8 @@ BENCH_QUERIES = [
     "stream_iceberg_source_tail",
     "pipeline_delta_cdf_dv",
     "pipeline_delta_optimize_zorder",
+    "scan_delta_partition_pruned",
+    "pipeline_iceberg_rewrite_files",
 ]
 
 

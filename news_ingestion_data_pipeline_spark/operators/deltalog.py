@@ -1455,6 +1455,100 @@ def restore_delta(spark: SparkSession, root: str, version: int) -> int:
     return new_version
 
 
+def write_delta_partitioned_fixture(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> str:
+    """HIVE-PARTITIONED Delta table: one data file per ``lang`` under
+    ``lang=<value>/`` directories, each add action carrying its
+    ``partitionValues`` — the protocol's partition layout, enabling
+    log-only partition pruning."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    slim = docs.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
+    )
+    langs = sorted(
+        r[0]
+        for r in slim.select("lang").distinct().collect()
+    )  # metadata-scale: one row per partition value
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "spark-graft-delta-partitioned-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "doc_id", "type": "long", "nullable": True, "metadata": {}},
+                            {"name": "lang", "type": "string", "nullable": True, "metadata": {}},
+                            {"name": "n_chars", "type": "long", "nullable": True, "metadata": {}},
+                            {"name": "content_h", "type": "string", "nullable": True, "metadata": {}},
+                        ],
+                    }
+                ),
+                "partitionColumns": ["lang"],
+                "configuration": {},
+            }
+        },
+    ]
+    for lang in langs:
+        name = f"lang={lang}/part-0.parquet"
+        # partition column is NOT stored in the data file (hive layout)
+        _write_single_parquet(
+            slim.filter(F.col("lang") == lang).drop("lang"), root, name
+        )
+        st = os.stat(os.path.join(root, name))
+        actions.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {"lang": lang},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    _commit(root, 0, actions)
+    return root
+
+
+def read_delta_partition_pruned(
+    spark: SparkSession,
+    root: str,
+    partition_filter: dict[str, set] | None = None,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Partition-pruned snapshot read: add actions whose
+    ``partitionValues`` miss the filter are dropped from the scan
+    WITHOUT touching their files — pure log metadata, the Delta twin of
+    Iceberg's manifest-entry partition pruning. The kept files read as
+    ONE distributed scan with ``basePath`` partition discovery, so the
+    hive-layout partition column reconstitutes natively. Returns
+    (df, n_files_scanned, n_files_total)."""
+    adds, protocol, metadata = _replay(root, version)
+    _check_protocol(protocol, metadata)
+    keep: list[str] = []
+    for p in sorted(adds):
+        pv = adds[p].get("partitionValues") or {}
+        if partition_filter and any(
+            pv.get(k) not in {str(v) for v in allowed}
+            for k, allowed in partition_filter.items()
+        ):
+            continue
+        keep.append(os.path.join(root, p))
+    if not keep:
+        raise ValueError("partition filter prunes every file")
+    df = spark.read.option("basePath", root).parquet(*keep)
+    return df, len(keep), len(adds)
+
+
 def _footer_stats(path: str) -> str:
     """Per-file stats JSON recovered from the parquet FOOTER (row-group
     min/max + num_rows) — metadata-scale, the write-side half of data

@@ -3032,6 +3032,94 @@ def write_iceberg_v3_default_values_fixture(
     return snap1, snap2
 
 
+def rewrite_data_files(
+    spark: SparkSession, root: str, sort_by: str | None = None
+) -> tuple[int, int, int]:
+    """Iceberg ``rewriteDataFiles`` (bin-pack compaction): read the
+    current snapshot's live data files, rewrite them as ONE file
+    (optionally sorted on ``sort_by`` for clustering), and commit a
+    REPLACE snapshot — a manifest marking every old file DELETED plus
+    one ADDED entry, previous history retained for time travel. Pure
+    metadata beyond the one data rewrite pass; the spec's maintenance
+    command for the small-files problem. Returns
+    (snapshot_id, n_files_before, n_files_after)."""
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _write_single_parquet,
+    )
+
+    meta = current_metadata(root)
+    _check_format_version(meta)
+    files, _ = snapshot_files(root)
+    n_before = len(files)
+    df = read_iceberg(spark, root)
+    if sort_by is not None:
+        df = df.sort(sort_by)
+    prev = meta["current-snapshot-id"]
+    snap_id = prev + 1
+    name = f"data/compact-{snap_id}.parquet"
+    _write_single_parquet(df, root, name)
+    n_rows = df.count()
+
+    def _entry(status: int, snap: int, path: str, n: int) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snap,
+            "data_file": {
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {"lang": None},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, path)
+                ),
+            },
+        }
+
+    entries = [
+        _entry(2, snap_id, os.path.relpath(f, root), 0) for f in files
+    ] + [_entry(1, snap_id, name, n_rows)]
+    m_name = f"m-compact-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", m_name), _MANIFEST_SCHEMA, entries
+    )
+    mlist = f"snap-compact-{snap_id}.avro"
+    AV.write_container(
+        os.path.join(root, "metadata", mlist),
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": f"metadata/{m_name}",
+                "manifest_length": os.path.getsize(
+                    os.path.join(root, "metadata", m_name)
+                ),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "manifest-list": f"metadata/{mlist}",
+            "summary": {"operation": "replace"},
+        }
+    ]
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return snap_id, n_before, 1
+
+
 def publish_iceberg_metadata_for_delta(root: str) -> int:
     """UNIFORM-STYLE DUAL PUBLISH: generate Iceberg metadata (manifest
     -> manifest list -> vN.metadata.json) over the LIVE data files of

@@ -729,3 +729,109 @@ def pipeline_delta_optimize_zorder(
         ],
         "phase string, n_files long, n_kept long, n_rows_kept long",
     )
+
+
+@register(
+    "scan_delta_partition_pruned",
+    oracle="""
+WITH fr AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS content_h
+  FROM documents WHERE lang IN ('fr', 'de')
+),
+nl AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS k FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(content_h, '' ORDER BY doc_id)) AS content_md5,
+       CAST(2 AS BIGINT) AS n_files_scanned,
+       (SELECT k FROM nl) AS n_files_total
+FROM fr GROUP BY lang
+""",
+    description="Delta PARTITION PRUNING (the Iceberg twin): a "
+    "hive-partitioned Delta table (one file per lang under "
+    "lang=<value>/ dirs, add actions carrying partitionValues) is read "
+    "with a {fr, de} partition filter resolved from the LOG alone — "
+    "non-matching files never open. The kept files scan as ONE "
+    "distributed read with basePath partition discovery, so the "
+    "partition column (stored in the path, not the data files) "
+    "reconstitutes natively. Audit columns certify exactly 2 of "
+    "n-langs files scanned; per-lang counts + order-pinned content "
+    "checksums certify nothing leaked across the prune. Scale: "
+    "pruning cost is one log replay — at 100 TB this is the difference "
+    "between scanning a partition and scanning a table.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_partition_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_part_{sfx}"
+    DL.write_delta_partitioned_fixture(
+        spark, t(spark, sf_dir, "documents"), root
+    )
+    df, n_scanned, n_total = DL.read_delta_partition_pruned(
+        spark, root, {"lang": {"fr", "de"}}
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "content_h"))
+                    ),
+                    lambda s: s["content_h"],
+                ),
+                "",
+            )
+        ).alias("content_md5"),
+        F.lit(n_scanned).cast("bigint").alias("n_files_scanned"),
+        F.lit(n_total).cast("bigint").alias("n_files_total"),
+    )
+
+
+@register(
+    "pipeline_iceberg_rewrite_files",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL}),
+nl AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS k FROM documents),
+a1 AS ({_AGG_SQL.format(extra="'pre' AS phase,", extra_grp="1,", src="live")}),
+a2 AS ({_AGG_SQL.format(extra="'post' AS phase,", extra_grp="1,", src="live")})
+SELECT a1.*, (SELECT k FROM nl) AS n_files FROM a1
+UNION ALL
+SELECT a2.*, 1 AS n_files FROM a2
+""",
+    description="Iceberg rewriteDataFiles (bin-pack COMPACTION): the "
+    "lang-partitioned fixture's live files rewrite into ONE file via a "
+    "REPLACE snapshot — a manifest marking every old entry DELETED "
+    "plus one ADDED entry, history retained. Pre- and post-compaction "
+    "reads of the SAME directory must aggregate identically (per-lang "
+    "counts, char sums, order-pinned content checksums), with the live "
+    "file count as the audit column — compaction reorganizes bytes, "
+    "never rows. The Iceberg twin of Delta OPTIMIZE. Scale: the "
+    "commit is one manifest + manifest list; the data pass is the "
+    "one rewrite every maintenance window pays.",
+    tags=("pipeline", "storage", "scan"),
+)
+def pipeline_iceberg_rewrite_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_rewrite_{sfx}"
+    IC.write_iceberg_fixture(spark, t(spark, sf_dir, "documents"), root)
+    pre_files, _ = IC.snapshot_files(root)
+    pre = _snapshot_agg(IC.read_iceberg(spark, root)).select(
+        F.lit("pre").alias("phase"),
+        "*",
+        F.lit(len(pre_files)).cast("bigint").alias("n_files"),
+    )
+    _, n_before, n_after = IC.rewrite_data_files(
+        spark, root, sort_by="doc_id"
+    )
+    post_files, _ = IC.snapshot_files(root)
+    post = _snapshot_agg(IC.read_iceberg(spark, root)).select(
+        F.lit("post").alias("phase"),
+        "*",
+        F.lit(len(post_files)).cast("bigint").alias("n_files"),
+    )
+    return pre.unionByName(post)

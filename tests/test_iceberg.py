@@ -925,3 +925,22 @@ def test_uniform_dual_publish_refuses_dv_tables(spark, tmp_path):
     DL.delete_where_with_dv(spark, root, F.col("doc_id") == 0)
     with pytest.raises(ValueError, match="deletion-vector"):
         IB.publish_iceberg_metadata_for_delta(root)
+
+
+def test_rewrite_data_files_replace_snapshot(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], 400 + i, f"t{i}") for i in range(12)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "rewrite")
+    s1, s2 = IB.write_iceberg_fixture(spark, docs, root)
+    before = sorted(map(tuple, IB.read_iceberg(spark, root).collect()))
+    snap, n_before, n_after = IB.rewrite_data_files(spark, root, "doc_id")
+    assert n_before == 3 and n_after == 1
+    files, _ = IB.snapshot_files(root)
+    assert len(files) == 1
+    after = sorted(map(tuple, IB.read_iceberg(spark, root).collect()))
+    assert after == before
+    # pre-compaction snapshot still time-travels with the old layout
+    old_files, _ = IB.snapshot_files(root, s2)
+    assert len(old_files) == 3
