@@ -1889,6 +1889,8 @@ def write_checkpoint(root: str, version: int, parts: int = 1) -> str:
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
             ("deletionVector", dv_t),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     remove_t = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
@@ -1954,6 +1956,10 @@ def write_checkpoint(root: str, version: int, parts: int = 1) -> str:
                         ),
                         "stats": adds[p].get("stats"),
                         "deletionVector": adds[p].get("deletionVector"),
+                        "baseRowId": adds[p].get("baseRowId"),
+                        "defaultRowCommitVersion": adds[p].get(
+                            "defaultRowCommitVersion"
+                        ),
                     }
                     for p in rel
                 ]
@@ -2041,6 +2047,8 @@ def write_checkpoint_v2(
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
             ("deletionVector", dv_t),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
 
@@ -2054,6 +2062,8 @@ def write_checkpoint_v2(
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
             "deletionVector": a.get("deletionVector"),
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
         }
 
     rel = sorted(adds)

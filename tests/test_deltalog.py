@@ -949,3 +949,16 @@ def test_compact_zorder_stats_and_pruning(spark, tmp_path):
     assert got == want
     # full read-back unchanged by the clustered rewrite
     assert DL.read_delta(spark, root).count() == 64
+
+
+def test_checkpoint_preserves_row_tracking(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "en", 100 + i, f"t{i}") for i in range(8)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "cp_rowtrack")
+    DL.write_delta_row_tracking_fixture(spark, docs, root)
+    DL.write_checkpoint(root, 1)
+    adds, _, _, = DL._replay_from_checkpoint(root)[:3]
+    bases = sorted(a["baseRowId"] for a in adds.values())
+    assert bases == [0, 4]
