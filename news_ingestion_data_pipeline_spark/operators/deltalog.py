@@ -221,9 +221,22 @@ def _grouped_scan(
     from pyspark.sql import functions as F
 
     widen = _widen_casts(metadata)
+    part_cols = (metadata or {}).get("partitionColumns") or []
 
     def one(group: list[str]) -> DataFrame:
-        g = spark.read.parquet(*group)
+        if part_cols:
+            # hive layout stores partition columns in the path, not the
+            # files: basePath discovery reconstitutes them; a layout
+            # that can't is a named error, never a silent column drop
+            g = spark.read.option("basePath", root).parquet(*group)
+            missing = [c for c in part_cols if c not in g.columns]
+            if missing:
+                raise ValueError(
+                    f"partition columns {missing} not recoverable from "
+                    "the file layout"
+                )
+        else:
+            g = spark.read.parquet(*group)
         if tag_identity:
             pcol = F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:", ""

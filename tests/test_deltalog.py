@@ -962,3 +962,24 @@ def test_checkpoint_preserves_row_tracking(spark, tmp_path):
     adds, _, _, = DL._replay_from_checkpoint(root)[:3]
     bases = sorted(a["baseRowId"] for a in adds.values())
     assert bases == [0, 4]
+
+
+def test_read_delta_partitioned_reconstitutes_column(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], 100 + i, f"t{i}") for i in range(8)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "part")
+    DL.write_delta_partitioned_fixture(spark, docs, root)
+    df = DL.read_delta(spark, root)
+    assert "lang" in df.columns
+    assert df.count() == 8
+    assert {r.lang for r in df.select("lang").distinct().collect()} == {
+        "en", "fr",
+    }
+    # pruned read: only the fr file opens
+    pruned, n_scanned, n_total = DL.read_delta_partition_pruned(
+        spark, root, {"lang": {"fr"}}
+    )
+    assert (n_scanned, n_total) == (1, 2)
+    assert pruned.count() == 4
