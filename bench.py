@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "pipeline_delta_optimize_zorder",
     "scan_delta_partition_pruned",
     "pipeline_iceberg_rewrite_files",
+    "pipeline_iceberg_changelog",
 ]
 
 

@@ -3032,6 +3032,131 @@ def write_iceberg_v3_default_values_fixture(
     return snap1, snap2
 
 
+def _v3_snapshot_state(
+    root: str, snapshot_id: int
+) -> tuple[set[str], dict[str, set[int]]]:
+    """(live data-file rel paths, DV positions per referenced file) at
+    ``snapshot_id`` — the inputs a changelog diff needs. Metadata-scale:
+    manifests + Puffin blobs only."""
+    meta = current_metadata(root)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in {sorted(snaps)} for {root}"
+        )
+    _, manifests = AV.read_container(
+        _resolve(root, snaps[snapshot_id]["manifest-list"])
+    )
+    data: set[str] = set()
+    dv: dict[str, set[int]] = {}
+    for m in manifests:
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            d = e["data_file"]
+            if m.get("content", 0) == 1:
+                with open(_resolve(root, d["file_path"]), "rb") as fh:
+                    raw = fh.read()
+                dv.setdefault(d["referenced_data_file"], set()).update(
+                    _dv_blob_decode(
+                        raw,
+                        int(d["content_offset"]),
+                        int(d["content_size_in_bytes"]),
+                    )
+                )
+            else:
+                data.add(d["file_path"])
+    return data, dv
+
+
+def read_iceberg_changelog(
+    spark: SparkSession,
+    root: str,
+    from_snapshot: int | None,
+    to_snapshot: int,
+) -> DataFrame:
+    """CHANGELOG scan between two snapshots (the Iceberg twin of Delta
+    CDF): rows ADDED by data files new in ``to`` surface as inserts
+    (minus any rows already DV-masked at ``to``); rows newly masked by
+    deletion vectors surface as deletes (per-file bitmap DIFF, then a
+    (file, position) semi-join fetch). ``from_snapshot=None`` means
+    the empty table — every live row is an insert. Data files that
+    DISAPPEAR between the snapshots (rewrites) raise by name: a
+    compaction is not a row-level change and silently diffing it would
+    fabricate churn. Output carries ``_change_type``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    to_data, to_dv = _v3_snapshot_state(root, to_snapshot)
+    if from_snapshot is None:
+        from_data, from_dv = set(), {}
+    else:
+        from_data, from_dv = _v3_snapshot_state(root, from_snapshot)
+    gone = sorted(from_data - to_data)
+    if gone:
+        raise ValueError(
+            f"data files removed between snapshots {gone}: rewrites "
+            "have no row-level changelog derivation here"
+        )
+
+    def _masked(df, positions: dict[str, set[int]], keep: bool):
+        rows = [
+            (p, i) for p, poss in sorted(positions.items()) for i in poss
+        ]
+        if not rows:
+            return df if not keep else df.limit(0)
+        dels = spark.createDataFrame(rows, "file_path string, pos long")
+        how = "left_semi" if keep else "left_anti"
+        return df.join(
+            dels,
+            (df["__file"] == dels["file_path"])
+            & (df["__pos"] == dels["pos"]),
+            how,
+        )
+
+    parts = []
+    new_files = sorted(to_data - from_data)
+    if new_files:
+        scan = _with_position(
+            spark, root, [_resolve(root, p) for p in new_files]
+        )
+        ins = _masked(
+            scan, {p: to_dv.get(p, set()) for p in new_files}, keep=False
+        )
+        parts.append(
+            ins.drop("__file", "__pos").withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    diff: dict[str, set[int]] = {}
+    for p, poss in to_dv.items():
+        if p not in from_data:
+            continue  # DVs on files new in `to` already folded above
+        extra = poss - from_dv.get(p, set())
+        if extra:
+            diff[p] = extra
+    if diff:
+        scan = _with_position(
+            spark, root, [_resolve(root, p) for p in sorted(diff)]
+        )
+        dels = _masked(scan, diff, keep=True)
+        parts.append(
+            dels.drop("__file", "__pos").withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
+    if not parts:
+        raise ValueError(
+            f"no row-level changes between snapshots {from_snapshot} "
+            f"and {to_snapshot}"
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def rewrite_data_files(
     spark: SparkSession, root: str, sort_by: str | None = None
 ) -> tuple[int, int, int]:

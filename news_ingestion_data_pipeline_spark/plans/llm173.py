@@ -835,3 +835,78 @@ def pipeline_iceberg_rewrite_files(
         F.lit(len(post_files)).cast("bigint").alias("n_files"),
     )
     return pre.unionByName(post)
+
+
+@register(
+    "pipeline_iceberg_changelog",
+    oracle="""
+WITH ins AS (
+  SELECT 'insert' AS _change_type, 1 AS phase, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS ids_md5
+  FROM documents GROUP BY lang
+),
+d1 AS (
+  SELECT 'delete' AS _change_type, 2 AS phase, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS ids_md5
+  FROM documents WHERE lang = 'fr' GROUP BY lang
+),
+d2 AS (
+  SELECT 'delete' AS _change_type, 3 AS phase, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS ids_md5
+  FROM documents WHERE lang <> 'fr' AND n_chars < 300 GROUP BY lang
+)
+SELECT * FROM ins UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+""",
+    description="Iceberg CHANGELOG scan (the Delta CDF twin): diffing "
+    "snapshot states yields row-level changes — data files new in the "
+    "later snapshot surface as inserts, and positions newly masked by "
+    "deletion vectors surface as deletes via per-file bitmap DIFF + "
+    "(file, position) semi-join fetch. Three windows over a v3 table: "
+    "empty->s1 (all rows insert), s1->s2 (the French DV delete), "
+    "s2->s3 (a second superseding DV delete of short non-French docs — "
+    "the diff must EXCLUDE positions already masked at s2, exactly the "
+    "one-DV-per-file supersede rule). Rewrite snapshots raise by name: "
+    "compaction is not churn. Scale: state diff is manifests + Puffin "
+    "blobs; the row fetch touches only changed files.",
+    tags=("pipeline", "storage", "scan"),
+)
+def pipeline_iceberg_changelog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_changelog_{sfx}"
+    docs = t(spark, sf_dir, "documents")
+    s1, s2 = IC.write_iceberg_v3_dv_fixture(spark, docs, root)
+    s3, _ = IC.append_dv_delete(spark, root, F.col("n_chars") < 300)
+
+    def _agg(df: DataFrame, phase: int) -> DataFrame:
+        return (
+            df.groupBy("_change_type", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list("doc_id")),
+                            lambda d: d.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("ids_md5"),
+            )
+            .select(
+                "_change_type", F.lit(phase).alias("phase"), "lang",
+                "n_rows", "ids_md5",
+            )
+        )
+
+    c1 = _agg(IC.read_iceberg_changelog(spark, root, None, s1), 1)
+    c2 = _agg(IC.read_iceberg_changelog(spark, root, s1, s2), 2)
+    c3 = _agg(IC.read_iceberg_changelog(spark, root, s2, s3), 3)
+    return c1.unionByName(c2).unionByName(c3)
