@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "scan_delta_partition_pruned",
     "pipeline_iceberg_rewrite_files",
     "pipeline_iceberg_changelog",
+    "pipeline_delta_check_constraints",
 ]
 
 

@@ -2633,6 +2633,73 @@ def txn_last_version(root: str, app_id: str) -> int:
     return last
 
 
+def add_check_constraint(root: str, name: str, expr: str) -> int:
+    """Register a CHECK constraint (writer feature checkConstraints):
+    the SQL predicate lands in table configuration as
+    ``delta.constraints.<name>`` and the protocol upgrades with the
+    feature named — from then on every writer MUST validate appended
+    rows against it before committing. Returns the commit version."""
+    adds, protocol, metadata = _replay(root)
+    if metadata is None:
+        raise ValueError(f"no table metadata at {root}")
+    new_meta = dict(metadata)
+    conf = dict(metadata.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    new_meta["configuration"] = conf
+    prior_w = set((protocol or {}).get("writerFeatures") or [])
+    version = list_commit_versions(root)[-1] + 1
+    _commit(
+        root,
+        version,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": (protocol or {}).get(
+                        "minReaderVersion", 1
+                    ),
+                    "minWriterVersion": max(
+                        7, (protocol or {}).get("minWriterVersion", 1)
+                    ),
+                    **(
+                        {
+                            "readerFeatures": (protocol or {}).get(
+                                "readerFeatures"
+                            )
+                        }
+                        if (protocol or {}).get("readerFeatures")
+                        else {}
+                    ),
+                    "writerFeatures": sorted(
+                        prior_w | {"checkConstraints"}
+                    ),
+                }
+            },
+            {"metaData": new_meta},
+        ],
+    )
+    return version
+
+
+def _enforce_check_constraints(batch_df: DataFrame, metadata: dict | None):
+    """Writer-side CHECK validation: every ``delta.constraints.*``
+    predicate must hold on every appended row; a violation raises with
+    the constraint named and the violating row count — the protocol's
+    contract that a constraint, once added, is never silently
+    bypassed. One filter+count per constraint, map-side."""
+    conf = (metadata or {}).get("configuration") or {}
+    for key in sorted(conf):
+        if not key.startswith("delta.constraints."):
+            continue
+        name = key[len("delta.constraints."):]
+        expr = conf[key]
+        n_bad = batch_df.filter(f"NOT ({expr})").count()
+        if n_bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{n_bad} rows — append rejected"
+            )
+
+
 def append_batch_to_delta(
     spark: SparkSession,
     root: str,
@@ -2643,7 +2710,8 @@ def append_batch_to_delta(
     """Commit one micro-batch as a Delta APPEND version carrying a
     ``txn`` action — the exactly-once streaming-sink protocol: if this
     ``(app_id, batch_id)`` already committed (restart replay), the call
-    is a no-op. Returns True when a commit happened."""
+    is a no-op. CHECK constraints on the table are enforced before any
+    byte is written. Returns True when a commit happened."""
     if txn_last_version(root, app_id) >= batch_id:
         return False  # replayed batch — already durable
     os.makedirs(root, exist_ok=True)
@@ -2652,6 +2720,9 @@ def append_batch_to_delta(
         if os.path.isdir(os.path.join(root, "_delta_log"))
         else []
     )
+    if versions:
+        _, _, _existing_meta = _replay(root)
+        _enforce_check_constraints(batch_df, _existing_meta)
     version = (versions[-1] + 1) if versions else 0
     name = f"batch-{app_id}-{batch_id:05d}.parquet"
     _write_single_parquet(batch_df, root, name)

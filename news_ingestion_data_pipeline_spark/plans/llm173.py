@@ -910,3 +910,63 @@ def pipeline_iceberg_changelog(
     c2 = _agg(IC.read_iceberg_changelog(spark, root, s1, s2), 2)
     c3 = _agg(IC.read_iceberg_changelog(spark, root, s2, s3), 3)
     return c1.unionByName(c2).unionByName(c3)
+
+
+@register(
+    "pipeline_delta_check_constraints",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS violation_blocked,
+       CAST(1 AS BIGINT) AS n_constraints
+FROM documents GROUP BY lang
+""",
+    description="Delta CHECK CONSTRAINTS (writer feature "
+    "checkConstraints): adding a constraint lands the predicate in "
+    "delta.constraints.* configuration and upgrades the protocol with "
+    "the feature named; from then on every append validates BEFORE "
+    "writing a byte. The even docs land pre-constraint, the odds land "
+    "post-constraint (all valid), and a deliberately corrupted batch "
+    "(negated n_chars) is REJECTED with the constraint named — the "
+    "audit column certifies the block, and the read-back per-lang "
+    "aggregate equals exactly the two valid batches. Scale: "
+    "enforcement is one map-side filter per constraint on the batch "
+    "being appended, never a table scan.",
+    tags=("pipeline", "storage"),
+)
+def pipeline_delta_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_check_{sfx}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    app = f"check_{sfx}"
+    DL.append_batch_to_delta(spark, root, evens, app_id=app, batch_id=0)
+    DL.add_check_constraint(root, "chars_positive", "n_chars > 0")
+    DL.append_batch_to_delta(spark, root, odds, app_id=app, batch_id=1)
+    blocked = False
+    try:
+        DL.append_batch_to_delta(
+            spark,
+            root,
+            odds.withColumn("n_chars", -F.col("n_chars")),
+            app_id=app,
+            batch_id=2,
+        )
+    except ValueError as e:
+        blocked = "chars_positive" in str(e)
+    conf = DL._replay(root)[2]["configuration"]
+    n_constraints = sum(
+        1 for k in conf if k.startswith("delta.constraints.")
+    )
+    return DL.read_delta(spark, root).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.lit(blocked).alias("violation_blocked"),
+        F.lit(n_constraints).cast("bigint").alias("n_constraints"),
+    )
