@@ -362,12 +362,46 @@ def _write_single_parquet(df: DataFrame, root: str, name: str) -> None:
 
 
 def _commit(root: str, version: int, actions: list[dict]) -> None:
+    """Atomically create commit ``version`` — exclusive create ('x'),
+    per the protocol's optimistic concurrency: the writer who creates
+    N.json owns version N; a loser gets FileExistsError and must
+    rebase (see :func:`commit_append_with_rebase`), never overwrite."""
     log_dir = os.path.join(root, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")
-    with open(path, "w", encoding="utf-8") as fh:
+    with open(path, "x", encoding="utf-8") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
+
+
+def commit_append_with_rebase(
+    root: str, actions: list[dict], max_attempts: int = 10
+) -> int:
+    """Optimistic-concurrency APPEND commit: try the next version; on
+    losing the exclusive create to a concurrent writer, re-read the
+    log and retry at the new tip. Sound ONLY for blind appends (adds
+    of fresh files + txn/commitInfo) — they conflict with nothing, the
+    protocol's no-op conflict-resolution case. Actions carrying
+    remove/metaData/protocol raise: those need real conflict checks.
+    Returns the committed version."""
+    for a in actions:
+        bad = {"remove", "metaData", "protocol"} & set(a)
+        if bad:
+            raise ValueError(
+                f"commit_append_with_rebase only handles blind appends; "
+                f"action with {sorted(bad)} needs conflict resolution"
+            )
+    for _ in range(max_attempts):
+        versions = list_commit_versions(root)
+        version = (versions[-1] + 1) if versions else 0
+        try:
+            _commit(root, version, actions)
+            return version
+        except FileExistsError:
+            continue  # lost the race — rebase onto the new tip
+    raise RuntimeError(
+        f"could not commit after {max_attempts} attempts at {root}"
+    )
 
 
 def write_delta_fixture(spark: SparkSession, docs: DataFrame, root: str) -> str:

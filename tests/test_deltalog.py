@@ -983,3 +983,22 @@ def test_read_delta_partitioned_reconstitutes_column(spark, tmp_path):
     )
     assert (n_scanned, n_total) == (1, 2)
     assert pruned.count() == 4
+
+
+def test_commit_exclusive_create_and_rebase(tmp_path):
+    root = _mk_table(tmp_path, {0: [_add("a.parquet")]})
+    # overwriting an existing version is refused — the optimistic-
+    # concurrency loser must never clobber the winner's commit
+    with pytest.raises(FileExistsError):
+        DL._commit(root, 0, [_add("b.parquet")])
+    # a blind append rebases onto the tip it finds
+    v = DL.commit_append_with_rebase(root, [_add("b.parquet")])
+    assert v == 1
+    # simulate losing the race: someone lands version 2 first
+    DL._commit(root, 2, [_add("c.parquet")])
+    v2 = DL.commit_append_with_rebase(root, [_add("d.parquet")])
+    assert v2 == 3
+    assert len(DL.delta_snapshot_files(root)) == 4
+    # non-append actions are refused by name
+    with pytest.raises(ValueError, match="conflict resolution"):
+        DL.commit_append_with_rebase(root, [_rm("a.parquet")])
