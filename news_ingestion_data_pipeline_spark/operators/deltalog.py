@@ -1753,6 +1753,21 @@ def compact_delta(
         if a.get("deletionVector"):
             rm["deletionVector"] = a["deletionVector"]
         actions.append({"remove": rm})
+    if zorder_by is not None:
+        # record the clustering state the way liquid clustering does:
+        # a domainMetadata domain any writer can consult to keep the
+        # layout on future OPTIMIZE runs
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": list(zorder_by)}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     _commit(root, version, actions)
     return version, n_before, len(names)
 

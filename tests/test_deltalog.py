@@ -949,6 +949,10 @@ def test_compact_zorder_stats_and_pruning(spark, tmp_path):
     assert got == want
     # full read-back unchanged by the clustered rewrite
     assert DL.read_delta(spark, root).count() == 64
+    # the clustering state is recorded for future OPTIMIZE runs
+    assert json.loads(
+        DL.replay_domain_metadata(root)["delta.clustering"]
+    ) == {"clusteringColumns": ["doc_id", "n_chars"]}
 
 
 def test_checkpoint_preserves_row_tracking(spark, tmp_path):
