@@ -1717,6 +1717,9 @@ def append_data_file(
     snap_id = prev + 1
     name = f"data/append-{snap_id}.parquet"
     _write_single_parquet(rows, root, name)
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(os.path.join(root, name)).num_rows
     m_add = f"m-{snap_id}-append.avro"
     AV.write_container(
         os.path.join(root, "metadata", m_add),
@@ -1729,7 +1732,7 @@ def append_data_file(
                     "file_path": name,
                     "file_format": "PARQUET",
                     "partition": {"lang": None},
-                    "record_count": 0,
+                    "record_count": n_rows,
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(root, name)
                     ),
@@ -1774,7 +1777,11 @@ def append_data_file(
         {
             "snapshot-id": snap_id,
             "manifest-list": f"metadata/{mlist}",
-            "summary": {"operation": "append"},
+            "summary": {
+                "operation": "append",
+                "added-data-files": "1",
+                "added-records": str(n_rows),
+            },
         }
     ]
     with open(
@@ -1841,6 +1848,9 @@ def append_batch_to_iceberg(
         snap_id = 6001
     name = f"data/stream-{snap_id}.parquet"
     _write_single_parquet(batch_df, root, name)
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(os.path.join(root, name)).num_rows
     m_add = f"m-stream-{snap_id}.avro"
     AV.write_container(
         os.path.join(root, "metadata", m_add),
@@ -1853,7 +1863,7 @@ def append_batch_to_iceberg(
                     "file_path": name,
                     "file_format": "PARQUET",
                     "partition": {"lang": None},
-                    "record_count": 0,
+                    "record_count": n_rows,
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(root, name)
                     ),
@@ -1903,6 +1913,8 @@ def append_batch_to_iceberg(
                 "operation": "append",
                 "streaming-app-id": app_id,
                 "streaming-batch-id": str(batch_id),
+                "added-data-files": "1",
+                "added-records": str(n_rows),
             },
         }
     ]
