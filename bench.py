@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "pipeline_iceberg_rewrite_files",
     "pipeline_iceberg_changelog",
     "pipeline_delta_check_constraints",
+    "pipeline_uniform_reverse",
 ]
 
 

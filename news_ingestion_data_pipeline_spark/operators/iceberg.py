@@ -3332,6 +3332,78 @@ def publish_iceberg_metadata_for_delta(root: str) -> int:
     return snap_id
 
 
+def publish_delta_log_for_iceberg(root: str) -> int:
+    """The REVERSE UniForm direction: generate a Delta ``_delta_log``
+    over the live data files of the Iceberg table at ``root`` — one
+    v0 commit with protocol/metaData/add actions referencing the same
+    parquet, no data copied. Snapshots carrying delete files (v2
+    merge-on-read) or deletion vectors are refused by name: their row
+    masks have no Delta file-level equivalent here. Pure metadata.
+    Returns the number of add actions published."""
+    import json as _json
+
+    from news_ingestion_data_pipeline_spark.operators import deltalog as DL
+
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    snap_id = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _, manifests = AV.read_container(
+        _resolve(root, snaps[snap_id]["manifest-list"])
+    )
+    files: list[tuple[str, int]] = []
+    for m in manifests:
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        live = [e for e in entries if e["status"] != _STATUS_DELETED]
+        if m.get("content", 0) == 1 and live:
+            raise ValueError(
+                "cannot publish a Delta log over live delete files "
+                f"(manifest {m['manifest_path']}): row-level masks "
+                "have no file-level Delta equivalent — compact first"
+            )
+        if m.get("content", 0) == 1:
+            continue
+        for e in live:
+            d = e["data_file"]
+            files.append(
+                (
+                    d["file_path"],
+                    d.get("file_size_in_bytes")
+                    or os.path.getsize(_resolve(root, d["file_path"])),
+                )
+            )
+    if os.path.exists(os.path.join(root, "_delta_log")):
+        raise ValueError(f"_delta_log already exists at {root}")
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "spark-graft-uniform-reverse",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": []}
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+    ]
+    for p, size in sorted(files):
+        actions.append(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": size,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+        )
+    DL._commit(root, 0, actions)
+    return len(files)
+
+
 def set_ref(
     root: str, name: str, snapshot_id: int, ref_type: str = "tag"
 ) -> int:

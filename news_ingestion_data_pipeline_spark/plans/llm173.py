@@ -970,3 +970,38 @@ def pipeline_delta_check_constraints(
         F.lit(blocked).alias("violation_blocked"),
         F.lit(n_constraints).cast("bigint").alias("n_constraints"),
     )
+
+
+@register(
+    "pipeline_uniform_reverse",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL}),
+a1 AS ({_AGG_SQL.format(extra="'iceberg' AS reader,", extra_grp="1,", src="live")}),
+a2 AS ({_AGG_SQL.format(extra="'delta' AS reader,", extra_grp="1,", src="live")})
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+""",
+    description="UniForm REVERSE direction: an Iceberg table gains a "
+    "generated Delta _delta_log (one v0 commit of protocol/metaData/"
+    "add actions) over the SAME live parquet files — no data copied, "
+    "completing bidirectional dual-format publication. Both protocol "
+    "readers scan the directory independently and their per-lang "
+    "counts, char sums and order-pinned content checksums must agree "
+    "exactly. Snapshots with live delete files are refused by name "
+    "(row masks have no Delta file-level equivalent). Scale: one "
+    "manifest walk plus kilobytes of JSON.",
+    tags=("pipeline", "storage", "scan"),
+)
+def pipeline_uniform_reverse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/uniform_rev_{sfx}"
+    IC.write_iceberg_fixture(spark, t(spark, sf_dir, "documents"), root)
+    IC.publish_delta_log_for_iceberg(root)
+    via_iceberg = _snapshot_agg(IC.read_iceberg(spark, root)).select(
+        F.lit("iceberg").alias("reader"), "*"
+    )
+    via_delta = _snapshot_agg(DL.read_delta(spark, root)).select(
+        F.lit("delta").alias("reader"), "*"
+    )
+    return via_iceberg.unionByName(via_delta)

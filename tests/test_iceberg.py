@@ -944,3 +944,25 @@ def test_rewrite_data_files_replace_snapshot(spark, tmp_path):
     # pre-compaction snapshot still time-travels with the old layout
     old_files, _ = IB.snapshot_files(root, s2)
     assert len(old_files) == 3
+
+
+def test_uniform_reverse_refuses_delete_files(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "en", 500 + i, f"t{i}") for i in range(6)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "unirev")
+    IB.write_iceberg_fixture(spark, docs, root)
+    n = IB.publish_delta_log_for_iceberg(root)
+    assert n == 2  # file-1 (en) + file-2 (fr rewrite, empty here)
+    # publishing twice is refused (the log already exists)
+    with pytest.raises(ValueError, match="_delta_log already exists"):
+        IB.publish_delta_log_for_iceberg(root)
+    # a table with live equality-delete files is refused by name
+    root2 = str(tmp_path / "unirev2")
+    IB.write_iceberg_fixture(spark, docs, root2)
+    IB.append_equality_delete(
+        spark, root2, spark.createDataFrame([(1,)], "doc_id long"), "doc_id"
+    )
+    with pytest.raises(ValueError, match="delete files"):
+        IB.publish_delta_log_for_iceberg(root2)
