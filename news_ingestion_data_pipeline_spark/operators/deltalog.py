@@ -221,6 +221,13 @@ def _grouped_scan(
     from pyspark.sql import functions as F
 
     widen = _widen_casts(metadata)
+    if widen and _column_mapping(metadata) is not None:
+        # widened groups are keyed on logical names, but mapped files
+        # carry physical names — a mixed scan would fail obscurely
+        raise ValueError(
+            "typeWidening combined with columnMapping is not supported "
+            "by this reader"
+        )
     part_cols = (metadata or {}).get("partitionColumns") or []
 
     def one(group: list[str]) -> DataFrame:

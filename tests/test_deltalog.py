@@ -1006,3 +1006,40 @@ def test_commit_exclusive_create_and_rebase(tmp_path):
     # non-append actions are refused by name
     with pytest.raises(ValueError, match="conflict resolution"):
         DL.commit_append_with_rebase(root, [_rm("a.parquet")])
+
+
+def test_widening_with_column_mapping_gated(tmp_path):
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [{
+            "name": "v", "type": "long", "nullable": True,
+            "metadata": {
+                "delta.typeChanges": [
+                    {"fromType": "integer", "toType": "long",
+                     "tableVersion": 1}
+                ],
+                "delta.columnMapping.physicalName": "col-0",
+                "delta.columnMapping.id": 0,
+            },
+        }],
+    })
+    root = _mk_table(tmp_path, {0: [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening",
+                                         "columnMapping"]}},
+        {"metaData": {"id": "x",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name"}}},
+        _add("a.parquet"),
+    ]})
+    import pytest as _pytest
+
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        _grouped_scan,
+        _replay,
+    )
+    adds, _, metadata = _replay(root)
+    with _pytest.raises(ValueError, match="columnMapping"):
+        _grouped_scan(None, root, ["a.parquet"], metadata, False)
