@@ -49,9 +49,23 @@ GROUP BY {extra_grp} lang
 
 
 def _fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized: every consumer of this root is a pure READ
+    (scan_delta_log_table / scan_delta_time_travel), so rebuilding per
+    query only re-pays the write. The marker lands after a complete
+    build; bench attribution records the reuse like any artifact
+    cache."""
+    import os
+
+    from news_ingestion_data_pipeline_spark.plans import artifact_cache
+
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"{_ROOT}/delta_{sfx}"
-    DL.write_delta_fixture(spark, t(spark, sf_dir, "documents"), root)
+    marker = os.path.join(root, ".fixture_ready")
+    hit = os.path.exists(marker)
+    artifact_cache.record("delta_fixture_llm157", hit)
+    if not hit:
+        DL.write_delta_fixture(spark, t(spark, sf_dir, "documents"), root)
+        open(marker, "w").close()
     return root
 
 

@@ -36,11 +36,28 @@ _ROOT = scratch_root("llm158")
 
 
 def _fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Session-memoized: every consumer of this root is a pure READ
+    (scan_iceberg_table / time_travel / partition_pruned /
+    storage_iceberg_metadata_tables). The marker lands after a
+    complete build; bench attribution records the reuse."""
+    import os
+
+    from news_ingestion_data_pipeline_spark.plans import artifact_cache
+
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"{_ROOT}/iceberg_{sfx}"
+    marker = os.path.join(root, ".fixture_ready")
+    hit = os.path.exists(marker)
+    artifact_cache.record("iceberg_fixture_llm158", hit)
+    if hit:
+        with open(marker) as fh:
+            s1, s2 = (int(x) for x in fh.read().split(","))
+        return root, s1, s2
     s1, s2 = IB.write_iceberg_fixture(
         spark, t(spark, sf_dir, "documents"), root
     )
+    with open(marker, "w") as fh:
+        fh.write(f"{s1},{s2}")
     return root, s1, s2
 
 
