@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "pipeline_iceberg_changelog",
     "pipeline_delta_check_constraints",
     "pipeline_uniform_reverse",
+    "stream_delta_cdf_tail",
 ]
 
 

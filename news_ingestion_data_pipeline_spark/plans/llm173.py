@@ -1005,3 +1005,83 @@ def pipeline_uniform_reverse(
         F.lit("delta").alias("reader"), "*"
     )
     return via_iceberg.unionByName(via_delta)
+
+
+@register(
+    "stream_delta_cdf_tail",
+    oracle="""
+WITH evens AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+odds AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+dels AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+b0 AS (
+  SELECT 'insert' AS _change_type, 0 AS batch,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS ids_md5
+  FROM evens
+),
+b1 AS (
+  SELECT 'insert', 1, CAST(COUNT(*) AS BIGINT),
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+  FROM odds
+),
+b2 AS (
+  SELECT 'delete', 2, CAST(COUNT(*) AS BIGINT),
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+  FROM dels
+)
+SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+""",
+    description="Streaming CDF TAIL: a downstream job consumes a Delta "
+    "table's CHANGE FEED version by version — append commits surface "
+    "as insert batches, and a deletion-vector commit surfaces as a "
+    "delete batch derived from the bitmap diff (the CDF x DV "
+    "composition, in the incremental shape consumers actually run). "
+    "Three versions (even appends, odd appends, DV delete of "
+    "doc_id % 5 = 0) each land as one batch whose counts and "
+    "order-pinned id checksums replay from SQL. At 100 TB this is how "
+    "a derived table stays in sync with row-level deletes without "
+    "full-table diffs: per-version increments, bitmap-sized delete "
+    "metadata.",
+    tags=("streaming", "storage", "pipeline"),
+)
+def stream_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_cdf_tail_{sfx}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    app = f"cdf_tail_{sfx}"
+    DL.append_batch_to_delta(
+        spark, root, docs.filter(F.col("doc_id") % 2 == 0),
+        app_id=app, batch_id=0,
+    )
+    DL.append_batch_to_delta(
+        spark, root, docs.filter(F.col("doc_id") % 2 == 1),
+        app_id=app, batch_id=1,
+    )
+    DL.delete_where_with_dv(spark, root, F.col("doc_id") % 5 == 0)
+
+    agg = None
+    for i, v in enumerate(DL.list_commit_versions(root)):
+        batch = DL.read_delta_changes(spark, root, v, v)
+        part = (
+            batch.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list("doc_id")),
+                            lambda d: d.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("ids_md5"),
+            )
+            .select(
+                "_change_type", F.lit(i).alias("batch"), "n_rows",
+                "ids_md5",
+            )
+        )
+        agg = part if agg is None else agg.unionByName(part)
+    return agg
