@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 from news_ingestion_data_pipeline_spark.plans import REGISTRY
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 from tests.conftest import SF_SMOKE
 
 
@@ -79,7 +80,7 @@ def test_zonemap_layout_enables_row_group_skipping(spark):
     assert "l_shipdate" in plan.split("PushedFilters")[1][:300], plan
 
     path = (
-        "/tmp/spark_graft_storage/lineitem_zonemap_"
+        scratch_root("storage") + "/lineitem_zonemap_"
         + hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
     )
     lo = dt.datetime(1996, 7, 1)
@@ -118,8 +119,8 @@ def test_compaction_reduces_file_count_preserving_rows(spark):
 
     REGISTRY["storage_compact_small_files"].fn(spark, SF_SMOKE).collect()
     sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
-    frag = glob.glob(f"/tmp/spark_graft_storage2/events_fragmented_{sfx}/*.parquet")
-    comp = glob.glob(f"/tmp/spark_graft_storage2/events_compacted_{sfx}/*.parquet")
+    frag = glob.glob(f"{scratch_root('storage2')}/events_fragmented_{sfx}/*.parquet")
+    comp = glob.glob(f"{scratch_root('storage2')}/events_compacted_{sfx}/*.parquet")
     assert len(frag) == 64 and len(comp) == 4, (len(frag), len(comp))
     n_frag = spark.read.parquet(*frag).count()
     n_comp = spark.read.parquet(*comp).count()
@@ -133,7 +134,7 @@ def test_delete_where_previous_snapshot_retains_deleted_rows(spark):
 
     REGISTRY["pipeline_delete_where"].fn(spark, SF_SMOKE).collect()
     sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_storage2/delete_where_{sfx}"
+    path = f"{scratch_root('storage2')}/delete_where_{sfx}"
     cur = UP.read_articles(spark, path)
     prev = UP.read_previous_snapshot(spark, path)
     assert cur.filter("lang = 'de'").count() == 0

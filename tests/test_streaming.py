@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.operators import upsert
 from news_ingestion_data_pipeline_spark.schemas import RAW_LISTING_SCHEMA
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 from news_ingestion_data_pipeline_spark.streaming import (
     pipeline as spipe,
     windows as swin,
@@ -259,7 +260,7 @@ def test_checkpoint_resume_processes_only_new_files(spark):
     assert len(rows) == 5
 
     sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
-    src_log = f"/tmp/spark_graft_llm6/ckpt_{sfx}/sources/0"
+    src_log = f"{scratch_root('llm6')}/ckpt_{sfx}/sources/0"
     batches = sorted(
         int(os.path.basename(p))
         for p in glob.glob(f"{src_log}/*")

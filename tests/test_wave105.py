@@ -7,6 +7,7 @@ from collections import defaultdict
 
 from news_ingestion_data_pipeline_spark.plans import REGISTRY
 from tests.conftest import SF_SMOKE
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 
 def test_dynamic_overwrite_touches_only_en(spark):
@@ -24,7 +25,7 @@ def test_dynamic_overwrite_touches_only_en(spark):
         assert r.n_new == (r.n_rows if r.lang == "en" else 0)
     # en partition content really is the new version on disk
     sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_llm105/dyn_{sfx}"
+    path = f"{scratch_root('llm105')}/dyn_{sfx}"
     from pyspark.sql import functions as F
 
     vs = {

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans import REGISTRY
 from tests.conftest import SF_SMOKE
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 
 def test_fixed_width_roundtrip_preserves_counts_and_micros(spark):
@@ -39,7 +40,7 @@ def test_fixed_width_record_layout(spark):
     REGISTRY["scan_fixed_width"].fn(spark, SF_SMOKE).collect()
     import glob
 
-    files = glob.glob("/tmp/spark_graft_llm113/fw_*/part-*.txt")
+    files = glob.glob(scratch_root("llm113") + "/fw_*/part-*.txt")
     assert files
     with open(files[0]) as fh:
         for line in fh:

@@ -8,6 +8,7 @@ import numpy as np
 
 from news_ingestion_data_pipeline_spark.plans import REGISTRY
 from tests.conftest import SF_SMOKE
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 
 def test_wap_publishes_green_audit(spark):
@@ -23,7 +24,7 @@ def test_wap_red_audit_keeps_prior_publication(spark):
     # run the green cycle to establish a publication
     REGISTRY["pipeline_write_audit_publish"].fn(spark, SF_SMOKE).collect()
     sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_llm136/wap_{sfx}"
+    base = f"{scratch_root('llm136')}/wap_{sfx}"
     pointer = f"{base}/_PUBLISHED"
     before = open(pointer).read()
     # a corrupted candidate (orphan custkeys) must NOT flip the pointer:

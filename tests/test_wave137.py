@@ -7,6 +7,7 @@ from decimal import Decimal
 
 from news_ingestion_data_pipeline_spark.plans import REGISTRY
 from tests.conftest import SF_SMOKE
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 
 def test_energy_distance_matches_quadratic_python(spark):
@@ -49,7 +50,7 @@ def test_gzip_jsonl_roundtrip(spark):
     import hashlib
 
     sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
-    files = glob.glob(f"/tmp/spark_graft_llm137/gz_{sfx}/part-*.jsonl.gz")
+    files = glob.glob(f"{scratch_root('llm137')}/gz_{sfx}/part-*.jsonl.gz")
     assert files
     import gzip
     import json

@@ -7,6 +7,7 @@ from collections import defaultdict
 
 from news_ingestion_data_pipeline_spark.plans import REGISTRY
 from tests.conftest import SF_SMOKE
+from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 
 def test_merge_on_read_deletes_exact_victims(spark):
@@ -27,7 +28,7 @@ def test_merge_on_read_deletes_exact_victims(spark):
     import hashlib
 
     sfx = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_llm99/mor_base_{sfx}"
+    base = f"{scratch_root('llm99')}/mor_base_{sfx}"
     assert spark.read.parquet(base).count() == len(docs)
 
 
