@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "pipeline_delta_check_constraints",
     "pipeline_uniform_reverse",
     "stream_delta_cdf_tail",
+    "pipeline_delta_shallow_clone",
+    "pipeline_iceberg_orphan_files",
 ]
 
 

@@ -866,6 +866,42 @@ def write_delta_ict_fixture(
     return t0, t1, t2
 
 
+def clone_delta_shallow(src_root: str, dst_root: str) -> int:
+    """SHALLOW CLONE: a new Delta table whose v0 commit re-adds the
+    source snapshot's live files BY ABSOLUTE PATH — zero data copied,
+    pure metadata. The clone's log then evolves independently:
+    deletes/appends in the clone never touch the source (the command
+    teams use for dev/test snapshots of production tables). DV-carrying
+    sources are refused by name (the DV descriptors' relative
+    addressing does not survive re-rooting here). Returns the number
+    of cloned add actions."""
+    adds, protocol, metadata = _replay(src_root)
+    _check_protocol(protocol, metadata)
+    dv = sorted(p for p, a in adds.items() if a.get("deletionVector"))
+    if dv:
+        raise ValueError(
+            f"shallow clone over deletion-vector adds {dv} is not "
+            "supported here — compact the source first"
+        )
+    if os.path.exists(os.path.join(dst_root, "_delta_log")):
+        raise ValueError(f"_delta_log already exists at {dst_root}")
+    os.makedirs(dst_root, exist_ok=True)
+    actions: list[dict] = [
+        {
+            "protocol": protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        },
+    ]
+    if metadata is not None:
+        actions.append({"metaData": metadata})
+    for p in sorted(adds):
+        a = dict(adds[p])
+        a["path"] = os.path.abspath(os.path.join(src_root, p))
+        actions.append({"add": a})
+    _commit(dst_root, 0, actions)
+    return len(adds)
+
+
 def write_delta_row_tracking_fixture(
     spark: SparkSession, docs: DataFrame, root: str
 ) -> str:

@@ -3169,6 +3169,48 @@ def read_iceberg_changelog(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def remove_orphan_files(root: str) -> list[str]:
+    """Iceberg ``removeOrphanFiles``: physically delete files under the
+    table's ``data/`` and ``metadata/`` directories that NO snapshot in
+    the current metadata reaches (crashed writes, abandoned
+    compactions). Reachability = every snapshot's manifest list, its
+    manifests, every entry's data/delete file (regardless of entry
+    status — DELETED entries still reference history), plus the
+    metadata.json versions themselves. Returns the deleted
+    table-relative paths. Never touches live or historical state —
+    expire_snapshots is the command that shrinks history."""
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    keep: set[str] = set()
+    for s in meta.get("snapshots", []):
+        mlist = s["manifest-list"]
+        keep.add(os.path.normpath(mlist))
+        _, manifests = AV.read_container(_resolve(root, mlist))
+        for m in manifests:
+            keep.add(os.path.normpath(m["manifest_path"]))
+            _, entries = AV.read_container(
+                _resolve(root, m["manifest_path"])
+            )
+            for e in entries:
+                keep.add(os.path.normpath(e["data_file"]["file_path"]))
+    deleted: list[str] = []
+    for sub in ("data", "metadata"):
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            continue
+        for dirpath, _dirs, filenames in os.walk(base):
+            for fn in filenames:
+                if fn.endswith(".metadata.json") or fn.startswith("."):
+                    continue
+                rel = os.path.normpath(
+                    os.path.relpath(os.path.join(dirpath, fn), root)
+                )
+                if rel not in keep:
+                    os.remove(os.path.join(dirpath, fn))
+                    deleted.append(rel)
+    return sorted(deleted)
+
+
 def rewrite_data_files(
     spark: SparkSession, root: str, sort_by: str | None = None
 ) -> tuple[int, int, int]:

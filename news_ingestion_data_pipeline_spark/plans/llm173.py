@@ -1085,3 +1085,88 @@ def stream_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         agg = part if agg is None else agg.unionByName(part)
     return agg
+
+
+@register(
+    "pipeline_delta_shallow_clone",
+    oracle=f"""
+WITH live AS ({_LIVE_SQL}),
+cl AS (SELECT * FROM live WHERE doc_id % 5 <> 0),
+a1 AS ({_AGG_SQL.format(extra="'source' AS tbl,", extra_grp="1,", src="live")}),
+a2 AS ({_AGG_SQL.format(extra="'clone' AS tbl,", extra_grp="1,", src="cl")})
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+""",
+    description="Delta SHALLOW CLONE: a new table whose v0 commit "
+    "re-adds the source snapshot's live files BY ABSOLUTE PATH — zero "
+    "bytes copied, pure metadata — after which the two logs evolve "
+    "independently. A deletion-vector DELETE runs in the CLONE "
+    "(doc_id % 5 = 0) and the source must stay byte-identical: "
+    "per-lang counts, char sums and order-pinned content checksums of "
+    "both tables certify isolation, the dev/test-snapshot contract "
+    "teams rely on in production. Scale: clone cost is one log replay "
+    "plus kilobytes of JSON regardless of table size.",
+    tags=("pipeline", "storage", "scan"),
+)
+def pipeline_delta_shallow_clone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"{_ROOT}/clone_src_{sfx}"
+    dst = f"{_ROOT}/clone_dst_{sfx}"
+    shutil.rmtree(dst, ignore_errors=True)
+    DL.write_delta_fixture(spark, t(spark, sf_dir, "documents"), src)
+    DL.clone_delta_shallow(src, dst)
+    DL.delete_where_with_dv(spark, dst, F.col("doc_id") % 5 == 0)
+    source = _snapshot_agg(DL.read_delta(spark, src)).select(
+        F.lit("source").alias("tbl"), "*"
+    )
+    clone = _snapshot_agg(DL.read_delta(spark, dst)).select(
+        F.lit("clone").alias("tbl"), "*"
+    )
+    return source.unionByName(clone)
+
+
+@register(
+    "pipeline_iceberg_orphan_files",
+    oracle="""
+WITH live AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS content_h
+  FROM documents WHERE lang <> 'fr'
+  UNION ALL
+  SELECT doc_id, lang, n_chars, md5(text)
+  FROM documents WHERE lang = 'fr' AND n_chars >= 600
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(content_h, '' ORDER BY doc_id)) AS content_md5,
+       CAST(2 AS BIGINT) AS n_orphans_removed
+FROM live GROUP BY lang
+""",
+    description="Iceberg removeOrphanFiles: two stray files (a crashed "
+    "write under data/, an abandoned manifest under metadata/) are "
+    "planted next to a healthy table; the command deletes exactly the "
+    "unreachable two — reachability walks every snapshot's manifest "
+    "list, manifests, and entries INCLUDING deleted-status history "
+    "references, so neither live nor time-travelable state is touched. "
+    "The post-cleanup read must still match the generating SQL, with "
+    "the orphan count as audit. Scale: reachability is a manifest "
+    "walk; the filesystem scan is the same listing any janitor job "
+    "pays.",
+    tags=("pipeline", "storage"),
+)
+def pipeline_iceberg_orphan_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/iceberg_orphan_{sfx}"
+    IC.write_iceberg_fixture(spark, t(spark, sf_dir, "documents"), root)
+    # plant orphans: a crashed data write and an abandoned manifest
+    with open(os.path.join(root, "data", "orphan-write.parquet"), "wb") as f:
+        f.write(b"PAR1garbage")
+    with open(os.path.join(root, "metadata", "orphan-m.avro"), "wb") as f:
+        f.write(b"Obj\x01garbage")
+    removed = IC.remove_orphan_files(root)
+    back = _snapshot_agg(IC.read_iceberg(spark, root))
+    return back.select(
+        "*", F.lit(len(removed)).cast("bigint").alias("n_orphans_removed")
+    )

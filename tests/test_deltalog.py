@@ -1043,3 +1043,24 @@ def test_widening_with_column_mapping_gated(tmp_path):
     adds, _, metadata = _replay(root)
     with _pytest.raises(ValueError, match="columnMapping"):
         _grouped_scan(None, root, ["a.parquet"], metadata, False)
+
+
+def test_shallow_clone_isolated_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "en", 500 + i, f"t{i}") for i in range(10)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    DL.write_delta_fixture(spark, docs, src)
+    n = DL.clone_delta_shallow(src, dst)
+    assert n == len(DL.delta_snapshot_files(src))
+    # mutate the clone; the source must not move
+    DL.delete_where_with_dv(spark, dst, F.col("doc_id") < 5)
+    assert DL.read_delta(spark, src).count() == 10
+    assert DL.read_delta(spark, dst).count() == 5
+    # cloning onto an existing log is refused
+    with pytest.raises(ValueError, match="already exists"):
+        DL.clone_delta_shallow(src, dst)

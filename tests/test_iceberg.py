@@ -966,3 +966,19 @@ def test_uniform_reverse_refuses_delete_files(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="delete files"):
         IB.publish_delta_log_for_iceberg(root2)
+
+
+def test_remove_orphan_files_keeps_history(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], 400 + 100 * i, f"t{i}") for i in range(8)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "orphan")
+    s1, s2 = IB.write_iceberg_fixture(spark, docs, root)
+    open(os.path.join(root, "data", "stray.parquet"), "wb").write(b"x")
+    removed = IB.remove_orphan_files(root)
+    assert removed == ["data/stray.parquet"]
+    # snapshot 1's fr file is DELETED at s2 but still history — kept
+    files1, _ = IB.snapshot_files(root, s1)
+    assert len(files1) == 2
+    assert IB.read_iceberg(spark, root).count() > 0
