@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "stream_delta_cdf_tail",
     "pipeline_delta_shallow_clone",
     "pipeline_iceberg_orphan_files",
+    "scan_delta_generated_partition",
 ]
 
 

@@ -1639,6 +1639,141 @@ def read_delta_partition_pruned(
     return df, len(keep), len(adds)
 
 
+def write_delta_generated_partition_fixture(
+    spark: SparkSession, events: DataFrame, root: str
+) -> str:
+    """Delta table partitioned by a GENERATED COLUMN: ``day`` carries
+    ``delta.generationExpression = "CAST(ts AS DATE)"`` in its field
+    metadata (writer feature generatedColumns), and the data lands
+    hive-partitioned one file per day in ONE distributed pass
+    (repartition on the day key + partitionBy write). Readers can
+    derive a partition filter from a predicate on the BASE column —
+    the generated-column pruning contract."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    (
+        events.select("event_type", "ts", "value")
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .repartition(F.col("day"))
+        .sortWithinPartitions("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(os.path.join(root, "._tmp_gen"))
+    )
+    import glob as _glob
+
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["generatedColumns"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "spark-graft-delta-generated-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "event_type", "type": "string", "nullable": True, "metadata": {}},
+                            {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+                            {"name": "value", "type": "double", "nullable": True, "metadata": {}},
+                            {
+                                "name": "day",
+                                "type": "date",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.generationExpression": "CAST(ts AS DATE)"
+                                },
+                            },
+                        ],
+                    }
+                ),
+                "partitionColumns": ["day"],
+                "configuration": {},
+            }
+        },
+    ]
+    tmp = os.path.join(root, "._tmp_gen")
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("day="):
+            continue
+        day = d.split("=", 1)[1]
+        parts = sorted(_glob.glob(os.path.join(tmp, d, "part-*.parquet")))
+        assert len(parts) == 1, f"day {day} split across tasks"
+        name = f"{d}/part-0.parquet"
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+        os.rename(parts[0], os.path.join(root, name))
+        st = os.stat(os.path.join(root, name))
+        actions.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {"day": day},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _commit(root, 0, actions)
+    return root
+
+
+def partition_filter_from_generated(
+    metadata: dict | None, base_col: str, lo, hi
+) -> dict[str, set]:
+    """Derive a PARTITION filter from a predicate on the generated
+    column's BASE column: for a partition column whose
+    ``delta.generationExpression`` is ``CAST(<base> AS DATE)``, a
+    ``lo <= base < hi`` timestamp range maps to the covering set of
+    day strings — the rewrite that lets queries on the raw timestamp
+    prune generated date partitions. Raises by name on expressions
+    this deriver does not understand (silently skipping would scan
+    everything and hide the contract)."""
+    import datetime as _dt
+
+    fields = json.loads(metadata["schemaString"])["fields"]
+    part_cols = metadata.get("partitionColumns") or []
+    out: dict[str, set] = {}
+    for f in fields:
+        if f["name"] not in part_cols:
+            continue
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr is None:
+            continue
+        want = f"CAST({base_col} AS DATE)"
+        if expr.strip().upper() != want.upper():
+            raise ValueError(
+                f"unsupported generationExpression {expr!r} "
+                f"(this deriver understands {want!r})"
+            )
+        days = set()
+        d = lo.date()
+        end = hi.date() if (hi.time() != _dt.time()) else (
+            hi.date() - _dt.timedelta(days=1)
+        )
+        while d <= end:
+            days.add(d.isoformat())
+            d += _dt.timedelta(days=1)
+        out[f["name"]] = days
+    if not out:
+        raise ValueError(
+            f"no generated partition column derives from {base_col!r}"
+        )
+    return out
+
+
 def _footer_stats(path: str) -> str:
     """Per-file stats JSON recovered from the parquet FOOTER (row-group
     min/max + num_rows) — metadata-scale, the write-side half of data

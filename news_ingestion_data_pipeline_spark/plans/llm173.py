@@ -1170,3 +1170,62 @@ def pipeline_iceberg_orphan_files(
     return back.select(
         "*", F.lit(len(removed)).cast("bigint").alias("n_orphans_removed")
     )
+
+
+@register(
+    "scan_delta_generated_partition",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       CAST(3 AS BIGINT) AS n_files_scanned,
+       CAST(30 AS BIGINT) AS n_files_total
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+GROUP BY event_type
+""",
+    description="Delta GENERATED COLUMNS driving partition pruning: "
+    "the events table lands partitioned by day, a generated column "
+    "whose delta.generationExpression is CAST(ts AS DATE) (writer "
+    "feature generatedColumns). A query filtering the RAW timestamp "
+    "[Jan 10, Jan 13) derives the covering day set from the recorded "
+    "expression and prunes 27 of 30 day files from the log alone — "
+    "the generated-column rewrite production engines apply. "
+    "Unsupported expressions raise by name rather than silently "
+    "scanning everything. Per-type counts/sums over the 3 scanned "
+    "days must match SQL exactly; file counts are the audit. Scale: "
+    "the derivation is string metadata; the scan touches only "
+    "matching partitions.",
+    tags=("scan", "storage", "pipeline"),
+)
+def scan_delta_generated_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as dt
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{_ROOT}/delta_gen_{sfx}"
+    DL.write_delta_generated_partition_fixture(
+        spark, t(spark, sf_dir, "events"), root
+    )
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 13)
+    meta = DL._replay(root)[2]
+    pfilter = DL.partition_filter_from_generated(meta, "ts", lo, hi)
+    df, n_scanned, n_total = DL.read_delta_partition_pruned(
+        spark, root, pfilter
+    )
+    return (
+        df.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,10)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.lit(n_scanned).cast("bigint").alias("n_files_scanned"),
+            F.lit(n_total).cast("bigint").alias("n_files_total"),
+        )
+    )

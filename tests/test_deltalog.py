@@ -1064,3 +1064,41 @@ def test_shallow_clone_isolated_evolution(spark, tmp_path):
     # cloning onto an existing log is refused
     with pytest.raises(ValueError, match="already exists"):
         DL.clone_delta_shallow(src, dst)
+
+
+def test_generated_partition_filter_derivation(tmp_path):
+    import datetime as dt
+
+    meta = {
+        "schemaString": json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "ts", "type": "timestamp", "nullable": True,
+                 "metadata": {}},
+                {"name": "day", "type": "date", "nullable": True,
+                 "metadata": {
+                     "delta.generationExpression": "CAST(ts AS DATE)"}},
+            ],
+        }),
+        "partitionColumns": ["day"],
+    }
+    f = DL.partition_filter_from_generated(
+        meta, "ts", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 13)
+    )
+    assert f == {"day": {"2024-01-10", "2024-01-11", "2024-01-12"}}
+    # a non-midnight upper bound includes its own day
+    f2 = DL.partition_filter_from_generated(
+        meta, "ts", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 12, 5)
+    )
+    assert f2["day"] == {"2024-01-10", "2024-01-11", "2024-01-12"}
+    # an expression the deriver does not understand raises by name
+    meta2 = json.loads(json.dumps(meta))
+    sch = json.loads(meta2["schemaString"])
+    sch["fields"][1]["metadata"]["delta.generationExpression"] = (
+        "date_trunc('week', ts)"
+    )
+    meta2["schemaString"] = json.dumps(sch)
+    with pytest.raises(ValueError, match="generationExpression"):
+        DL.partition_filter_from_generated(
+            meta2, "ts", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 13)
+        )
