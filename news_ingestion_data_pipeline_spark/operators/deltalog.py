@@ -230,12 +230,38 @@ def _grouped_scan(
         )
     part_cols = (metadata or {}).get("partitionColumns") or []
 
+    expected = None
+    if (
+        not widen
+        and _column_mapping(metadata) is None
+        and metadata
+        and metadata.get("schemaString")
+    ):
+        # schemaString IS Spark's StructType JSON: reading with the
+        # table schema makes schema evolution deterministic — a file
+        # written before a column was added yields typed NULLs instead
+        # of a sample-order-dependent schema (or a missing column)
+        from pyspark.sql.types import StructType
+
+        try:
+            # partitioned: keep partition fields in the schema — Spark
+            # resolves them from the hive path when a user schema names
+            # them; unpartitioned: the schema matches the files
+            expected = StructType.fromJson(
+                json.loads(metadata["schemaString"])
+            )
+        except (KeyError, TypeError, ValueError):
+            expected = None
+
     def one(group: list[str]) -> DataFrame:
+        reader = spark.read
+        if expected is not None:
+            reader = reader.schema(expected)
         if part_cols:
             # hive layout stores partition columns in the path, not the
             # files: basePath discovery reconstitutes them; a layout
             # that can't is a named error, never a silent column drop
-            g = spark.read.option("basePath", root).parquet(*group)
+            g = reader.option("basePath", root).parquet(*group)
             missing = [c for c in part_cols if c not in g.columns]
             if missing:
                 raise ValueError(
@@ -243,7 +269,7 @@ def _grouped_scan(
                     "the file layout"
                 )
         else:
-            g = spark.read.parquet(*group)
+            g = reader.parquet(*group)
         if tag_identity:
             pcol = F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:", ""
@@ -1340,6 +1366,7 @@ def delete_keys_with_dv(
 def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
     adds, protocol, metadata = _replay(root)
     _check_protocol(protocol, metadata)
+    _check_append_only(metadata, "a deletion-vector DELETE")
     existing: dict[str, list[int]] = {
         p: _dv_indexes(root, a["deletionVector"])
         for p, a in adds.items()
@@ -1520,6 +1547,7 @@ def restore_delta(spark: SparkSession, root: str, version: int) -> int:
     version."""
     cur_adds, protocol, metadata = _replay(root)
     _check_protocol(protocol, metadata)
+    _check_append_only(metadata, "RESTORE (removes current files)")
     old_adds, old_protocol, old_metadata = _replay(root, version)
     _check_protocol(old_protocol, old_metadata)
     new_version = list_commit_versions(root)[-1] + 1
@@ -1844,6 +1872,7 @@ def compact_delta(
 
     adds, protocol, metadata = _replay(root)
     _check_protocol(protocol, metadata)
+    _check_append_only(metadata, "OPTIMIZE (rewrites files)")
     n_before = len(adds)
     df = read_delta(spark, root)
     mapping = _column_mapping(metadata)
@@ -2907,6 +2936,42 @@ def add_check_constraint(root: str, name: str, expr: str) -> int:
     return version
 
 
+def _check_append_only(metadata: dict | None, op: str) -> None:
+    """delta.appendOnly=true forbids any commit that removes data —
+    the table property ingest pipelines set so history can never be
+    rewritten under their consumers. Raises with the operation
+    named."""
+    conf = (metadata or {}).get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "false")).lower() == "true":
+        raise ValueError(
+            f"table is delta.appendOnly=true: {op} would remove data"
+        )
+
+
+def _apply_column_defaults(batch_df: DataFrame, metadata: dict | None):
+    """Writer feature allowColumnDefaults: a batch missing a column
+    whose field metadata records CURRENT_DEFAULT gets the default
+    filled at write time (typed literal, map-side). Columns present in
+    the batch are untouched — defaults are for absent columns only."""
+    from pyspark.sql import functions as F
+
+    if not metadata or "schemaString" not in metadata:
+        return batch_df
+    for f in json.loads(metadata["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if "CURRENT_DEFAULT" in md and f["name"] not in batch_df.columns:
+            raw = md["CURRENT_DEFAULT"]
+            # the spec stores the default as a SQL literal string
+            lit = raw.strip("'") if isinstance(raw, str) else raw
+            batch_df = batch_df.withColumn(
+                f["name"],
+                F.lit(lit).cast(
+                    f["type"] if isinstance(f["type"], str) else "string"
+                ),
+            )
+    return batch_df
+
+
 def _enforce_check_constraints(batch_df: DataFrame, metadata: dict | None):
     """Writer-side CHECK validation: every ``delta.constraints.*``
     predicate must hold on every appended row; a violation raises with
@@ -2949,6 +3014,7 @@ def append_batch_to_delta(
     )
     if versions:
         _, _, _existing_meta = _replay(root)
+        batch_df = _apply_column_defaults(batch_df, _existing_meta)
         _enforce_check_constraints(batch_df, _existing_meta)
     version = (versions[-1] + 1) if versions else 0
     name = f"batch-{app_id}-{batch_id:05d}.parquet"

@@ -3416,6 +3416,34 @@ def publish_delta_log_for_iceberg(root: str) -> int:
             )
     if os.path.exists(os.path.join(root, "_delta_log")):
         raise ValueError(f"_delta_log already exists at {root}")
+    # a real schemaString from the first live file's footer (Delta
+    # readers trust the metaData schema, so an empty one would project
+    # zero columns)
+    import pyarrow.parquet as pq
+
+    _ARROW_TO_DELTA = {
+        "int64": "long", "int32": "integer", "int16": "short",
+        "int8": "byte", "double": "double", "float": "float",
+        "string": "string", "large_string": "string", "bool": "boolean",
+        "date32[day]": "date", "binary": "binary",
+    }
+    fields = []
+    if files:
+        first = _resolve(root, sorted(p for p, _ in files)[0])
+        for fld in pq.read_schema(first):
+            t_str = str(fld.type)
+            if t_str.startswith("timestamp"):
+                delta_t = "timestamp"
+            else:
+                delta_t = _ARROW_TO_DELTA.get(t_str, "string")
+            fields.append(
+                {
+                    "name": fld.name,
+                    "type": delta_t,
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
     actions: list[dict] = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {
@@ -3423,7 +3451,7 @@ def publish_delta_log_for_iceberg(root: str) -> int:
                 "id": "spark-graft-uniform-reverse",
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": _json.dumps(
-                    {"type": "struct", "fields": []}
+                    {"type": "struct", "fields": fields}
                 ),
                 "partitionColumns": [],
                 "configuration": {},

@@ -1102,3 +1102,37 @@ def test_generated_partition_filter_derivation(tmp_path):
         DL.partition_filter_from_generated(
             meta2, "ts", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 13)
         )
+
+
+def test_append_only_and_column_defaults(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ao")
+    b = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    DL.append_batch_to_delta(spark, root, b, app_id="ao", batch_id=0)
+    # flip appendOnly on and add a default column via metaData update
+    _, proto, meta = DL._replay(root)
+    new_meta = dict(meta)
+    new_meta["configuration"] = {"delta.appendOnly": "true"}
+    sch = json.loads(meta["schemaString"])
+    sch["fields"].append({
+        "name": "tier", "type": "string", "nullable": True,
+        "metadata": {"CURRENT_DEFAULT": "'standard'"},
+    })
+    new_meta["schemaString"] = json.dumps(sch)
+    DL._commit(root, 1, [{"metaData": new_meta}])
+    # a batch missing the defaulted column gets it filled
+    DL.append_batch_to_delta(
+        spark, root,
+        spark.createDataFrame([(3, "z")], "k long, v string"),
+        app_id="ao", batch_id=1,
+    )
+    got = {r.k: r.tier for r in DL.read_delta(spark, root).collect()}
+    assert got[3] == "standard" and got[1] is None
+    # remove-producing commands are refused on the appendOnly table
+    with pytest.raises(ValueError, match="appendOnly"):
+        DL.delete_where_with_dv(spark, root, F.col("k") == 1)
+    with pytest.raises(ValueError, match="appendOnly"):
+        DL.compact_delta(spark, root)
+    with pytest.raises(ValueError, match="appendOnly"):
+        DL.restore_delta(spark, root, 0)
