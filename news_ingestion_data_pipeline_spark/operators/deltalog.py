@@ -1832,6 +1832,12 @@ def _footer_stats(path: str) -> str:
                 except UnicodeDecodeError:
                     bad.add(name)
                     continue
+            if isinstance(mn, str) and (len(mn) >= 64 or len(mx) >= 64):
+                # parquet may TRUNCATE long binary stats; an
+                # under-reported max would wrongly prune — drop the
+                # column's bounds instead of trusting them
+                bad.add(name)
+                continue
             if hasattr(mn, "isoformat"):
                 mn, mx = mn.isoformat(), mx.isoformat()
             mins[name] = mn if name not in mins else min(mins[name], mn)
