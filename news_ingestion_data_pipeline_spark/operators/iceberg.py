@@ -3228,6 +3228,22 @@ def rewrite_data_files(
 
     meta = current_metadata(root)
     _check_format_version(meta)
+    snap_cur = meta["current-snapshot-id"]
+    _, cur_manifests = AV.read_container(
+        _resolve(
+            root,
+            {s["snapshot-id"]: s for s in meta["snapshots"]}[snap_cur][
+                "manifest-list"
+            ],
+        )
+    )
+    mor = [m["manifest_path"] for m in cur_manifests if m.get("content", 0) == 1]
+    if mor:
+        raise ValueError(
+            f"rewriteDataFiles over live delete manifests {mor} would "
+            "resurrect deleted rows — resolve through "
+            "read_iceberg_resolved and rewrite deletes first"
+        )
     files, _ = snapshot_files(root)
     n_before = len(files)
     df = read_iceberg(spark, root)

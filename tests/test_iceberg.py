@@ -944,6 +944,16 @@ def test_rewrite_data_files_replace_snapshot(spark, tmp_path):
     # pre-compaction snapshot still time-travels with the old layout
     old_files, _ = IB.snapshot_files(root, s2)
     assert len(old_files) == 3
+    # a merge-on-read table refuses the rewrite by name (a plain
+    # rewrite would resurrect its deleted rows)
+    root2 = str(tmp_path / "rewrite_mor")
+    IB.write_iceberg_fixture(spark, docs, root2)
+    IB.append_equality_delete(
+        spark, root2, spark.createDataFrame([(1,)], "doc_id long"),
+        "doc_id",
+    )
+    with pytest.raises(ValueError, match="delete manifests"):
+        IB.rewrite_data_files(spark, root2)
 
 
 def test_uniform_reverse_refuses_delete_files(spark, tmp_path):
