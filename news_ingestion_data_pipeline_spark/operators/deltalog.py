@@ -1879,6 +1879,13 @@ def compact_delta(
     adds, protocol, metadata = _replay(root)
     _check_protocol(protocol, metadata)
     _check_append_only(metadata, "OPTIMIZE (rewrites files)")
+    if (metadata or {}).get("partitionColumns"):
+        # a flat rewrite would strip the hive layout the partition
+        # columns live in; per-partition compaction is not implemented
+        raise ValueError(
+            "OPTIMIZE on a partitioned table is not supported here — "
+            "files must stay under their partition directories"
+        )
     n_before = len(adds)
     df = read_delta(spark, root)
     mapping = _column_mapping(metadata)
