@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "pipeline_delta_shallow_clone",
     "pipeline_iceberg_orphan_files",
     "scan_delta_generated_partition",
+    "storage_iceberg_puffin_stats",
 ]
 
 

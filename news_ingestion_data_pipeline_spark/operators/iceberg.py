@@ -2240,6 +2240,100 @@ def _puffin_footer(path: str) -> dict:
     return json.loads(payload.decode("utf-8"))
 
 
+#: KMV hash denominator: 15 md5 hex chars = uniform integer < 16^15
+_KMV_DEN = float(16**15)
+
+
+def publish_puffin_statistics(
+    root: str, minima: dict[str, list[int]], k: int
+) -> str:
+    """Publish a table STATISTICS FILE (the spec's ``statistics``
+    metadata list): one Puffin blob per column holding its KMV
+    bottom-``k`` integer hashes (8-byte BE each), with the spec's
+    ``ndv`` blob property carrying the estimate planners read without
+    touching blob bytes. Registration appends to ``statistics`` in a
+    new metadata version; republishing the same snapshot's stats is a
+    no-op. Pure metadata — kilobytes regardless of table size."""
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    snap = meta["current-snapshot-id"]
+    name = f"metadata/stats-{snap}.puffin"
+    blobs = []
+    for col, vals in sorted(minima.items()):
+        vals = sorted(int(v) for v in vals)
+        data = b"".join(v.to_bytes(8, "big") for v in vals)
+        n = len(vals)
+        est = float(n) if n < k else (k - 1) / (vals[-1] / _KMV_DEN)
+        blobs.append(
+            (
+                "kmv-sketch-v1",
+                data,
+                {"column": col, "ndv": str(int(round(est)))},
+            )
+        )
+    descs = _puffin_write(_resolve(root, name), blobs)
+    if any(
+        s.get("statistics-path") == name
+        for s in meta.get("statistics", [])
+    ):
+        return name
+    new_meta = dict(meta)
+    new_meta["statistics"] = list(meta.get("statistics", [])) + [
+        {
+            "snapshot-id": snap,
+            "statistics-path": name,
+            "file-size-in-bytes": os.path.getsize(_resolve(root, name)),
+            "file-footer-size-in-bytes": 0,
+            "blob-metadata": descs,
+        }
+    ]
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return name
+
+
+def read_table_statistics(root: str, k: int) -> list[dict]:
+    """Read back the registered statistics files: per column, the ndv
+    PROPERTY (what a planner consumes) and the estimate RE-DERIVED
+    from the blob's bottom-k hashes — proving the bytes round-trip,
+    not just the metadata."""
+    meta = current_metadata(root)
+    out: list[dict] = []
+    for s in meta.get("statistics", []):
+        path = _resolve(root, s["statistics-path"])
+        foot = _puffin_footer(path)
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        for b in foot["blobs"]:
+            data = raw[b["offset"] : b["offset"] + b["length"]]
+            vals = [
+                int.from_bytes(data[i : i + 8], "big")
+                for i in range(0, len(data), 8)
+            ]
+            n = len(vals)
+            est = (
+                float(n) if n < k else (k - 1) / (max(vals) / _KMV_DEN)
+            )
+            out.append(
+                {
+                    "column": b["properties"]["column"],
+                    "ndv_property": int(b["properties"]["ndv"]),
+                    "ndv_from_blob": est,
+                    "n_minima": n,
+                }
+            )
+    return out
+
+
 def _dv_blob_encode(indexes: list[int]) -> bytes:
     """Iceberg v3 ``deletion-vector-v1`` blob: 4-byte BE length of
     (magic + vector), the magic-prefixed 64-bit RoaringBitmapArray

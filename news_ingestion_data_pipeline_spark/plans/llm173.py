@@ -1229,3 +1229,110 @@ def scan_delta_generated_partition(
             F.lit(n_total).cast("bigint").alias("n_files_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg Puffin table statistics (NDV sketches planners consume)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_DEN = float(16**15)
+
+
+def _kmv_sql(keys_sql: str) -> str:
+    return f"""
+  SELECT CASE WHEN n_seen < {_KMV_K} THEN CAST(n_seen AS DOUBLE)
+              ELSE ({_KMV_K} - 1) / (h_k / {_KMV_DEN!r}) END AS est,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ({keys_sql})) AS exact_d
+  FROM (
+    SELECT v AS h_k, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+           COUNT(*) OVER () AS n_seen
+    FROM (
+      SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+             AS v
+      FROM ({keys_sql})
+    )
+    QUALIFY rn = LEAST({_KMV_K}, n_seen)
+  )
+"""
+
+
+@register(
+    "storage_iceberg_puffin_stats",
+    oracle=f"""
+WITH live AS (
+  SELECT doc_id, lang FROM documents WHERE lang <> 'fr'
+  UNION ALL
+  SELECT doc_id, lang FROM documents WHERE lang = 'fr' AND n_chars >= 600
+),
+c_lang AS ({_kmv_sql("SELECT DISTINCT lang AS k FROM live")}),
+c_doc AS ({_kmv_sql("SELECT DISTINCT doc_id AS k FROM live")})
+SELECT 'doc_id' AS column, exact_d AS exact_distinct,
+       round(est, 4) AS ndv_est, TRUE AS blob_roundtrip FROM c_doc
+UNION ALL
+SELECT 'lang', exact_d, round(est, 4), TRUE FROM c_lang
+""",
+    description="Iceberg TABLE STATISTICS via Puffin: per-column KMV "
+    "bottom-64 sketches land as blobs in a statistics file registered "
+    "in the metadata's statistics list, each carrying the spec's ndv "
+    "blob property — what a planner reads for join sizing without "
+    "touching data. The seedless md5 hash makes the sketch "
+    "deterministic, so the DuckDB oracle recomputes the IDENTICAL "
+    "estimate (hash-match, stronger than an epsilon bound); the "
+    "blob_roundtrip audit certifies the ndv re-derived from the blob "
+    "BYTES equals the registered property. Scale: the sketch is "
+    "bottom-k per column (TakeOrderedAndProject, no full shuffle), "
+    "the file is kilobytes, and republishing is a no-op.",
+    tags=("storage", "agg", "sketch"),
+)
+def storage_iceberg_puffin_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root, _, _ = _iceberg_fixture(spark, sf_dir)
+    live = IC.read_iceberg(spark, root)
+
+    def _h(col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+            ).cast("long")
+        )
+
+    minima: dict[str, list[int]] = {}
+    for col in ("doc_id", "lang"):
+        rows = (
+            live.select(col)
+            .distinct()
+            .select(_h(col).alias("v"))
+            .orderBy("v")
+            .limit(_KMV_K)
+            .collect()
+        )  # bottom-k scalars, bounded by k
+        minima[col] = [r.v for r in rows]
+    IC.publish_puffin_statistics(root, minima, _KMV_K)
+    stats = {s["column"]: s for s in IC.read_table_statistics(root, _KMV_K)}
+
+    exact = live.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("d_doc"),
+        F.countDistinct("lang").cast("bigint").alias("d_lang"),
+    )
+    rows_out = []
+    for col, dcol in (("doc_id", "d_doc"), ("lang", "d_lang")):
+        s = stats[col]
+        roundtrip = int(round(s["ndv_from_blob"])) == s["ndv_property"]
+        rows_out.append((col, dcol, s["ndv_from_blob"], roundtrip))
+    return exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(col).alias("column"),
+                        F.col(dcol).alias("exact_distinct"),
+                        F.round(F.lit(est), 4).alias("ndv_est"),
+                        F.lit(rt).alias("blob_roundtrip"),
+                    )
+                    for col, dcol, est, rt in rows_out
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
