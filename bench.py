@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "pipeline_iceberg_orphan_files",
     "scan_delta_generated_partition",
     "storage_iceberg_puffin_stats",
+    "storage_iceberg_partition_stats",
 ]
 
 

@@ -2301,6 +2301,98 @@ def publish_puffin_statistics(
     return name
 
 
+def publish_partition_statistics(root: str) -> str:
+    """Publish the spec's PARTITION STATISTICS FILE for the current
+    snapshot: one parquet row per partition with data-file and record
+    counts (aggregated from the manifests), registered under
+    ``partition-statistics`` in a new metadata version. Planners read
+    this instead of walking manifests for per-partition sizing.
+    Republishing the same snapshot's stats is a no-op. Metadata-scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = current_metadata(root)
+    _check_format_version(meta, max_supported=3)
+    snap = meta["current-snapshot-id"]
+    name = f"metadata/partition-stats-{snap}.parquet"
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _, manifests = AV.read_container(
+        _resolve(root, snaps[snap]["manifest-list"])
+    )
+    agg: dict[str, list[int]] = {}
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            continue
+        _, entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            d = e["data_file"]
+            part = d.get("partition") or {}
+            key = json.dumps({k: part[k] for k in sorted(part)}, default=str)
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += int(d.get("record_count") or 0)
+            cur[2] += int(d.get("file_size_in_bytes") or 0)
+    rows = sorted(agg.items())
+    table = pa.table(
+        {
+            "partition": [k for k, _ in rows],
+            "data_file_count": [v[0] for _, v in rows],
+            "record_count": [v[1] for _, v in rows],
+            "total_data_file_size_in_bytes": [v[2] for _, v in rows],
+        }
+    )
+    pq.write_table(table, _resolve(root, name))
+    if any(
+        s.get("statistics-path") == name
+        for s in meta.get("partition-statistics", [])
+    ):
+        return name
+    new_meta = dict(meta)
+    new_meta["partition-statistics"] = list(
+        meta.get("partition-statistics", [])
+    ) + [
+        {
+            "snapshot-id": snap,
+            "statistics-path": name,
+            "file-size-in-bytes": os.path.getsize(_resolve(root, name)),
+        }
+    ]
+    version = 1 + max(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(os.path.join(root, "metadata"))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    with open(
+        os.path.join(root, "metadata", f"v{version}.metadata.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(new_meta, fh)
+    return name
+
+
+def read_partition_statistics(spark: SparkSession, root: str) -> DataFrame:
+    """The registered partition-statistics file(s) as a DataFrame,
+    tagged with their snapshot id."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(root)
+    entries = meta.get("partition-statistics", [])
+    if not entries:
+        raise ValueError(f"no partition statistics registered at {root}")
+    parts = [
+        spark.read.parquet(_resolve(root, s["statistics-path"])).select(
+            "*", F.lit(s["snapshot-id"]).cast("long").alias("snapshot_id")
+        )
+        for s in entries
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def read_table_statistics(root: str, k: int) -> list[dict]:
     """Read back the registered statistics files: per column, the ndv
     PROPERTY (what a planner consumes) and the estimate RE-DERIVED

@@ -1336,3 +1336,41 @@ def storage_iceberg_puffin_stats(
             )
         ).alias("s")
     ).select("s.*")
+
+
+@register(
+    "storage_iceberg_partition_stats",
+    oracle="""
+WITH langs AS (SELECT DISTINCT lang FROM documents),
+live AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'fr'
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE lang = 'fr' AND n_chars >= 600
+),
+cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM live GROUP BY lang)
+SELECT '{"lang": "' || l.lang || '"}' AS partition,
+       CAST(1 AS BIGINT) AS data_file_count,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS record_count
+FROM langs l LEFT JOIN cnt ON l.lang = cnt.lang
+""",
+    description="Iceberg PARTITION STATISTICS file (the spec's "
+    "partition-statistics metadata list): per-partition data-file and "
+    "record counts aggregate from the manifests into one parquet "
+    "row per partition, registered in a new metadata version — what "
+    "planners read for per-partition sizing without walking manifests. "
+    "The fixture's manifest-recorded record counts are REAL, so every "
+    "partition's row replays from the documents table (fr reflects the "
+    "quality rewrite). Republishing the same snapshot is a no-op. "
+    "Scale: the file is one row per partition, kilobytes at any table "
+    "size.",
+    tags=("storage", "scan"),
+)
+def storage_iceberg_partition_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root, _, _ = _iceberg_fixture(spark, sf_dir)
+    IC.publish_partition_statistics(root)
+    return IC.read_partition_statistics(spark, root).select(
+        "partition", "data_file_count", "record_count"
+    )
