@@ -91,6 +91,20 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
     columnMapping) pass; anything else raises with the feature named."""
     if protocol is None:
         return
+    # liquid clustering (clusteredTable writer feature /
+    # clusteringProvider table property) raises BY NAME regardless of
+    # reader version: this module's maintenance paths (compact, ZORDER
+    # optimize) are not clustering-aware, and proceeding would silently
+    # ignore — or destroy on rewrite — the table's clustering contract.
+    cfg = ((metadata or {}).get("configuration") or {})
+    wfeats = set(protocol.get("writerFeatures") or [])
+    if "clusteringProvider" in cfg or "clusteredTable" in wfeats:
+        raise ValueError(
+            "unsupported Delta feature clusteredTable/clusteringProvider "
+            "(liquid clustering) — this engine's clustering path is "
+            "ZORDER OPTIMIZE (optimize_zorder); refusing rather than "
+            "reading without clustering awareness"
+        )
     mrv = protocol.get("minReaderVersion", 1)
     if mrv <= 1:
         return
@@ -1646,19 +1660,31 @@ def read_delta_partition_pruned(
     """Partition-pruned snapshot read: add actions whose
     ``partitionValues`` miss the filter are dropped from the scan
     WITHOUT touching their files — pure log metadata, the Delta twin of
-    Iceberg's manifest-entry partition pruning. The kept files read as
-    ONE distributed scan with ``basePath`` partition discovery, so the
-    hive-layout partition column reconstitutes natively. Returns
-    (df, n_files_scanned, n_files_total)."""
+    Iceberg's manifest-entry partition pruning, under the same
+    conservative rule: a file whose partitionValues carry NO value for
+    a filtered column is KEPT (pruning only ever acts on a recorded
+    non-matching value — never drop data you can't judge). The kept
+    files read as ONE distributed scan with ``basePath`` partition
+    discovery, so the hive-layout partition column reconstitutes
+    natively. Returns (df, n_files_scanned, n_files_total)."""
     adds, protocol, metadata = _replay(root, version)
     _check_protocol(protocol, metadata)
     keep: list[str] = []
     for p in sorted(adds):
         pv = adds[p].get("partitionValues") or {}
-        if partition_filter and any(
-            pv.get(k) not in {str(v) for v in allowed}
-            for k, allowed in partition_filter.items()
-        ):
+        pruned = False
+        for k, allowed in partition_filter.items() if partition_filter else ():
+            if k not in pv:
+                # no recorded value for this column — pruning must never
+                # drop data it can't judge (the Iceberg path's rule):
+                # keep the file and let the scan filter decide
+                continue
+            if pv[k] not in {
+                None if v is None else str(v) for v in allowed
+            }:
+                pruned = True
+                break
+        if pruned:
             continue
         keep.append(os.path.join(root, p))
     if not keep:

@@ -49,6 +49,37 @@ def current_metadata(root: str) -> dict:
         return json.load(fh)
 
 
+def _write_metadata_exclusive(root: str, new_meta: dict) -> int:
+    """Publish ``new_meta`` as the NEXT ``vN.metadata.json`` with
+    EXCLUSIVE create (mode 'x'), retrying at the next number on
+    FileExistsError — two concurrent publishers can race on the same N
+    but never silently clobber each other's commit (the Delta twin's
+    ``_commit`` exclusive-create discipline; every metadata publisher
+    in this module routes through here). Returns the version written."""
+    mdir = os.path.join(root, "metadata")
+    while True:
+        version = 1 + max(
+            (
+                int(n[1 : -len(".metadata.json")])
+                for n in os.listdir(mdir)
+                if n.startswith("v")
+                and n.endswith(".metadata.json")
+                and n[1 : -len(".metadata.json")].isdigit()
+            ),
+            default=0,
+        )
+        try:
+            with open(
+                os.path.join(mdir, f"v{version}.metadata.json"),
+                "x",
+                encoding="utf-8",
+            ) as fh:
+                json.dump(new_meta, fh)
+        except FileExistsError:
+            continue
+        return version
+
+
 def _check_format_version(meta: dict, max_supported: int = 2) -> None:
     """Gate foreign metadata by ``format-version`` NAME, mirroring the
     Delta reader's readerFeatures discipline: an Iceberg v3 table
@@ -1088,16 +1119,11 @@ def export_merge_to_iceberg(
             updates, allowMissingColumns=True
         )
         snap_id = meta["current-snapshot-id"] + 1
-        version = 1 + max(
-            int(n[1 : -len(".metadata.json")])
-            for n in os.listdir(os.path.join(root, "metadata"))
-            if n.startswith("v") and n.endswith(".metadata.json")
-        )
         snapshots = list(meta["snapshots"])
     else:
         prev_files = []
         merged = updates
-        snap_id, version, snapshots = 1001, 1, []
+        snap_id, snapshots = 1001, []
     schema = _export_schema(merged, meta)
     # stamp field ids into the parquet footers so readers resolve by id;
     # the enabling conf is session-global, so save/restore it around the
@@ -1192,12 +1218,7 @@ def export_merge_to_iceberg(
         "schemas": prev_schemas,
         "snapshots": snapshots,
     }
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return snap_id
 
 
@@ -1212,18 +1233,7 @@ def rollback_to_snapshot(root: str, snapshot_id: int) -> int:
         raise ValueError(f"snapshot {snapshot_id} not in history")
     new_meta = dict(meta)
     new_meta["current-snapshot-id"] = snapshot_id
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
-    return version
+    return _write_metadata_exclusive(root, new_meta)
 
 
 def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
@@ -1288,17 +1298,7 @@ def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
                 deleted.append(rel)
     new_meta = dict(meta)
     new_meta["snapshots"] = retained
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return sorted(deleted)
 
 
@@ -1766,11 +1766,6 @@ def append_data_file(
         _MANIFEST_LIST_SCHEMA_V2,
         mlist_entries,
     )
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
     new_meta = dict(meta)
     new_meta["current-snapshot-id"] = snap_id
     new_meta["snapshots"] = list(meta["snapshots"]) + [
@@ -1784,12 +1779,7 @@ def append_data_file(
             },
         }
     ]
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return snap_id
 
 
@@ -1897,12 +1887,6 @@ def append_batch_to_iceberg(
         _MANIFEST_LIST_SCHEMA_V2,
         mlist_entries,
     )
-    existing_versions = [
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(meta_dir)
-        if n.startswith("v") and n.endswith(".metadata.json")
-    ]
-    version = 1 + max(existing_versions, default=0)
     new_meta = dict(meta)
     new_meta["current-snapshot-id"] = snap_id
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [
@@ -1918,12 +1902,7 @@ def append_batch_to_iceberg(
             },
         }
     ]
-    with open(
-        os.path.join(meta_dir, f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return True
 
 
@@ -1998,11 +1977,6 @@ def append_equality_delete(
         _MANIFEST_LIST_SCHEMA_V2,
         mlist_entries,
     )
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
     new_meta = dict(meta)
     new_meta["current-snapshot-id"] = snap_id
     new_meta["snapshots"] = list(meta["snapshots"]) + [
@@ -2012,12 +1986,7 @@ def append_equality_delete(
             "summary": {"operation": "delete"},
         }
     ]
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return snap_id
 
 
@@ -2134,11 +2103,6 @@ def append_positional_delete(
         _MANIFEST_LIST_SCHEMA_V2,
         mlist_entries,
     )
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
     new_meta = dict(meta)
     new_meta["current-snapshot-id"] = snap_id
     new_meta["snapshots"] = list(meta["snapshots"]) + [
@@ -2148,12 +2112,7 @@ def append_positional_delete(
             "summary": {"operation": "delete"},
         }
     ]
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return snap_id, n_del
 
 
@@ -2260,7 +2219,11 @@ def publish_puffin_statistics(
     name = f"metadata/stats-{snap}.puffin"
     blobs = []
     for col, vals in sorted(minima.items()):
-        vals = sorted(int(v) for v in vals)
+        # KMV contract: the estimator is valid only on the k SMALLEST
+        # hashes — truncate a longer input instead of silently deflating
+        # the NDV ((k-1)/kth-min grows as extra larger hashes push
+        # vals[-1] up).
+        vals = sorted(int(v) for v in vals)[:k]
         data = b"".join(v.to_bytes(8, "big") for v in vals)
         n = len(vals)
         est = float(n) if n < k else (k - 1) / (vals[-1] / _KMV_DEN)
@@ -2287,17 +2250,7 @@ def publish_puffin_statistics(
             "blob-metadata": descs,
         }
     ]
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return name
 
 
@@ -2359,17 +2312,7 @@ def publish_partition_statistics(root: str) -> str:
             "file-size-in-bytes": os.path.getsize(_resolve(root, name)),
         }
     ]
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return name
 
 
@@ -2407,13 +2350,13 @@ def read_table_statistics(root: str, k: int) -> list[dict]:
             raw = fh.read()
         for b in foot["blobs"]:
             data = raw[b["offset"] : b["offset"] + b["length"]]
-            vals = [
+            vals = sorted(
                 int.from_bytes(data[i : i + 8], "big")
                 for i in range(0, len(data), 8)
-            ]
+            )[:k]  # same k-smallest truncation as the publisher
             n = len(vals)
             est = (
-                float(n) if n < k else (k - 1) / (max(vals) / _KMV_DEN)
+                float(n) if n < k else (k - 1) / (vals[-1] / _KMV_DEN)
             )
             out.append(
                 {
@@ -2873,11 +2816,6 @@ def append_dv_delete(
         _MANIFEST_LIST_SCHEMA_V2,
         mlist_entries,
     )
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
     new_meta = dict(meta)
     new_meta["format-version"] = 3
     new_meta["current-snapshot-id"] = snap_id
@@ -2888,12 +2826,7 @@ def append_dv_delete(
             "summary": {"operation": "delete"},
         }
     ]
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return snap_id, n_del
 
 
@@ -3362,12 +3295,21 @@ def remove_orphan_files(root: str) -> list[str]:
     compactions). Reachability = every snapshot's manifest list, its
     manifests, every entry's data/delete file (regardless of entry
     status — DELETED entries still reference history), plus the
-    metadata.json versions themselves. Returns the deleted
-    table-relative paths. Never touches live or historical state —
-    expire_snapshots is the command that shrinks history."""
+    metadata.json versions themselves, and every file registered under
+    the metadata's ``statistics`` / ``partition-statistics`` lists
+    (Puffin NDV blobs, partition-stats parquet — registered state, not
+    orphans). Returns the deleted table-relative paths. Never touches
+    live or historical state — expire_snapshots is the command that
+    shrinks history."""
     meta = current_metadata(root)
     _check_format_version(meta, max_supported=3)
     keep: set[str] = set()
+    for entry in meta.get("statistics", []) + meta.get(
+        "partition-statistics", []
+    ):
+        p = entry.get("statistics-path")
+        if p:
+            keep.add(os.path.normpath(p))
     for s in meta.get("snapshots", []):
         mlist = s["manifest-list"]
         keep.add(os.path.normpath(mlist))
@@ -3400,13 +3342,17 @@ def remove_orphan_files(root: str) -> list[str]:
 def rewrite_data_files(
     spark: SparkSession, root: str, sort_by: str | None = None
 ) -> tuple[int, int, int]:
-    """Iceberg ``rewriteDataFiles`` (bin-pack compaction): read the
-    current snapshot's live data files, rewrite them as ONE file
-    (optionally sorted on ``sort_by`` for clustering), and commit a
+    """Iceberg ``rewriteDataFiles`` (bin-pack compaction): rewrite the
+    current snapshot's live data files as ONE file PER PARTITION
+    (optionally sorted on ``sort_by`` for clustering) and commit a
     REPLACE snapshot — a manifest marking every old file DELETED plus
-    one ADDED entry, previous history retained for time travel. Pure
-    metadata beyond the one data rewrite pass; the spec's maintenance
-    command for the small-files problem. Returns
+    the ADDED entries, previous history retained for time travel.
+    Compaction groups by each entry's RECORDED partition record and the
+    new entries carry those same real partition values, so partition
+    pruning stays valid after compaction (an all-NULL partition record
+    would otherwise be silently pruned by every partition filter).
+    Pure metadata beyond the per-partition data rewrite passes; the
+    spec's maintenance command for the small-files problem. Returns
     (snapshot_id, n_files_before, n_files_after)."""
     from news_ingestion_data_pipeline_spark.operators.deltalog import (
         _write_single_parquet,
@@ -3430,25 +3376,32 @@ def rewrite_data_files(
             "resurrect deleted rows — resolve through "
             "read_iceberg_resolved and rewrite deletes first"
         )
-    files, _ = snapshot_files(root)
-    n_before = len(files)
-    df = read_iceberg(spark, root)
-    if sort_by is not None:
-        df = df.sort(sort_by)
+    # group live entries by their RECORDED partition record — the new
+    # compacted files must carry real partition values, not NULLs
+    groups: dict[tuple, dict] = {}
+    old: list[tuple[str, dict]] = []
+    for m in cur_manifests:
+        _, m_entries = AV.read_container(_resolve(root, m["manifest_path"]))
+        for e in m_entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            part = dict(e["data_file"].get("partition") or {})
+            key = tuple(sorted(part.items()))
+            g = groups.setdefault(key, {"partition": part, "files": []})
+            g["files"].append(e["data_file"]["file_path"])
+            old.append((e["data_file"]["file_path"], part))
+    n_before = len(old)
     prev = meta["current-snapshot-id"]
     snap_id = prev + 1
-    name = f"data/compact-{snap_id}.parquet"
-    _write_single_parquet(df, root, name)
-    n_rows = df.count()
 
-    def _entry(status: int, snap: int, path: str, n: int) -> dict:
+    def _entry(status: int, snap: int, path: str, n: int, part: dict) -> dict:
         return {
             "status": status,
             "snapshot_id": snap,
             "data_file": {
                 "file_path": path,
                 "file_format": "PARQUET",
-                "partition": {"lang": None},
+                "partition": {"lang": part.get("lang")},
                 "record_count": n,
                 "file_size_in_bytes": os.path.getsize(
                     os.path.join(root, path)
@@ -3456,9 +3409,24 @@ def rewrite_data_files(
             },
         }
 
-    entries = [
-        _entry(2, snap_id, os.path.relpath(f, root), 0) for f in files
-    ] + [_entry(1, snap_id, name, n_rows)]
+    entries = [_entry(2, snap_id, p, 0, part) for p, part in old]
+    for key, g in sorted(groups.items()):
+        pf = {k: {v} for k, v in g["partition"].items()}
+        df = read_iceberg(spark, root, partition_filter=pf or None)
+        if sort_by is not None:
+            df = df.sort(sort_by)
+        suffix = (
+            "-".join(
+                "null" if v is None else "".join(
+                    ch if ch.isalnum() else "_" for ch in str(v)
+                )
+                for _k, v in key
+            )
+            or "all"
+        )
+        name = f"data/compact-{snap_id}-{suffix}.parquet"
+        _write_single_parquet(df, root, name)
+        entries.append(_entry(1, snap_id, name, df.count(), g["partition"]))
     m_name = f"m-compact-{snap_id}.avro"
     AV.write_container(
         os.path.join(root, "metadata", m_name), _MANIFEST_SCHEMA, entries
@@ -3478,11 +3446,6 @@ def rewrite_data_files(
             }
         ],
     )
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
     new_meta = dict(meta)
     new_meta["current-snapshot-id"] = snap_id
     new_meta["snapshots"] = list(meta["snapshots"]) + [
@@ -3492,13 +3455,8 @@ def rewrite_data_files(
             "summary": {"operation": "replace"},
         }
     ]
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
-    return snap_id, n_before, 1
+    _write_metadata_exclusive(root, new_meta)
+    return snap_id, n_before, len(groups)
 
 
 def publish_iceberg_metadata_for_delta(root: str) -> int:
@@ -3693,18 +3651,7 @@ def set_ref(
     refs = dict(new_meta.get("refs") or {})
     refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
     new_meta["refs"] = refs
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
-    return version
+    return _write_metadata_exclusive(root, new_meta)
 
 
 def resolve_ref(root: str, name: str) -> int:
@@ -3851,11 +3798,6 @@ def rewrite_position_deletes_to_dvs(
         _MANIFEST_LIST_SCHEMA_V2,
         mlist_entries,
     )
-    version = 1 + max(
-        int(n[1 : -len(".metadata.json")])
-        for n in os.listdir(os.path.join(root, "metadata"))
-        if n.startswith("v") and n.endswith(".metadata.json")
-    )
     new_meta = dict(meta)
     new_meta["format-version"] = 3
     new_meta["current-snapshot-id"] = snap_id
@@ -3866,10 +3808,5 @@ def rewrite_position_deletes_to_dvs(
             "summary": {"operation": "replace"},
         }
     ]
-    with open(
-        os.path.join(root, "metadata", f"v{version}.metadata.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(new_meta, fh)
+    _write_metadata_exclusive(root, new_meta)
     return snap_id, len(positions), n_pos

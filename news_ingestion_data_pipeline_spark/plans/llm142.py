@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.llm13 import EDGES_SQL
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
@@ -78,8 +79,10 @@ FROM s
     "normal-approximation z uses the closed-form null moments. The "
     "paired continuous test MWU (unpaired) and McNemar (paired binary) "
     "don't cover. Per-customer means divide exact decimal sums once; "
-    "the rank stage is one global sort — at scale the two-pass "
-    "range-partitioned rank (operators/ranking.py) swaps in unchanged.",
+    "the rank stage is the distributed tie-averaged rank MAP "
+    "(operators/ranking.py: |d|-range buckets + broadcast prefix "
+    "offsets) folded against the per-|d| sign counts — ranks never "
+    "materialize per row and nothing single-partition-sorts.",
     tags=("agg", "stats"),
 )
 def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,23 +109,20 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d")
     )
     nz = diffs.filter(F.col("d") != 0).select("d", F.abs("d").alias("ad"))
-    ranked = nz.select(
-        "d",
-        F.rank().over(Window.orderBy("ad")).alias("rfirst"),
-        F.count(F.lit(1)).over(Window.partitionBy("ad")).alias("nties"),
+    env = nz.agg(F.min("ad").alias("alo"), F.max("ad").alias("ahi"))
+    rmap = RK.distributed_avg_rank(
+        nz.crossJoin(F.broadcast(env)),
+        "ad",
+        RK.range_bucket(F.col("ad"), F.col("alo"), F.col("ahi")),
+        out="r",
     )
-    avgr = ranked.select(
-        "d",
-        (F.col("rfirst") + (F.col("nties") - 1) / 2.0)
-        .cast("decimal(18,1)")
-        .alias("r"),
+    h = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.count(F.when(F.col("d") > 0, 1)).alias("c_pos"),
     )
-    zero = F.lit(0).cast("decimal(18,1)")
-    s = avgr.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(zero))
-        .cast("double")
-        .alias("w_plus"),
+    s = h.join(rmap, "ad").agg(
+        F.coalesce(F.sum("c_all"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("c_pos") * F.col("r")).cast("double").alias("w_plus"),
     )
     n = F.col("n_pairs")
     return s.select(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 
@@ -148,9 +149,10 @@ ORDER BY dec_early, dec_late
     "helper unit tests), restricted to customers active in BOTH eras. "
     "The resulting decile-to-decile counts are the upgrade/churn-risk "
     "matrix every customer-value dashboard draws. Exact decimal spend "
-    "sums; the two NTILEs share one pass over the customer aggregate. "
-    "At 100 TB the global NTILE swaps for the two-pass range-"
-    "partitioned rank (operators/ranking.py) unchanged.",
+    "sums; the two NTILEs share one pass over the customer aggregate "
+    "and run as the two-pass range-partitioned rank (operators/"
+    "ranking.py: spend-range buckets from one broadcast envelope, "
+    "ntile_from_rank arithmetic) — no single-partition sort at any SF.",
     tags=("customer", "window", "agg"),
 )
 def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,13 +172,31 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_early").isNotNull() & F.col("s_late").isNotNull()
         )
     )
-    deciled = spend.select(
-        F.ntile(10).over(Window.orderBy("s_early", "o_custkey")).alias(
-            "dec_early"
+    env = spend.agg(
+        F.min("s_early").alias("elo"),
+        F.max("s_early").alias("ehi"),
+        F.min("s_late").alias("llo"),
+        F.max("s_late").alias("lhi"),
+        F.count(F.lit(1)).alias("n_both"),
+    )
+    ranked = RK.distributed_row_number(
+        RK.distributed_row_number(
+            spend.crossJoin(F.broadcast(env)),
+            ["s_early", "o_custkey"],
+            RK.range_bucket(F.col("s_early"), F.col("elo"), F.col("ehi")),
+            out="rn_early",
         ),
-        F.ntile(10).over(Window.orderBy("s_late", "o_custkey")).alias(
-            "dec_late"
-        ),
+        ["s_late", "o_custkey"],
+        RK.range_bucket(F.col("s_late"), F.col("llo"), F.col("lhi")),
+        out="rn_late",
+    )
+    deciled = ranked.select(
+        RK.ntile_from_rank(
+            F.col("rn_early"), F.col("n_both"), 10
+        ).alias("dec_early"),
+        RK.ntile_from_rank(
+            F.col("rn_late"), F.col("n_both"), 10
+        ).alias("dec_late"),
     )
     return (
         deciled.groupBy("dec_early", "dec_late")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 
@@ -75,9 +76,11 @@ FROM h
     "decimals, H = 12/(N(N+1))·Σ R²/n − 3(N+1) over the standard tie "
     "correction 1 − Σ(t³−t)/(N³−N) — the k-sample 'same location?' "
     "test the MWU/ANOVA pair can't give you when groups exceed two and "
-    "normality is off the table. The rank stage is one global sort "
-    "(range-partitionable by the proven two-pass rank at scale); "
-    "everything after is a 5-row reduce.",
+    "normality is off the table. The rank stage is the distributed "
+    "tie-averaged rank MAP over distinct values (operators/ranking.py: "
+    "value-range buckets + broadcast prefix offsets — no row-domain "
+    "sort), folded against the (group, value) histogram so ranks never "
+    "materialize per row; everything after is a 5-row reduce.",
     tags=("agg", "stats"),
 )
 def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,21 +88,21 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("g"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     )
-    ranked = vals.select(
-        "g",
+    env = vals.agg(F.min("v").alias("vlo"), F.max("v").alias("vhi"))
+    rmap = RK.distributed_avg_rank(
+        vals.crossJoin(F.broadcast(env)),
         "v",
-        F.rank().over(Window.orderBy("v")).alias("rfirst"),
-        F.count(F.lit(1)).over(Window.partitionBy("v")).alias("nties"),
+        RK.range_bucket(F.col("v"), F.col("vlo"), F.col("vhi")),
+        out="r",
     )
-    avgr = ranked.select(
-        "g",
-        "v",
-        (F.col("rfirst") + (F.col("nties") - 1) / 2.0)
-        .cast("decimal(18,1)")
-        .alias("r"),
-    )
-    groups = avgr.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n_j"), F.sum("r").alias("r_j")
+    h_gv = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c_gv"))
+    groups = (
+        h_gv.join(rmap, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c_gv").alias("n_j"),
+            F.sum(F.col("c_gv") * F.col("r")).alias("r_j"),
+        )
     )
     ties = (
         vals.groupBy("v")

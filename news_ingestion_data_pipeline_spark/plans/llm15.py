@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.functions import text as TX
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 
@@ -46,9 +47,10 @@ FROM s
     "Customers with no orders enter at zero via the left join (the "
     "error everyone makes is dropping them and understating "
     "inequality). The rank product accumulates as exact DECIMAL so the "
-    "rank-weighted sum is partition-order-proof; the global sort is one "
-    "window (at 100 TB: two-pass range-partition rank, same shape as "
-    "agg_percentile_ranks' histogram rewrite).",
+    "rank-weighted sum is partition-order-proof; the global rank is the "
+    "two-pass range-partitioned form (operators/ranking.py: spend-range "
+    "buckets from a broadcast envelope, per-bucket local rank + prefix "
+    "offsets — no single-partition sort at any SF).",
     tags=("agg", "stats", "customer"),
 )
 def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,10 +71,13 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    ranked = spend.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "c_custkey")).alias("i"),
-    )
+    env = spend.agg(F.min("x").alias("xlo"), F.max("x").alias("xhi"))
+    ranked = RK.distributed_row_number(
+        spend.crossJoin(F.broadcast(env)),
+        ["x", "c_custkey"],
+        RK.range_bucket(F.col("x"), F.col("xlo"), F.col("xhi")),
+        out="i",
+    ).select("x", "i")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sum_x"),

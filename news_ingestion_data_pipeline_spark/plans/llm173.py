@@ -799,18 +799,20 @@ a1 AS ({_AGG_SQL.format(extra="'pre' AS phase,", extra_grp="1,", src="live")}),
 a2 AS ({_AGG_SQL.format(extra="'post' AS phase,", extra_grp="1,", src="live")})
 SELECT a1.*, (SELECT k FROM nl) AS n_files FROM a1
 UNION ALL
-SELECT a2.*, 1 AS n_files FROM a2
+SELECT a2.*, (SELECT k FROM nl) AS n_files FROM a2
 """,
     description="Iceberg rewriteDataFiles (bin-pack COMPACTION): the "
-    "lang-partitioned fixture's live files rewrite into ONE file via a "
-    "REPLACE snapshot — a manifest marking every old entry DELETED "
-    "plus one ADDED entry, history retained. Pre- and post-compaction "
-    "reads of the SAME directory must aggregate identically (per-lang "
-    "counts, char sums, order-pinned content checksums), with the live "
-    "file count as the audit column — compaction reorganizes bytes, "
-    "never rows. The Iceberg twin of Delta OPTIMIZE. Scale: the "
-    "commit is one manifest + manifest list; the data pass is the "
-    "one rewrite every maintenance window pays.",
+    "lang-partitioned fixture's live files rewrite into ONE file PER "
+    "PARTITION via a REPLACE snapshot — a manifest marking every old "
+    "entry DELETED plus the ADDED entries, each carrying its REAL "
+    "recorded partition value so partition pruning stays valid after "
+    "compaction; history retained. Pre- and post-compaction reads of "
+    "the SAME directory must aggregate identically (per-lang counts, "
+    "char sums, order-pinned content checksums), with the live file "
+    "count as the audit column — compaction reorganizes bytes, never "
+    "rows. The Iceberg twin of Delta OPTIMIZE. Scale: the commit is "
+    "one manifest + manifest list; the data pass is the per-partition "
+    "rewrite every maintenance window pays.",
     tags=("pipeline", "storage", "scan"),
 )
 def pipeline_iceberg_rewrite_files(

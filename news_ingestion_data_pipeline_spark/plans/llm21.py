@@ -35,26 +35,49 @@ ORDER BY p_size, p_retailprice, p_partkey
     "preceding part's best price in (size, price, key) order, which for "
     "ties-included dominance (<=, <=, one strict) reduces to comparing "
     "against the prefix minimum EXCLUDING the current row (exact (size, price) duplicates resolve to the first in key order — the distinct-value skyline convention, mirrored in the oracle). O(n log n), "
-    "and at 100 TB the sort is a range-partitioned exchange — the same "
-    "two-pass shape as the engine's other order-statistics rewrites. "
+    "decomposed for scale: the prefix min splits into the broadcast "
+    "per-size minimum of all strictly-smaller sizes (≤50-row bounded "
+    "domain) plus an in-size running min PARTITIONED by p_size — no "
+    "single-partition window at any SF. "
     "Output is integer/2-dp-exact, no epsilon surface.",
     tags=("agg", "skyline", "part"),
 )
 def part_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.orderBy("p_size", "p_retailprice", "p_partkey")
+    # Two-level running min, never a single-partition window: the prefix
+    # min over (size, price, key) order splits into (a) the min price of
+    # all strictly-SMALLER sizes — a per-size hash aggregate (≤50 rows,
+    # the bounded p_size domain) plus one histogram-scale cumulative
+    # window — and (b) the in-size running min, a window PARTITIONED by
+    # p_size. greatest/least null semantics match the empty-prefix NULL.
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    per_size = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("__size_min")
+    )
+    w_sizes = Window.orderBy("p_size").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    below = per_size.select(
+        "p_size", F.min("__size_min").over(w_sizes).alias("best_below")
+    )
+    w_in = (
+        Window.partitionBy("p_size")
+        .orderBy("p_retailprice", "p_partkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = t(spark, sf_dir, "part").select(
+    ranked = part.join(F.broadcast(below), "p_size").select(
         "p_partkey",
         "p_size",
         "p_retailprice",
-        F.min("p_retailprice").over(w).alias("best_price_smaller"),
+        F.least(
+            F.col("best_below"), F.min("p_retailprice").over(w_in)
+        ).alias("__bps"),
     )
     return (
         ranked.filter(
-            F.col("best_price_smaller").isNull()
-            | (F.col("p_retailprice") < F.col("best_price_smaller"))
+            F.col("__bps").isNull()
+            | (F.col("p_retailprice") < F.col("__bps"))
         )
         .select("p_partkey", "p_size", "p_retailprice")
         .orderBy("p_size", "p_retailprice", "p_partkey")

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 
@@ -55,10 +56,12 @@ ORDER BY doc_id
     "source has the same marginal distribution, so a length-based "
     "quality threshold cuts each source at equivalent quantiles instead "
     "of penalizing verbose sources. Shape: one partitioned window per "
-    "source, one global rank (at 100 TB: the same two-pass histogram "
-    "rank used by agg_percentile_ranks), two equi-joins against the "
-    "order-statistic table. All arithmetic is IEEE-identical double ops "
-    "on exact integer inputs — no order-dependent accumulation.",
+    "source, one two-pass range-partitioned global rank (operators/"
+    "ranking.py — n_chars-range buckets, per-bucket local rank + "
+    "broadcast prefix offsets, no single-partition sort), two equi-"
+    "joins against the order-statistic table. All arithmetic is IEEE-"
+    "identical double ops on exact integer inputs — no order-dependent "
+    "accumulation.",
     tags=("curation", "stats", "llm"),
 )
 def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,10 +74,13 @@ def curation_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
         .alias("p"),
     )
-    g = d.select(
-        F.col("n_chars").alias("gv"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("j"),
-    )
+    genv = d.agg(F.min("n_chars").alias("clo"), F.max("n_chars").alias("chi"))
+    g = RK.distributed_row_number(
+        d.crossJoin(F.broadcast(genv)),
+        ["n_chars", "doc_id"],
+        RK.range_bucket(F.col("n_chars"), F.col("clo"), F.col("chi")),
+        out="j",
+    ).select(F.col("n_chars").alias("gv"), "j")
     n = d.agg(F.count(F.lit(1)).alias("n"))
     pos = F.col("p") * (F.col("n") - 1) + 1
     interp = (

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import REGISTRY, register, t
 
 # ---------------------------------------------------------------------------
@@ -171,11 +172,11 @@ FROM best WHERE rn = 1
     "floating-point tie hazard) and only the final two divisions are "
     "IEEE. The nonparametric drift detector that, unlike PSI "
     "(events_psi_drift), needs no binning choice. Shape: per-value "
-    "counts are one partial-agg shuffle; the ECDF prefix sum is the one "
-    "order-dependent stage — at 100 TB it becomes the standard two-pass "
-    "range-partitioned prefix sum (per-partition totals broadcast as "
-    "offsets), the same scale path documented for the engine's other "
-    "global-cumulative ops; the small-SF form keeps the single sort. "
+    "counts are one partial-agg shuffle; the ECDF prefix sum runs as "
+    "the two-pass range-partitioned prefix sum (operators/ranking.py: "
+    "value-range buckets, per-bucket totals broadcast as offsets) and "
+    "the argmax is a global top-1 — TakeOrderedAndProject, never a "
+    "rank window; no single-partition stage at any SF. "
     "Kolmogorov critical value at α=0.05 (c=1.358) reported alongside.",
     tags=("agg", "stats", "monitoring"),
 )
@@ -191,21 +192,24 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("in_a"), 1)).alias("c1"),
         F.count(F.when(~F.col("in_a"), 1)).alias("c2"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per_value.select(
-        "value",
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c2").over(w).alias("cum2"),
-    )
+    venv = per_value.agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
+    cum = RK.distributed_prefix_sum(
+        per_value.crossJoin(F.broadcast(venv)),
+        ["value"],
+        RK.range_bucket(F.col("value"), F.col("vlo"), F.col("vhi")),
+        ["c1", "c2"],
+        inclusive=True,
+        prefix="cum",
+    ).select("value", F.coalesce("cumc1", F.lit(0)).alias("cum1"),
+             F.coalesce("cumc2", F.lit(0)).alias("cum2"))
     gaps = cum.crossJoin(F.broadcast(n)).select(
         "value",
         F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("num"),
         "n1",
         "n2",
     )
-    best = gaps.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.col("num").desc(), F.col("value")))
-    ).filter(F.col("rn") == 1)
+    # argmax = global top-1: TakeOrderedAndProject, never a rank window
+    best = gaps.orderBy(F.col("num").desc(), F.col("value")).limit(1)
     ks = F.col("num").cast("double") / (F.col("n1").cast("double") * F.col("n2"))
     crit = F.lit(1.358) * F.sqrt(
         (F.col("n1") + F.col("n2").cast("double"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _MT_TAU = 0.7
@@ -132,8 +133,9 @@ FROM ranked
     "different product decisions. Per-user firsts are one min-aggregate "
     "(conditional MIN, no per-user sort); the percentile rank runs over "
     "the USER domain (already thousands of times smaller than events) — "
-    "at 100 TB swap the single rank for the engine's two-pass histogram "
-    "rank (agg_percentile_ranks' rewrite), same oracle. All latencies "
+    "the rank runs as the two-pass range-partitioned form (operators/"
+    "ranking.py: latency-range buckets from a broadcast envelope — no "
+    "single-partition sort at any SF), same oracle. All latencies "
     "integer microseconds until the final /60 projections.",
     tags=("events", "funnel", "stats"),
 )
@@ -161,14 +163,17 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("first_view").cast("timestamp"))
         ).alias("sec"),
     )
-    ranked = conv.select(
-        "user_id",
-        "sec",
-        F.row_number().over(Window.orderBy("sec", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+    stats = conv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("sec").alias("slo"),
+        F.max("sec").alias("shi"),
     )
+    ranked = RK.distributed_row_number(
+        conv.crossJoin(F.broadcast(stats)),
+        ["sec", "user_id"],
+        RK.range_bucket(F.col("sec"), F.col("slo"), F.col("shi")),
+        out="rn",
+    ).select("sec", "rn", "n")
     median = F.min(
         F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("sec"))
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _EA_BUDGET = 10_000  # documents per epoch
@@ -202,28 +203,31 @@ def agg_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when((F.col("arm") == 0) & (F.col("conv") == 1), 1)).alias("c"),
         F.count(F.when((F.col("arm") == 0) & (F.col("conv") == 0), 1)).alias("d"),
     ).localCheckpoint()
-    n_total = cell.select(
-        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n")
+    # The log-factorial ladder generates 0..n DISTRIBUTED (spark.range,
+    # never a single-row sequence-explode) and takes its exact decimal
+    # prefix sum via the two-pass bucketed form (operators/ranking.py) —
+    # the only driver-side value is the 4-cell total, a 1-row scalar
+    # read off the already-materialized localCheckpoint.
+    n_val = int(
+        cell.select(
+            (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n")
+        ).first()["n"]
     )
+    rng = spark.range(0, n_val + 1, 1, 32).select(F.col("id").alias("i"))
     lf = (
-        n_total.select(F.explode(F.sequence(F.lit(0), F.col("n"))).alias("i"))
-        .withColumn(
-            "lterm",
-            F.round(F.log(F.greatest(F.col("i"), F.lit(1)).cast("double")), 9).cast(
-                "decimal(18,9)"
+        RK.distributed_prefix_sum(
+            rng.withColumn(
+                "lterm",
+                F.round(
+                    F.log(F.greatest(F.col("i"), F.lit(1)).cast("double")), 9
+                ).cast("decimal(18,9)"),
             ),
+            ["i"],
+            F.floor(F.col("i") * 256 / F.lit(n_val + 1)),
+            ["lterm"],
+            inclusive=True,
         )
-        .withColumn(
-            "lf",
-            F.sum("lterm")
-            .over(
-                Window.orderBy("i").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            .cast("double"),
-        )
-        .select("i", "lf")
+        .select("i", F.col("cum_lterm").cast("double").alias("lf"))
         .localCheckpoint()
     )
 

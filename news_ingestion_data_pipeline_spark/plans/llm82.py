@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _ATT_STRATA = 5
@@ -71,7 +72,9 @@ ORDER BY c.stratum
     "come from an exact (covariate, id)-total-ordered rank — "
     "deterministic quintiles, no quantile approximation. Moments flow "
     "through the rounded-DECIMAL frame. Shape: one per-user aggregate, "
-    "one rank over users, one 5-group cell aggregate.",
+    "one two-pass range-partitioned rank over users (operators/"
+    "ranking.py — no single-partition sort), one 5-group cell "
+    "aggregate.",
     tags=("events", "stats", "experiment", "causal"),
 )
 def events_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,17 +102,22 @@ def events_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", (F.col("user_id") % 2).alias("arm"), "x", "y")
     )
-    w = Window.orderBy("x", "user_id")
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    strat = per_user.select(
+    env = per_user.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    ranked = RK.distributed_row_number(
+        per_user.crossJoin(F.broadcast(env)),
+        ["x", "user_id"],
+        RK.range_bucket(F.col("x"), F.col("xlo"), F.col("xhi")),
+        out="rn",
+    )
+    strat = ranked.select(
         "arm",
         "y",
         F.least(
-            (
-                (F.row_number().over(w) - 1)
-                * _ATT_STRATA
-                / F.count(F.lit(1)).over(wall)
-            ).cast("int"),
+            ((F.col("rn") - 1) * _ATT_STRATA / F.col("n_users")).cast("int"),
             F.lit(_ATT_STRATA - 1),
         ).alias("stratum"),
     )

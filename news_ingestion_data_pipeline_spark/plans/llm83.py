@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _OOO_PCTS = [0.5, 0.95, 0.99]
@@ -57,20 +58,37 @@ ORDER BY g.p
     "streaming watermark delay (the streaming suite's "
     "withWatermark('10 minutes') bounds state by dropping anything "
     "later; this query says what that choice actually drops, the "
-    "p99-vs-watermark gap). The running max is one ordered window in "
-    "arrival order — at scale per source-partition (arrival order is "
-    "only total within a partition, which is also exactly how "
-    "watermarks work); the lateness percentile runs the engine's "
-    "order-statistic pattern. Integer microseconds throughout.",
+    "p99-vs-watermark gap). The running max runs as the two-pass "
+    "bucketed prefix max (operators/ranking.py: event_id-range buckets, "
+    "broadcast offsets, in-bucket windows PARTITIONED by bucket); the "
+    "lateness percentiles come from the distinct-value histogram's "
+    "distributed cumulative counts (k-th order statistic = min{v : "
+    "cum(v) >= k}) — no single-partition window, no per-row rank. "
+    "Integer microseconds throughout.",
     tags=("events", "streaming", "monitoring", "timeseries"),
 )
 def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both order-dependent stages run the two-pass bucketed decomposition
+    # (operators/ranking.py) — no single-partition window at any SF:
+    # (a) the arrival-order running max buckets on event_id ranges
+    # (per-bucket max → broadcast prefix offsets → in-bucket window
+    # PARTITIONED by bucket); (b) the lateness percentiles come from the
+    # distinct-lateness histogram's distributed cumulative counts — the
+    # k-th order statistic is min{v : cum(v) >= k}, so ranks never
+    # materialize per row (and the zero-heavy lateness skew collapses
+    # into ONE histogram row instead of one giant bucket).
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w_arr = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    ev = t(spark, sf_dir, "events").select("event_id", us.alias("us"))
+    eenv = ev.agg(F.min("event_id").alias("elo"), F.max("event_id").alias("ehi"))
     late = (
-        t(spark, sf_dir, "events")
-        .select("event_id", us.alias("us"))
-        .withColumn("max_seen", F.max("us").over(w_arr))
+        RK.distributed_prefix_max(
+            ev.crossJoin(F.broadcast(eenv)),
+            ["event_id"],
+            RK.range_bucket(F.col("event_id"), F.col("elo"), F.col("ehi")),
+            "us",
+            out="max_seen",
+            inclusive=False,
+        )
         .select(
             "event_id",
             F.when(
@@ -81,32 +99,34 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    ranked = late.select(
-        "lateness_us",
-        F.row_number().over(Window.orderBy("lateness_us", "event_id")).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("n"),
+    lenv = late.agg(
+        F.min("lateness_us").alias("llo"),
+        F.max("lateness_us").alias("lhi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("lateness_us") > 0, 1)).alias("n_ooo"),
     )
-    n_ooo = late.agg(
-        F.count(F.when(F.col("lateness_us") > 0, 1)).alias("n_ooo")
+    hist = late.groupBy("lateness_us").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = RK.distributed_prefix_sum(
+        hist.crossJoin(F.broadcast(lenv)),
+        ["lateness_us"],
+        RK.range_bucket(F.col("lateness_us"), F.col("llo"), F.col("lhi")),
+        ["cnt"],
+        inclusive=True,
     )
     grid = late.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in _OOO_PCTS])).alias("p")
     )
     return (
-        grid.crossJoin(ranked)
+        cum.crossJoin(F.broadcast(grid))
+        .filter(
+            F.col("cum_cnt") >= F.ceil(F.col("p") * F.col("n")).cast("bigint")
+        )
         .groupBy("p")
         .agg(
             F.max("n").cast("bigint").alias("n_events"),
-            F.max(
-                F.when(
-                    F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("bigint"),
-                    F.col("lateness_us"),
-                )
-            ).alias("lat_us"),
+            F.max("n_ooo").alias("n_ooo"),
+            F.min("lateness_us").alias("lat_us"),
         )
-        .crossJoin(F.broadcast(n_ooo))
         .select(
             "p",
             "n_events",
@@ -117,7 +137,6 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lateness_minutes"
             ),
         )
-        
     )
 
 

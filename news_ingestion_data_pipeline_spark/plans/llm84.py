@@ -168,16 +168,17 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    w_rank = Window.orderBy(F.round("rank", 8).desc(), F.col("node"))
-    out = (
-        ranks.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= _TR_TOP)
-        .select(
-            F.col("node").alias("keyword"),
-            F.round("rank", 8).alias("textrank"),
-            "rnk",
-        )
-        
+    # global top-K compiles to TakeOrderedAndProject; the rank window
+    # then runs over the K-row result only (bounded by construction),
+    # never over the SF-proportional vocabulary.
+    top = ranks.select(
+        "node", F.round("rank", 8).alias("textrank")
+    ).orderBy(F.col("textrank").desc(), F.col("node")).limit(_TR_TOP)
+    w_rank = Window.orderBy(F.col("textrank").desc(), F.col("node"))
+    out = top.select(
+        F.col("node").alias("keyword"),
+        "textrank",
+        F.row_number().over(w_rank).alias("rnk"),
     )
     edges.unpersist()
     nodes.unpersist()

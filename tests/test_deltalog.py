@@ -989,6 +989,41 @@ def test_read_delta_partitioned_reconstitutes_column(spark, tmp_path):
     assert pruned.count() == 4
 
 
+def test_partition_pruning_keeps_files_without_recorded_value(
+    spark, tmp_path
+):
+    """Conservative pruning: an add action whose partitionValues carry
+    NO entry for the filtered column must be KEPT (never judged), while
+    a recorded non-matching value still prunes."""
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], 100 + i, f"t{i}") for i in range(8)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "part_cons")
+    DL.write_delta_partitioned_fixture(spark, docs, root)
+    # strip the recorded lang from one add action (simulates a writer
+    # that omitted partitionValues for the column)
+    import glob as _glob
+    import json as _json
+
+    logp = sorted(_glob.glob(os.path.join(root, "_delta_log", "*.json")))[0]
+    lines = []
+    stripped = 0
+    for ln in open(logp, encoding="utf-8"):
+        act = _json.loads(ln)
+        if "add" in act and not stripped:
+            act["add"]["partitionValues"] = {}
+            stripped = 1
+        lines.append(_json.dumps(act))
+    open(logp, "w", encoding="utf-8").write("\n".join(lines) + "\n")
+    _, n_scanned, n_total = DL.read_delta_partition_pruned(
+        spark, root, {"lang": {"fr"}}
+    )
+    # the value-stripped file is kept (can't judge) alongside the fr
+    # file — whichever file lost its value, both now scan
+    assert (n_scanned, n_total) == (2, 2)
+
+
 def test_commit_exclusive_create_and_rebase(tmp_path):
     root = _mk_table(tmp_path, {0: [_add("a.parquet")]})
     # overwriting an existing version is refused — the optimistic-
@@ -1136,3 +1171,46 @@ def test_append_only_and_column_defaults(spark, tmp_path):
         DL.compact_delta(spark, root)
     with pytest.raises(ValueError, match="appendOnly"):
         DL.restore_delta(spark, root, 0)
+
+
+def test_liquid_clustering_refused_by_name(tmp_path):
+    """A foreign liquid-clustered table (clusteredTable writer feature
+    or clusteringProvider table property) raises BY NAME — this
+    engine's maintenance paths are ZORDER-based, not clustering-aware."""
+    proto = {
+        "protocol": {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["clusteredTable"],
+        }
+    }
+    meta = {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet"},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": []}
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    root = _mk_table(tmp_path, {0: [proto, meta, _add("a.parquet")]})
+    with pytest.raises(ValueError, match="clusteredTable"):
+        DL.read_delta(spark=None, root=root)  # gate fires before any scan
+
+    # property-only signal (no writer feature) is also refused
+    meta2 = json.loads(json.dumps(meta))
+    meta2["metaData"]["configuration"] = {"clusteringProvider": "liquid"}
+    proto2 = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    root2 = str(tmp_path / "tbl2")
+    os.makedirs(os.path.join(root2, "_delta_log"))
+    with open(
+        os.path.join(root2, "_delta_log", f"{0:020d}.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        for a in (proto2, meta2, _add("a.parquet")):
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="clusteringProvider"):
+        DL.read_delta(spark=None, root=root2)

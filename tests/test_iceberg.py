@@ -936,11 +936,21 @@ def test_rewrite_data_files_replace_snapshot(spark, tmp_path):
     s1, s2 = IB.write_iceberg_fixture(spark, docs, root)
     before = sorted(map(tuple, IB.read_iceberg(spark, root).collect()))
     snap, n_before, n_after = IB.rewrite_data_files(spark, root, "doc_id")
-    assert n_before == 3 and n_after == 1
+    assert n_before == 3 and n_after == 3  # one file PER lang partition
     files, _ = IB.snapshot_files(root)
-    assert len(files) == 1
+    assert len(files) == 3
     after = sorted(map(tuple, IB.read_iceberg(spark, root).collect()))
     assert after == before
+    # the compacted entries carry REAL partition values — a partition-
+    # filtered read after compaction must still prune to one file and
+    # return the partition's rows (an all-NULL partition record would
+    # be silently pruned to zero)
+    de_files, n_live = IB.snapshot_files(
+        root, partition_filter={"lang": {"de"}}
+    )
+    assert len(de_files) == 1 and n_live == 3
+    de = IB.read_iceberg(spark, root, partition_filter={"lang": {"de"}})
+    assert sorted(r.doc_id for r in de.collect()) == [2, 5, 8, 11]
     # pre-compaction snapshot still time-travels with the old layout
     old_files, _ = IB.snapshot_files(root, s2)
     assert len(old_files) == 3
@@ -992,3 +1002,67 @@ def test_remove_orphan_files_keeps_history(spark, tmp_path):
     files1, _ = IB.snapshot_files(root, s1)
     assert len(files1) == 2
     assert IB.read_iceberg(spark, root).count() > 0
+
+
+def test_remove_orphan_files_keeps_registered_statistics(spark, tmp_path):
+    """Files registered under the metadata's ``statistics`` /
+    ``partition-statistics`` lists are reachable state, not orphans —
+    removeOrphanFiles after a stats publish must keep them and the
+    stats readers must still resolve their paths."""
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], 400 + i, f"t{i}") for i in range(6)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "orphan_stats")
+    IB.write_iceberg_fixture(spark, docs, root)
+    k = 4
+    minima = {"doc_id": [10, 20, 30, 40]}
+    puffin = IB.publish_puffin_statistics(root, minima, k)
+    pstats = IB.publish_partition_statistics(root)
+    removed = IB.remove_orphan_files(root)
+    assert puffin not in removed and pstats not in removed
+    assert os.path.exists(os.path.join(root, puffin))
+    assert os.path.exists(os.path.join(root, pstats))
+    stats = IB.read_table_statistics(root, k)
+    assert stats and stats[0]["column"] == "doc_id"
+    assert IB.read_partition_statistics(spark, root).count() > 0
+
+
+def test_puffin_kmv_truncates_to_k_smallest(spark, tmp_path):
+    """The KMV estimate is valid only on the k SMALLEST hashes — a
+    caller passing more than k minima must get the same NDV as one
+    passing exactly the k smallest (not a silently deflated estimate
+    driven by the largest supplied hash)."""
+    docs = spark.createDataFrame(
+        [(i, "en", 400 + i, f"t{i}") for i in range(4)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    k = 4
+    vals = [100, 200, 300, 400]
+    extra = vals + [10**15, 2 * 10**15]  # larger hashes beyond k
+    roots = []
+    for tag, minima in (("exact", vals), ("extra", extra)):
+        root = str(tmp_path / f"kmv_{tag}")
+        IB.write_iceberg_fixture(spark, docs, root)
+        IB.publish_puffin_statistics(root, {"doc_id": minima}, k)
+        roots.append(root)
+    got = [IB.read_table_statistics(r, k)[0] for r in roots]
+    assert got[0]["ndv_from_blob"] == got[1]["ndv_from_blob"]
+    assert got[0]["ndv_property"] == got[1]["ndv_property"]
+    assert got[1]["n_minima"] == k
+
+
+def test_metadata_publish_exclusive_create(tmp_path):
+    """Metadata publishers never clobber a concurrent writer's commit:
+    the version file is opened with exclusive create, and a taken
+    version number retries at the next one."""
+    root = _mk_iceberg(tmp_path, {1: [(1, "data/a.parquet")]})
+    racing = os.path.join(root, "metadata", "v2.metadata.json")
+    with open(racing, "w", encoding="utf-8") as fh:
+        json.dump({"format-version": 2, "marker": "racer"}, fh)
+    meta = IB.current_metadata(root)
+    v = IB._write_metadata_exclusive(root, dict(meta))
+    assert v == 3
+    # the racer's v2 is untouched; ours landed at v3
+    assert json.load(open(racing, encoding="utf-8"))["marker"] == "racer"
+    assert os.path.exists(os.path.join(root, "metadata", "v3.metadata.json"))

@@ -167,6 +167,12 @@ QUERIES = [
     "agg_kmv_intersection",
     "stream_delta_append_sink",
     "agg_ddsketch_quantiles",
+    # round-8 global-window decompositions (fact-table side)
+    "customer_gini_spend",
+    "events_time_to_convert",
+    "events_stratified_att",
+    "events_out_of_order_profile",
+    "agg_fisher_exact_2x2",
 ]
 
 
@@ -190,6 +196,9 @@ DOC_QUERIES = [
     "pipeline_dedup_delta_dv",
     "dedup_embedding_neardup_banded",
     "curation_mixture_doremi",
+    # round-8 global-window decompositions (documents side)
+    "curation_quantile_normalize",
+    "text_textrank_keywords",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
