@@ -372,6 +372,13 @@ def main() -> None:
         "metric": "headline_suite_total_sec",
         "value": total,
         "unit": "sec",
+        # cold-only total: warm-artifact queries (their first timed run
+        # consumed a composition cache) excluded, so cross-round ratios
+        # can separate cache wins from plan wins (r7 verdict ask)
+        "cold_total_sec": round(
+            sum(v for n, v in timings.items() if n not in warm_artifacts), 3
+        ),
+        "n_warm_artifacts": len(warm_artifacts),
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # hypervisor steal during the run, in cpu-seconds (USER_HZ

@@ -605,38 +605,34 @@ FROM packed
     tags=("llm", "curation", "packing"),
 )
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    budget, rng = 4096, 64  # docs per cumsum range
+    budget = 4096
     tok = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        (F.col("doc_id") / rng).cast("bigint").alias("rng"),
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
     )
-    # pass 1: per-range sums (tiny: |corpus|/rng rows), then the exclusive
-    # cumulative offset per range — a window over the RANGE table, whose
-    # size is negligible at any corpus scale
-    per_range = tok.groupBy("rng").agg(F.sum("n_tokens").alias("range_sum"))
-    w_rng = Window.orderBy("rng").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = per_range.withColumn(
-        "range_offset", F.sum("range_sum").over(w_rng) - F.col("range_sum")
-    ).select("rng", "range_offset")
-    # pass 2: in-range cumsum (partitioned window — parallel across
-    # ranges) plus the broadcast offset
-    w_in = Window.partitionBy("rng").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # global running token count via the two-pass bucketed prefix sum
+    # (operators/ranking.py): doc_id-range buckets (a FIXED 256-row
+    # offset table at any corpus size — the earlier hand-rolled variant
+    # used fixed-SIZE ranges, whose offset table grew with the corpus),
+    # per-bucket partials broadcast as offsets, in-bucket windows
+    # partitioned by bucket.
+    from news_ingestion_data_pipeline_spark.operators import ranking as RK
+
+    env = tok.agg(F.min("doc_id").alias("dlo"), F.max("doc_id").alias("dhi"))
     return (
-        tok.join(F.broadcast(offsets), "rng")
-        .withColumn(
-            "cum_tokens",
-            F.col("range_offset") + F.sum("n_tokens").over(w_in),
+        RK.distributed_prefix_sum(
+            tok.crossJoin(F.broadcast(env)),
+            ["doc_id"],
+            RK.range_bucket(F.col("doc_id"), F.col("dlo"), F.col("dhi")),
+            ["n_tokens"],
+            inclusive=True,
         )
         .select(
             "doc_id",
             "n_tokens",
-            "cum_tokens",
-            ((F.col("cum_tokens") - 1) / budget).cast("bigint").alias("shard_id"),
+            F.col("cum_n_tokens").alias("cum_tokens"),
+            ((F.col("cum_n_tokens") - 1) / budget)
+            .cast("bigint")
+            .alias("shard_id"),
         )
     )
 

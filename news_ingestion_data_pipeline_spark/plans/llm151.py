@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 
@@ -142,8 +143,9 @@ FROM counts
     "it (the energy-distance prefix trick, counting not summing; ties "
     "contribute to neither side, per definition). Pure integers until "
     "one final division — the robust companion to Cohen's d when "
-    "distributions are skewed. At scale the sort range-partitions like "
-    "every rank query here.",
+    "distributions are skewed. The prefix sum runs as the two-pass "
+    "bucketed form (operators/ranking.py) over the distinct-value "
+    "histogram — no single-partition window at any SF.",
     tags=("agg", "stats"),
 )
 def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,12 +163,18 @@ def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == "x", 1).otherwise(0)).alias("nx_v"),
         F.sum(F.when(F.col("g") == "y", 1).otherwise(0)).alias("ny_v"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = byval.select(
+    venv = byval.agg(F.min("v").alias("vlo"), F.max("v").alias("vhi"))
+    cum = RK.distributed_prefix_sum(
+        byval.crossJoin(F.broadcast(venv)),
+        ["v"],
+        RK.range_bucket(F.col("v"), F.col("vlo"), F.col("vhi")),
+        ["nx_v", "ny_v"],
+        inclusive=False,
+    ).select(
         "nx_v",
         "ny_v",
-        F.coalesce(F.sum("nx_v").over(w), F.lit(0)).alias("cx_lt"),
-        F.coalesce(F.sum("ny_v").over(w), F.lit(0)).alias("cy_lt"),
+        F.coalesce("cum_nx_v", F.lit(0)).alias("cx_lt"),
+        F.coalesce("cum_ny_v", F.lit(0)).alias("cy_lt"),
     )
     counts = cum.agg(
         F.sum(F.col("nx_v") * F.col("cy_lt")).alias("x_gt_y"),

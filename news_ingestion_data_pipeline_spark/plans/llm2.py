@@ -442,9 +442,11 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = top.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("w"), F.col("e.count").alias("est_count")
     )
+    # top-10 first (TakeOrderedAndProject over the 100-entry sketch),
+    # THEN the rank window over only the 10 kept rows
     w_rnk = Window.orderBy(F.desc("est_count"), "w")
     return (
-        exploded.withColumn("rnk", F.row_number().over(w_rnk))
-        .orderBy(F.desc("est_count"), "w")
+        exploded.orderBy(F.desc("est_count"), "w")
         .limit(10)
+        .withColumn("rnk", F.row_number().over(w_rnk))
     )

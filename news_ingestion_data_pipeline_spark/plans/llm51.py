@@ -145,8 +145,14 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("est_pairs", F.col("n_rows") * F.col("n_rows"))
     )
     tot = per_key.agg(F.sum("est_pairs").alias("total_pairs"))
+    # global top-K first (TakeOrderedAndProject); the rank/running-sum
+    # window then covers only the K kept rows — the cumulative sum over
+    # a prefix of the total order is unchanged by dropping the suffix
+    topk = per_key.orderBy(F.col("est_pairs").desc(), "l_partkey").limit(
+        _SKEW_TOP
+    )
     w = Window.orderBy(F.col("est_pairs").desc(), F.col("l_partkey"))
-    ranked = per_key.select(
+    ranked = topk.select(
         "l_partkey",
         "n_rows",
         "est_pairs",
@@ -154,7 +160,7 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("est_pairs")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_pairs"),
-    ).filter(F.col("rank") <= _SKEW_TOP)
+    )
     return (
         ranked.crossJoin(F.broadcast(tot))
         .select(

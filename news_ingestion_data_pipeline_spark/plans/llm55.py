@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 # ---------------------------------------------------------------------------
@@ -151,11 +152,19 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
         F.count(F.when(F.col("in_a"), 1)).alias("c1"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = per_value.select(
+    venv = per_value.agg(
+        F.min("value").alias("vlo"), F.max("value").alias("vhi")
+    )
+    ranked = RK.distributed_prefix_sum(
+        per_value.crossJoin(F.broadcast(venv)),
+        ["value"],
+        RK.range_bucket(F.col("value"), F.col("vlo"), F.col("vhi")),
+        ["c"],
+        inclusive=True,
+    ).select(
         "c",
         "c1",
-        (F.lit(2) * F.sum("c").over(w) - F.col("c") + 1).alias("two_r"),
+        (F.lit(2) * F.col("cum_c") - F.col("c") + 1).alias("two_r"),
     )
     sums = ranked.agg(
         F.sum(F.col("c1") * F.col("two_r")).alias("two_r1"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 # ---------------------------------------------------------------------------
@@ -210,9 +211,10 @@ GROUP BY q.n, q.q
     "an integer-rank order statistic ((residual, id)-total-ordered "
     "against double ties), and a counted coverage ratio — so the oracle "
     "certifies the full train/calibrate/evaluate pipeline. Shape: one "
-    "5-row model broadcast onto two filtered scans, one "
-    "TakeOrdered-style rank for q̂; nothing scales worse than the "
-    "scans.",
+    "5-row model broadcast onto two filtered scans; q̂ comes from the "
+    "distinct-residual histogram's two-pass cumulative counts "
+    "(operators/ranking.py — min residual whose running count reaches "
+    "the target rank); nothing scales worse than the scans.",
     tags=("agg", "stats", "ml"),
 )
 def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,14 +235,33 @@ def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(train), "event_type")
         .select("event_id", F.abs(F.col("value") - F.col("pred")).alias("resid"))
     )
-    ncal = cal.agg(F.count(F.lit(1)).alias("n"))
-    ranked = cal.crossJoin(F.broadcast(ncal)).withColumn(
-        "rn", F.row_number().over(Window.orderBy("resid", "event_id"))
+    ncal = cal.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("resid").alias("rlo"),
+        F.max("resid").alias("rhi"),
     )
-    qhat = ranked.filter(
-        F.col("rn")
-        == F.ceil((F.col("n") + 1) * F.lit(1 - _CONF_ALPHA)).cast("bigint")
-    ).select(F.col("resid").alias("q"), "n")
+    # k-th order statistic = min{resid : cum(resid) >= k} over the
+    # distinct-residual histogram's distributed cumulative counts
+    # (operators/ranking.py) — no row-domain rank window
+    hist = cal.groupBy("resid").agg(F.count(F.lit(1)).alias("c"))
+    cum = RK.distributed_prefix_sum(
+        hist.crossJoin(F.broadcast(ncal)),
+        ["resid"],
+        RK.range_bucket(F.col("resid"), F.col("rlo"), F.col("rhi")),
+        ["c"],
+        inclusive=True,
+    )
+    qhat = (
+        cum.filter(
+            F.col("cum_c")
+            >= F.ceil((F.col("n") + 1) * F.lit(1 - _CONF_ALPHA)).cast(
+                "bigint"
+            )
+        )
+        .groupBy("n")
+        .agg(F.min("resid").alias("q"))
+        .select("q", "n")
+    )
     test = ev.filter(day > 15).join(F.broadcast(train), "event_type")
     n_train = ev.filter(day <= 10).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_train")

@@ -87,20 +87,34 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_ws_tokens"),
         (F.count(F.lit(1)) - F.countDistinct("f")).cast("bigint").alias("n_exact_dups"),
     )
-    lens = base.select(
-        "n_tok",
-        F.row_number().over(Window.orderBy("n_tok", "doc_id")).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("n"),
+    # exact median/p95 as histogram order statistics: k-th smallest =
+    # min{v : cum(v) >= k} over the distinct-length histogram's two-pass
+    # cumulative counts (operators/ranking.py) — no row-domain rank
+    from news_ingestion_data_pipeline_spark.operators import ranking as RK
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_tok").alias("tlo"),
+        F.max("n_tok").alias("thi"),
     )
-    pct = lens.agg(
+    hist = base.groupBy("n_tok").agg(F.count(F.lit(1)).alias("c"))
+    cum = RK.distributed_prefix_sum(
+        hist.crossJoin(F.broadcast(stats)),
+        ["n_tok"],
+        RK.range_bucket(F.col("n_tok"), F.col("tlo"), F.col("thi")),
+        ["c"],
+        inclusive=True,
+    )
+    pct = cum.agg(
         F.min(
-            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("n_tok"))
+            F.when(
+                F.col("cum_c") >= F.floor((F.col("n") + 1) / 2),
+                F.col("n_tok"),
+            )
         ).cast("bigint").alias("med_tok"),
         F.min(
             F.when(
-                F.col("rn") == F.ceil(F.col("n") * 0.95).cast("bigint"),
+                F.col("cum_c") >= F.ceil(F.col("n") * 0.95).cast("bigint"),
                 F.col("n_tok"),
             )
         ).cast("bigint").alias("p95_tok"),

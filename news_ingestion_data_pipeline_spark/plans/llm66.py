@@ -232,20 +232,22 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # totals from one aggregate envelope; the head of the frequency
+    # order via global top-K (TakeOrderedAndProject, K = max grid cut,
+    # a constant) — rank/cum windows then run over K rows only, never
+    # the corpus-sized vocabulary
+    env = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    top = counts.orderBy(F.col("c").desc(), "w").limit(max(_VC_TOPS))
     w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
-    ranked = counts.select(
+    ranked = top.select(
         "c",
         F.row_number().over(w_rank).alias("rn"),
         F.sum("c")
         .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum"),
-        F.sum("c")
-        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("total"),
-        F.count(F.lit(1))
-        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("n_types"),
-    )
+    ).crossJoin(F.broadcast(env))
     tops = F.explode(F.array(*[F.lit(n) for n in _VC_TOPS])).alias("top_n")
     out = (
         ranked.select(tops, "rn", "cum", "total", "n_types")

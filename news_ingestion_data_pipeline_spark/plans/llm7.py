@@ -151,9 +151,11 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
     )
     counted = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    # global top-10 first (TakeOrderedAndProject over the pair
+    # histogram), THEN the rank window over only the 10 kept rows
     w_rnk = Window.orderBy(F.desc("pair_count"), "pair")
     return (
-        counted.withColumn("rnk", F.row_number().over(w_rnk))
-        .orderBy(F.desc("pair_count"), "pair")
+        counted.orderBy(F.desc("pair_count"), "pair")
         .limit(10)
+        .withColumn("rnk", F.row_number().over(w_rnk))
     )

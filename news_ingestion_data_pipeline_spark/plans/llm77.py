@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _ROC_MIN_TRAIN = 20  # first forecast origin (days of training)
@@ -176,10 +177,28 @@ def curation_quality_token_tradeoff(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("q"),
         )
     )
-    ranked = scored.select(
+    # PERCENT_RANK over the (q, doc_id) TOTAL order == (rn-1)/(n-1)
+    # from the two-pass global rank (operators/ranking.py) — no ties,
+    # no single-partition sort
+    qenv = scored.agg(
+        F.min("q").alias("qlo"),
+        F.max("q").alias("qhi"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    ranked = RK.distributed_row_number(
+        scored.crossJoin(F.broadcast(qenv)),
+        ["q", "doc_id"],
+        RK.range_bucket(F.col("q"), F.col("qlo"), F.col("qhi")),
+        out="rn",
+    ).select(
         "q",
         "n_tok",
-        F.percent_rank().over(Window.orderBy("q", "doc_id")).alias("pr"),
+        F.when(
+            F.col("n_docs") > 1,
+            (F.col("rn") - 1).cast("double") / (F.col("n_docs") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
     )
     tot = scored.agg(
         F.sum("n_tok").alias("all_tok"), F.count(F.lit(1)).alias("all_docs")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from news_ingestion_data_pipeline_spark.operators import ranking as RK
 from news_ingestion_data_pipeline_spark.plans import oracle_sqlgen as OSQL
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
@@ -1267,11 +1268,11 @@ FROM swept
     "emit +1/-1 boundary deltas per session interval, order globally "
     "with ends before starts at equal timestamps (delta ascending — "
     "touching sessions don't overlap), and take the running sum's "
-    "maximum and its first time. The global running sum is the "
-    "sweep-line trade-off: the swept relation is two rows per SESSION "
-    "(orders of magnitude smaller than events), and at 100 TB the sweep "
-    "shards by calendar day first (sessions don't cross the corpus's "
-    "day boundaries at meaningful rates) with a per-day carry-in.",
+    "maximum and its first time. The swept relation is two rows per "
+    "SESSION (orders of magnitude smaller than events), and the running "
+    "sum is the two-pass bucketed prefix sum (operators/ranking.py: "
+    "time-range buckets, per-bucket partials broadcast as carry-ins) — "
+    "no single-partition window at any SF.",
     tags=("events", "window", "sweepline"),
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1302,13 +1303,21 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sessions.select(F.col("t_start").alias("t"), F.lit(1).alias("delta")).unionAll(
         sessions.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
     )
-    sweep_w = (
-        Window.orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    swept = deltas.select(
-        "t", "delta", F.sum("delta").over(sweep_w).alias("concurrent")
-    )
+    # the sweep's global running sum is the two-pass bucketed prefix sum
+    # (operators/ranking.py) over time-range buckets — no single-
+    # partition window over the session-boundary relation
+    denv = deltas.agg(F.min("t").alias("t_lo"), F.max("t").alias("t_hi"))
+    swept = RK.distributed_prefix_sum(
+        deltas.crossJoin(F.broadcast(denv)),
+        ["t", "delta"],
+        RK.range_bucket(
+            F.unix_micros(F.col("t").cast("timestamp")),
+            F.unix_micros(F.col("t_lo").cast("timestamp")),
+            F.unix_micros(F.col("t_hi").cast("timestamp")),
+        ),
+        ["delta"],
+        inclusive=True,
+    ).select("t", "delta", F.col("cum_delta").alias("concurrent"))
     peak = swept.agg(F.max("concurrent").alias("peak"))
     return (
         swept.join(F.broadcast(peak), swept.concurrent == peak.peak)
@@ -1759,9 +1768,11 @@ WHERE l_partkey % 17 = 0
     "prioritization classic. Per-part revenue is an exact decimal "
     "aggregate; the running and grand totals stay decimal to the final "
     "double division, so cum_share is reproducible at any partitioning. "
-    "The ORDER BY in the running window is total (revenue desc, key) — "
-    "ties can't flip classes between engines. The global sort is over "
-    "the PART aggregate (|parts| rows), not lineitem.",
+    "The ORDER BY in the running sum is total (revenue desc, key) — "
+    "ties can't flip classes between engines. The running sum is over "
+    "the PART aggregate (|parts| rows), not lineitem, and runs as the "
+    "two-pass bucketed prefix sum (operators/ranking.py) — no single-"
+    "partition window at any SF.",
     tags=("agg", "window", "pareto"),
 )
 def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1772,19 +1783,29 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_rev")
         )
     )
-    run_w = (
-        Window.orderBy(F.desc("part_rev"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two-pass bucketed running sum (operators/ranking.py) over the part
+    # aggregate, DESC via negated revenue buckets; the grand total rides
+    # the same broadcast envelope — no single-partition window
+    env = rev.agg(
+        F.min("part_rev").alias("r_lo"),
+        F.max("part_rev").alias("r_hi"),
+        F.sum("part_rev").alias("grand"),
     )
-    tot_w = Window.partitionBy()
-    cum_share = F.sum("part_rev").over(run_w).cast("double") / F.sum("part_rev").over(
-        tot_w
-    ).cast("double")
+    cum = RK.distributed_prefix_sum(
+        rev.crossJoin(F.broadcast(env)),
+        [F.desc("part_rev"), "l_partkey"],
+        RK.range_bucket(-F.col("part_rev"), -F.col("r_hi"), -F.col("r_lo")),
+        ["part_rev"],
+        inclusive=True,
+    )
     return (
-        rev.select(
+        cum.select(
             "l_partkey",
             F.col("part_rev").cast("double").alias("part_revenue"),
-            cum_share.alias("cum_share"),
+            (
+                F.col("cum_part_rev").cast("double")
+                / F.col("grand").cast("double")
+            ).alias("cum_share"),
         )
         .withColumn(
             "abc_class",
@@ -1873,10 +1894,11 @@ WHERE c_custkey % 13 = 0
     "monetary quartiles (ntile over total orders with custkey "
     "tiebreaks, so quartile boundaries are engine-identical) composed "
     "into a segment code — the marketing-analytics workhorse. Monetary "
-    "stays decimal through ranking; the three rank windows share one "
-    "pass over the |customers|-row aggregate, not orders. At 100 TB the "
-    "global ntile sorts would shard by hash-bucket quantile estimation "
-    "— or reuse the percentile sketch cuts.",
+    "stays decimal through ranking; the three ranks share one pass "
+    "over the |customers|-row aggregate, not orders, each running as "
+    "the two-pass range-partitioned rank (operators/ranking.py, DESC "
+    "via negated buckets) + exact ANSI ntile_from_rank arithmetic — "
+    "no single-partition sort at any SF.",
     tags=("agg", "window", "segmentation"),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,18 +1911,51 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
         )
     )
-    r_w = Window.orderBy(F.desc("last_order_d"), "c_custkey")
-    f_w = Window.orderBy(F.desc("frequency"), "c_custkey")
-    m_w = Window.orderBy(F.desc("monetary_dec"), "c_custkey")
+    env = per_cust.agg(
+        F.min("last_order_d").alias("d_lo"),
+        F.max("last_order_d").alias("d_hi"),
+        F.min("frequency").alias("f_lo"),
+        F.max("frequency").alias("f_hi"),
+        F.min("monetary_dec").alias("m_lo"),
+        F.max("monetary_dec").alias("m_hi"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    # three two-pass global ranks (operators/ranking.py), DESC order via
+    # negated range buckets — never a single-partition NTILE sort
+    ranked = RK.distributed_row_number(
+        per_cust.crossJoin(F.broadcast(env)),
+        [F.desc("last_order_d"), "c_custkey"],
+        RK.range_bucket(
+            -F.unix_micros(F.col("last_order_d").cast("timestamp")),
+            -F.unix_micros(F.col("d_hi").cast("timestamp")),
+            -F.unix_micros(F.col("d_lo").cast("timestamp")),
+        ),
+        out="r_rn",
+    )
+    ranked = RK.distributed_row_number(
+        ranked,
+        [F.desc("frequency"), "c_custkey"],
+        RK.range_bucket(-F.col("frequency"), -F.col("f_hi"), -F.col("f_lo")),
+        out="f_rn",
+    )
+    ranked = RK.distributed_row_number(
+        ranked,
+        [F.desc("monetary_dec"), "c_custkey"],
+        RK.range_bucket(
+            -F.col("monetary_dec"), -F.col("m_hi"), -F.col("m_lo")
+        ),
+        out="m_rn",
+    )
+    n = F.col("n_cust")
     return (
-        per_cust.select(
+        ranked.select(
             "c_custkey",
             F.date_format("last_order_d", "yyyy-MM-dd").alias("last_order"),
             "frequency",
             F.col("monetary_dec").cast("double").alias("monetary"),
-            F.ntile(4).over(r_w).alias("r_quartile"),
-            F.ntile(4).over(f_w).alias("f_quartile"),
-            F.ntile(4).over(m_w).alias("m_quartile"),
+            RK.ntile_from_rank(F.col("r_rn"), n, 4).alias("r_quartile"),
+            RK.ntile_from_rank(F.col("f_rn"), n, 4).alias("f_quartile"),
+            RK.ntile_from_rank(F.col("m_rn"), n, 4).alias("m_quartile"),
         )
         .withColumn(
             "rfm_segment",

@@ -15,6 +15,7 @@ when the answers still verify.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import REGISTRY
 
@@ -122,9 +123,13 @@ FROZEN: dict[str, tuple[list[str], list[str]]] = {
         [],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r8: the cumsum now rides distributed_prefix_sum, whose 1-row
+    # min/max envelope joins in as a broadcast scalar crossJoin (the
+    # adjudicated BroadcastNestedLoopJoin class) — only the true
+    # cartesian stays banned.
     "curation_pack_sequences": (
         [],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
     ),
 }
 
@@ -165,3 +170,139 @@ def test_checker_catches_deliberate_break():
     assert _check(bad_lost, must, must_not) == [
         "missing: 'TakeOrderedAndProject'"
     ]
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide global-window ban (round-8 invariant)
+# ---------------------------------------------------------------------------
+#
+# A partition-less Window over an SF-proportional frame funnels the whole
+# frame through ONE task — the round-7 verdict's only scale finding. The
+# checker walks every registered query's OPTIMIZED logical plan and counts
+# partition-less Window nodes, auto-adjudicating only the shapes that are
+# bounded BY CONSTRUCTION:
+#   * the two-pass ranking helpers' bucket-histogram windows (order by a
+#     `__rnk_b` bucket key — at most the fixed bucket count of rows);
+#   * windows above a Limit (global top-K already reduced the frame);
+#   * windows whose subtree reads no table at all (literal grids).
+# Every OTHER global window must carry an entry below with its bounded-
+# domain justification. New queries default to ZERO — adding a global
+# window without adjudicating it here fails the suite.
+
+#: global-window-ok: query -> (allowed_count, bounded-domain reason)
+GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
+    "agg_bh_fdr_correction": (2, "p-value rank over the event_type domain (5 values)"),
+    "agg_energy_distance": (1, "offsets over its own ~300-row value-range bucket histogram"),
+    "agg_hdr_latency_percentiles": (4, "deliberate exact-rank audit baseline beside the mergeable histogram (r7 verdict adjudication: 'the part you drop at 100 TB')"),
+    "agg_ljung_box": (1, "autocorrelation over the fixed lag grid"),
+    "agg_median_of_means": (2, "median over the FIXED bucket-mean count k"),
+    "agg_rolling_origin_cv": (1, "folds over the day-granular time axis"),
+    "agg_runs_test": (1, "lag over the day-granular daily-count series"),
+    "agg_spc_individuals_chart": (1, "moving range over the day-granular series"),
+    "agg_spearman_corr": (2, "histogram rank over distinct l_quantity (50) and the bounded price vocabulary (r7 verdict: the accepted two-pass template)"),
+    "agg_theil_sen_trend": (2, "pairwise slopes over the day-pair domain (~days^2/2, calendar-bounded)"),
+    "curation_epoch_apportionment": (1, "largest-remainder rank over the SOURCE domain"),
+    "customer_survival_km": (2, "suffix-sum + KM product over the day-granular gap/event axes"),
+    "events_autocorrelation": (1, "ACF over the fixed lag grid"),
+    "events_bootstrap_ci": (1, "rank over the FIXED bootstrap replicate count B"),
+    "events_changepoint_binseg": (1, "prefix sums over the day-granular series"),
+    "events_seasonal_decompose": (2, "seasonal index over the hour/day-of-week grid"),
+    "feature_gini_best_split": (2, "split scan over the fixed feature-bucket grid"),
+    "orders_mom_growth": (1, "lag over the month domain"),
+    "part_skyline_2d": (1, "prefix min over the p_size domain (1..50)"),
+    "pipeline_refetch_schedule": (1, "schedule rank over the stream domain (5 event types)"),
+    "window_rolling_corr": (1, "rolling window over the hour-granular series"),
+}
+
+
+def _walk_jvm(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.length()):
+        yield from _walk_jvm(cs.apply(i))
+
+
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation$", "Range", "LocalLimit"}
+
+
+def count_unadjudicated_global_windows(df) -> list[str]:
+    """Order-spec strings of partition-less Windows in the optimized
+    plan that are NOT bounded by construction (see module comment)."""
+    out = []
+    for n in _walk_jvm(df._jdf.queryExecution().optimizedPlan()):
+        if n.getClass().getSimpleName() != "Window":
+            continue
+        if not n.partitionSpec().isEmpty():
+            continue
+        spec = n.orderSpec().toString()
+        if "__rnk_b" in spec:
+            continue  # ranking-helper bucket histogram (fixed bucket count)
+        bounded = False
+        unbounded_leaf = False
+        for c in _walk_jvm(n):
+            cls = c.getClass().getSimpleName()
+            if cls in ("GlobalLimit", "LocalLimit"):
+                bounded = True
+                break
+            if c.children().isEmpty() and cls not in _BOUNDED_LEAVES:
+                unbounded_leaf = True
+        if bounded or not unbounded_leaf:
+            continue
+        out.append(spec[:120])
+    return out
+
+
+_ALL_NAMES = sorted(REGISTRY)
+_N_CHUNKS = 24
+
+
+@pytest.mark.parametrize("chunk", range(_N_CHUNKS))
+def test_registry_global_window_ban(spark, chunk):
+    names = _ALL_NAMES[chunk::_N_CHUNKS]
+    problems = []
+    for name in names:
+        try:
+            df = REGISTRY[name].fn(spark, SF)
+        except Exception as e:  # construction failures surface elsewhere
+            problems.append(f"{name}: construction failed: {e!r:.200}")
+            continue
+        wins = count_unadjudicated_global_windows(df)
+        allowed, _reason = GLOBAL_WINDOW_OK.get(name, (0, ""))
+        if len(wins) > allowed:
+            problems.append(
+                f"{name}: {len(wins)} unadjudicated global window(s) "
+                f"(allowed {allowed}): {wins}"
+            )
+        elif len(wins) < allowed:
+            problems.append(
+                f"{name}: adjudication stale — found {len(wins)} global "
+                f"windows but GLOBAL_WINDOW_OK allows {allowed}; tighten it"
+            )
+    assert not problems, "\n".join(problems)
+
+
+def test_global_window_checker_catches_a_real_one(spark):
+    """The detector actually bites: a naked row_number over a parquet
+    scan is flagged; the same rank through distributed_row_number is
+    clean."""
+    from pyspark.sql import Window as W
+
+    from news_ingestion_data_pipeline_spark.operators.ranking import (
+        distributed_row_number,
+    )
+    from news_ingestion_data_pipeline_spark.tables import load_table
+
+    df = load_table(spark, SF, "part").select("p_partkey", "p_size")
+    naked = df.withColumn(
+        "rn", F.row_number().over(W.orderBy("p_size", "p_partkey"))
+    )
+    assert count_unadjudicated_global_windows(naked)
+    clean = distributed_row_number(
+        df, ["p_size", "p_partkey"], F.col("p_size") % 16
+    )
+    assert not count_unadjudicated_global_windows(clean)
+    # a window above a global top-K is bounded by construction
+    topped = df.orderBy("p_size", "p_partkey").limit(5).withColumn(
+        "rn", F.row_number().over(W.orderBy("p_size", "p_partkey"))
+    )
+    assert not count_unadjudicated_global_windows(topped)
