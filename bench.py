@@ -289,6 +289,9 @@ BENCH_QUERIES = [
     "scan_delta_generated_partition",
     "storage_iceberg_puffin_stats",
     "storage_iceberg_partition_stats",
+    # round-8: TracIn-lite influence family
+    "influence_tracin_proponents",
+    "influence_self_memorization",
 ]
 
 

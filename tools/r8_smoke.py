@@ -49,6 +49,10 @@ DOC_QUERIES = [
     "agg_approx_top_k",
     "text_bpe_merge_step",
     "text_textrank_keywords",
+    # round-8 new family (embeddings-driven; the 8x docs fixture's
+    # per-copy orthogonal transform preserves within-copy dot geometry)
+    "influence_tracin_proponents",
+    "influence_self_memorization",
 ]
 
 
