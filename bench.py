@@ -289,9 +289,11 @@ BENCH_QUERIES = [
     "scan_delta_generated_partition",
     "storage_iceberg_puffin_stats",
     "storage_iceberg_partition_stats",
-    # round-8: TracIn-lite influence family
+    # round-8: TracIn-lite influence family + retrieval-eval additions
     "influence_tracin_proponents",
     "influence_self_memorization",
+    "curation_semantic_decontaminate",
+    "rerank_cross_encoder_eval",
 ]
 
 

@@ -279,3 +279,213 @@ def influence_self_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("si", 9).alias("self_influence"),
         )
     )
+
+
+_DECON_TAU = 0.25  # cosine threshold (data max cross-cos ~0.39)
+_DECON_EVAL = 10  # vec_id < 10 are the held-out eval examples
+
+
+@register(
+    "curation_semantic_decontaminate",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS (
+  SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS c
+  FROM e a CROSS JOIN e b
+  WHERE a.vec_id >= {_DECON_EVAL} AND b.vec_id < {_DECON_EVAL}
+), best AS (
+  SELECT train_id, MAX(c) AS max_cos,
+         MIN(eval_id) FILTER (WHERE c = (SELECT MAX(c2.c) FROM sims c2
+                                         WHERE c2.train_id = sims.train_id))
+           AS matched_eval_id
+  FROM sims GROUP BY train_id
+)
+SELECT train_id, matched_eval_id, max_cos
+FROM best WHERE max_cos >= {_DECON_TAU!r}
+ORDER BY train_id
+""",
+    description="SEMANTIC decontamination: flag training examples whose "
+    f"max embedding cosine against any held-out eval example reaches "
+    f"{_DECON_TAU} — the paraphrase-robust complement to the n-gram "
+    "decontaminator (curation_decontaminate), which misses reworded "
+    "eval leakage that embeddings still place next to the eval point "
+    "(the GPT-3 appendix-C lesson). Per-train argmax reported with a "
+    "deterministic min-eval-id tiebreak. Shape: one |train|x|eval| "
+    "broadcast cosine stage (eval sets are small by construction) + "
+    "one per-train max — at 100 TB the candidate stage swaps for the "
+    "engine's LSH/IVF bucketed-join paths, same threshold semantics.",
+    tags=("llm", "curation", "similarity", "quality"),
+)
+def curation_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") < _DECON_EVAL).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    tr = emb.filter(F.col("vec_id") >= _DECON_EVAL).select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("tv")
+    )
+    sims = tr.crossJoin(F.broadcast(ev)).select(
+        "train_id",
+        "eval_id",
+        F.round(V.cosine(F.col("tv"), F.col("ev")), 6).alias("c"),
+    )
+    best = sims.groupBy("train_id").agg(
+        F.max("c").alias("max_cos"),
+        F.min_by(
+            F.struct(F.col("c").alias("_c"), F.col("eval_id")), -F.col("c")
+        ).getField("eval_id").alias("_drop"),
+    )
+    # deterministic argmax with min-eval-id tiebreak: re-join on the max
+    arg = (
+        sims.join(
+            best.select("train_id", "max_cos"), "train_id"
+        )
+        .filter(F.col("c") == F.col("max_cos"))
+        .groupBy("train_id")
+        .agg(
+            F.min("eval_id").alias("matched_eval_id"),
+            F.max("max_cos").alias("max_cos"),
+        )
+    )
+    return (
+        arg.filter(F.col("max_cos") >= _DECON_TAU)
+        .select("train_id", "matched_eval_id", "max_cos")
+    )
+
+
+_RR_QUERIES = 8  # vec_id < 8 act as retrieval queries
+_RR_K1 = 20  # first-stage candidate depth
+_RR_K2 = 10  # eval cutoff
+
+
+@register(
+    "rerank_cross_encoder_eval",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), firststage AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+           q.label = a.label AS rel,
+           round(list_dot_product(q.v, a.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(a.v, a.v))), 6) AS cos,
+           round(list_dot_product(list_transform(q.v, x -> abs(x)),
+                                  list_transform(a.v, x -> abs(x))), 6)
+             AS cross_score,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_dot_product(q.v, a.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(a.v, a.v))), 6) DESC,
+                              a.vec_id) AS rank1
+    FROM e q CROSS JOIN e a
+    WHERE q.vec_id < {_RR_QUERIES} AND a.vec_id != q.vec_id
+  ) WHERE rank1 <= {_RR_K1}
+), reranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cross_score DESC, cand_id) AS rank2
+  FROM firststage
+), per_query AS (
+  SELECT query_id,
+         COALESCE(1.0 / MIN(CASE WHEN rel THEN rank1 END), 0.0) AS rr1,
+         COALESCE(1.0 / MIN(CASE WHEN rel THEN rank2 END), 0.0) AS rr2,
+         COUNT(*) FILTER (WHERE rel AND rank1 <= {_RR_K2}) AS hits1,
+         COUNT(*) FILTER (WHERE rel AND rank2 <= {_RR_K2}) AS hits2
+  FROM reranked GROUP BY query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(CAST(CAST(SUM(CAST(round(rr1, 9) AS DECIMAL(18,9)))
+                       AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mrr_first,
+       round(CAST(CAST(SUM(CAST(round(rr2, 9) AS DECIMAL(18,9)))
+                       AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mrr_rerank,
+       round(CAST(SUM(hits1) AS DOUBLE) / (COUNT(*) * {_RR_K2}), 6)
+         AS p_at_{_RR_K2}_first,
+       round(CAST(SUM(hits2) AS DOUBLE) / (COUNT(*) * {_RR_K2}), 6)
+         AS p_at_{_RR_K2}_rerank
+FROM per_query
+""",
+    description="Two-stage retrieval EVAL harness: first-stage cosine "
+    f"top-{_RR_K1} per query, a deterministic cross-interaction "
+    "re-scorer over the candidate set (stand-in for the cross-encoder "
+    "every production retriever runs at stage two — scoring only "
+    "|queries|xK pairs, never the corpus), and label-match relevance "
+    f"folded into MRR and precision@{_RR_K2} for BOTH stages — the "
+    "side-by-side table that decides whether a re-ranker earns its "
+    "latency. Candidate generation and re-ranking both run as windows "
+    "PARTITIONED by query; relevance means flow through 9-dp decimal "
+    "sums. At 100 TB stage one swaps for the bucketed LSH/IVF paths "
+    "(identical candidate contract), stage two cost is unchanged.",
+    tags=("llm", "similarity", "eval"),
+)
+def rerank_cross_encoder_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    q = emb.filter(F.col("vec_id") < _RR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlab"),
+    )
+    absv = lambda col: F.transform(col, lambda x: F.abs(x.cast("double")))
+    cands = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (F.col("label") == F.col("qlab")).alias("rel"),
+        F.round(V.cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        F.round(
+            V.dot(absv(F.col("qv")), absv(F.col("embedding"))), 6
+        ).alias("cross_score"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("cand_id")
+    )
+    first = scored.withColumn("rank1", F.row_number().over(w1)).filter(
+        F.col("rank1") <= _RR_K1
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cross_score"), F.col("cand_id")
+    )
+    reranked = first.withColumn("rank2", F.row_number().over(w2))
+    per_query = reranked.groupBy("query_id").agg(
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(F.col("rel"), F.col("rank1"))),
+            F.lit(0.0),
+        ).alias("rr1"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(F.col("rel"), F.col("rank2"))),
+            F.lit(0.0),
+        ).alias("rr2"),
+        F.count(
+            F.when(F.col("rel") & (F.col("rank1") <= _RR_K2), 1)
+        ).alias("hits1"),
+        F.count(
+            F.when(F.col("rel") & (F.col("rank2") <= _RR_K2), 1)
+        ).alias("hits2"),
+    )
+    n = F.count(F.lit(1))
+    return per_query.agg(
+        n.cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum(F.round("rr1", 9).cast("decimal(18,9)")).cast("double") / n,
+            6,
+        ).alias("mrr_first"),
+        F.round(
+            F.sum(F.round("rr2", 9).cast("decimal(18,9)")).cast("double") / n,
+            6,
+        ).alias("mrr_rerank"),
+        F.round(
+            F.sum("hits1").cast("double") / (n * _RR_K2), 6
+        ).alias(f"p_at_{_RR_K2}_first"),
+        F.round(
+            F.sum("hits2").cast("double") / (n * _RR_K2), 6
+        ).alias(f"p_at_{_RR_K2}_rerank"),
+    )

@@ -337,6 +337,11 @@ BNLJ_ALLOWED = frozenset(
         # 1-row frontier frame (wave 153)
         "pipeline_source_freshness_alert",
 
+        # round-8: the sweep-line prefix sum's 1-row min/max time
+        # envelope crossJoined onto the session-boundary deltas
+        # (distributed_prefix_sum's broadcast scalar pattern)
+        "events_peak_concurrency",
+
         # 50-cell contingency self-join / 1-row marginal frames (wave 152)
         "agg_goodman_kruskal_gamma",
         "agg_cramers_v",

@@ -53,6 +53,8 @@ DOC_QUERIES = [
     # per-copy orthogonal transform preserves within-copy dot geometry)
     "influence_tracin_proponents",
     "influence_self_memorization",
+    "curation_semantic_decontaminate",
+    "rerank_cross_encoder_eval",
 ]
 
 
