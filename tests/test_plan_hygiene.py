@@ -337,10 +337,16 @@ BNLJ_ALLOWED = frozenset(
         # 1-row frontier frame (wave 153)
         "pipeline_source_freshness_alert",
 
-        # round-8: the sweep-line prefix sum's 1-row min/max time
-        # envelope crossJoined onto the session-boundary deltas
-        # (distributed_prefix_sum's broadcast scalar pattern)
+        # round-8: the two-pass ranking helpers' 1-row min/max/count
+        # envelope crossJoins (range_bucket needs the global bounds;
+        # the envelope is a scalar aggregate broadcast, SF-independent)
         "events_peak_concurrency",
+        "curation_pack_sequences",
+        "customer_gini_spend",
+        "text_vocab_coverage",
+        "agg_wilcoxon_signed_rank",
+        "customer_decile_migration",
+        "agg_cliffs_delta",
 
         # 50-cell contingency self-join / 1-row marginal frames (wave 152)
         "agg_goodman_kruskal_gamma",
