@@ -3426,7 +3426,11 @@ def rewrite_data_files(
         )
         name = f"data/compact-{snap_id}-{suffix}.parquet"
         _write_single_parquet(df, root, name)
-        entries.append(_entry(1, snap_id, name, df.count(), g["partition"]))
+        # record_count from the written footer — no second scan per group
+        import pyarrow.parquet as pq
+
+        n_rows = pq.read_metadata(os.path.join(root, name)).num_rows
+        entries.append(_entry(1, snap_id, name, n_rows, g["partition"]))
     m_name = f"m-compact-{snap_id}.avro"
     AV.write_container(
         os.path.join(root, "metadata", m_name), _MANIFEST_SCHEMA, entries

@@ -131,6 +131,32 @@ FROZEN: dict[str, tuple[list[str], list[str]]] = {
         [],
         ["CartesianProduct"],
     ),
+    # r8 rewrites: global heads must compile to TakeOrderedAndProject
+    # (never sort-all + limit), pinning the decomposed shapes.
+    "profile_join_key_skew": (
+        ["TakeOrderedAndProject(limit=10"],
+        ["CartesianProduct"],
+    ),
+    "text_vocab_coverage": (
+        ["TakeOrderedAndProject(limit=1000"],
+        ["CartesianProduct"],
+    ),
+    "agg_ks_two_sample": (
+        ["TakeOrderedAndProject(limit=1"],
+        ["CartesianProduct"],
+    ),
+    "agg_approx_top_k": (
+        ["TakeOrderedAndProject(limit=10"],
+        ["CartesianProduct"],
+    ),
+    "text_bpe_merge_step": (
+        ["TakeOrderedAndProject(limit=10"],
+        ["CartesianProduct"],
+    ),
+    "influence_self_memorization": (
+        ["TakeOrderedAndProject(limit=20"],
+        ["CartesianProduct"],
+    ),
 }
 
 
