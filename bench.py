@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "influence_self_memorization",
     "curation_semantic_decontaminate",
     "rerank_cross_encoder_eval",
+    "events_bradley_terry",
 ]
 
 

@@ -489,3 +489,184 @@ def rerank_cross_encoder_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hits2").cast("double") / (n * _RR_K2), 6
         ).alias(f"p_at_{_RR_K2}_rerank"),
     )
+
+
+_BT_ITERS = 3
+
+
+def _bt_iteration_sql(t: int) -> str:
+    """One unrolled MM update: s'_i = round(W_i / sum_j m_ij/(s_i+s_j), 9),
+    then normalized to sum 1 — per-opponent terms rounded to 12 dp and
+    summed as DECIMAL so the 4-term fold is partition-order-proof."""
+    prev = f"s{t - 1}"
+    return f"""
+d{t} AS (
+  SELECT m.i,
+         CAST(CAST(SUM(CAST(round(m.m / (si.s + sj.s), 12)
+                            AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS den
+  FROM m JOIN {prev} si ON si.i = m.i JOIN {prev} sj ON sj.i = m.j
+  GROUP BY m.i
+), r{t} AS (
+  SELECT w.i, round(w.w / d{t}.den, 9) AS s
+  FROM w JOIN d{t} ON d{t}.i = w.i
+), z{t} AS (
+  SELECT CAST(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS z
+  FROM r{t}
+), s{t} AS (
+  SELECT i, round(s / z, 9) AS s FROM r{t} CROSS JOIN z{t}
+)"""
+
+
+@register(
+    "events_bradley_terry",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id, event_type,
+         SUM(CAST(value AS DECIMAL(20,10))) AS sv
+  FROM events GROUP BY user_id, event_type
+), duels AS (
+  SELECT a.event_type AS winner, b.event_type AS loser
+  FROM per a JOIN per b
+    ON b.user_id = a.user_id AND a.event_type != b.event_type
+  WHERE a.sv > b.sv
+), n AS (
+  SELECT winner, loser, COUNT(*) AS c FROM duels GROUP BY winner, loser
+), items AS (SELECT DISTINCT event_type AS i FROM per),
+m AS (
+  SELECT ii.i, jj.i AS j,
+         COALESCE((SELECT c FROM n WHERE winner = ii.i AND loser = jj.i), 0)
+         + COALESCE((SELECT c FROM n WHERE winner = jj.i AND loser = ii.i), 0)
+           AS m
+  FROM items ii JOIN items jj ON jj.i != ii.i
+), w AS (
+  SELECT ii.i,
+         CAST(COALESCE((SELECT SUM(c) FROM n WHERE winner = ii.i), 0)
+              AS DOUBLE) AS w
+  FROM items ii
+), s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM items),
+{",".join(_bt_iteration_sql(t) for t in range(1, _BT_ITERS + 1))}
+SELECT s.i AS event_type,
+       CAST(w.w AS BIGINT) AS wins,
+       s.s AS bt_rating,
+       CAST(ROW_NUMBER() OVER (ORDER BY s.s DESC, s.i) AS INT) AS rank
+FROM s{_BT_ITERS} s JOIN w ON w.i = s.i
+ORDER BY rank
+""",
+    description="Bradley-Terry preference strengths over the event "
+    "types: each user who spends strictly more on type A than type B "
+    "casts one A-beats-B duel, and three unrolled MM iterations "
+    "(Hunter 2004: s_i <- W_i / sum_j m_ij/(s_i+s_j), normalized each "
+    "round) turn the duel matrix into maximum-likelihood strengths — "
+    "the pairwise-comparison -> scalar-rating primitive behind RLHF "
+    "preference models and match-making ladders. Determinism: duel "
+    "counts are exact; each iteration rounds per-opponent terms to 12 "
+    "dp and folds them as DECIMAL (order-proof 4-term sums), ratings "
+    "snap to 9 dp per round. Shape: one per-(user, type) aggregate, "
+    "one within-user duel join, then every iteration runs on the "
+    "5-item domain — broadcast-scale forever; the rank window covers "
+    "5 rows (bounded domain, adjudicated).",
+    tags=("events", "stats", "llm", "preference"),
+)
+def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(20,10)")).alias("sv"))
+    )
+    a, b = per.alias("a"), per.alias("b")
+    duels = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") != F.col("b.event_type"))
+        & (F.col("a.sv") > F.col("b.sv")),
+    ).select(
+        F.col("a.event_type").alias("winner"),
+        F.col("b.event_type").alias("loser"),
+    )
+    # localCheckpoint the duel-count matrix (≤ items² rows): every MM
+    # iteration reads it, and an unbroken lineage would replay the
+    # within-user duel join once per iteration per consumer
+    n = (
+        duels.groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    items = per.select(F.col("event_type").alias("i")).distinct().localCheckpoint()
+    # symmetric duel counts m_ij (i != j), zero-filled over the item grid
+    grid = items.crossJoin(items.select(F.col("i").alias("j"))).filter(
+        F.col("i") != F.col("j")
+    )
+    m = (
+        grid.join(
+            n.select(
+                F.col("winner").alias("i"),
+                F.col("loser").alias("j"),
+                F.col("c").alias("c_ij"),
+            ),
+            ["i", "j"],
+            "left",
+        )
+        .join(
+            n.select(
+                F.col("loser").alias("i"),
+                F.col("winner").alias("j"),
+                F.col("c").alias("c_ji"),
+            ),
+            ["i", "j"],
+            "left",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.coalesce(F.col("c_ij"), F.lit(0))
+                + F.coalesce(F.col("c_ji"), F.lit(0))
+            ).alias("m"),
+        )
+    )
+    w = items.join(
+        n.groupBy(F.col("winner").alias("i")).agg(F.sum("c").alias("w")),
+        "i",
+        "left",
+    ).select("i", F.coalesce(F.col("w"), F.lit(0)).cast("double").alias("w"))
+    s = items.select("i", F.lit(1.0).alias("s"))
+    for _ in range(_BT_ITERS):
+        den = (
+            m.join(s.select(F.col("i"), F.col("s")), "i")
+            .join(
+                s.select(F.col("i").alias("j"), F.col("s").alias("sj")), "j"
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("m") / (F.col("s") + F.col("sj")), 12
+                    ).cast("decimal(24,12)")
+                )
+                .cast("double")
+                .alias("den")
+            )
+        )
+        r = w.join(den, "i").select(
+            "i", F.round(F.col("w") / F.col("den"), 9).alias("s")
+        )
+        z = r.agg(
+            F.sum(F.col("s").cast("decimal(18,9)")).cast("double").alias("z")
+        )
+        # item-count-sized state, truncated per round (the graph-loop rule)
+        s = (
+            r.crossJoin(F.broadcast(z))
+            .select("i", F.round(F.col("s") / F.col("z"), 9).alias("s"))
+            .localCheckpoint()
+        )
+    wr = Window.orderBy(F.desc("s"), F.col("i"))
+    return (
+        s.join(w, "i")
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("w").cast("bigint").alias("wins"),
+            F.col("s").alias("bt_rating"),
+            F.row_number().over(wr).cast("int").alias("rank"),
+        )
+        
+    )

@@ -31,6 +31,7 @@ FACT_QUERIES = [
     "agg_ks_two_sample",
     "agg_fisher_exact_2x2",
     "customer_rfm_segments",
+    "events_bradley_terry",
     "lineitem_abc_classification",
     "orders_abc_xyz_grid",
     "agg_mann_whitney_u",
