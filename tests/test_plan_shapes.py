@@ -230,6 +230,7 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
     "curation_epoch_apportionment": (1, "largest-remainder rank over the SOURCE domain"),
     "customer_survival_km": (2, "suffix-sum + KM product over the day-granular gap/event axes"),
     "events_autocorrelation": (1, "ACF over the fixed lag grid"),
+    "events_bradley_terry": (1, "final rank over the event-type item domain (5 ratings)"),
     "events_bootstrap_ci": (1, "rank over the FIXED bootstrap replicate count B"),
     "events_changepoint_binseg": (1, "prefix sums over the day-granular series"),
     "events_seasonal_decompose": (2, "seasonal index over the hour/day-of-week grid"),
