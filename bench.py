@@ -295,6 +295,9 @@ BENCH_QUERIES = [
     "curation_semantic_decontaminate",
     "rerank_cross_encoder_eval",
     "events_bradley_terry",
+    # round-9: RLHF pair construction + multi-judge agreement
+    "events_dpo_pairs",
+    "agg_krippendorff_alpha",
 ]
 
 

@@ -89,15 +89,16 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
     silently mis-reading: reader version 2 (column mapping) and the
     version-3 features this module actually implements (deletionVectors,
     columnMapping) pass; anything else raises with the feature named."""
-    if protocol is None:
-        return
     # liquid clustering (clusteredTable writer feature /
     # clusteringProvider table property) raises BY NAME regardless of
     # reader version: this module's maintenance paths (compact, ZORDER
     # optimize) are not clustering-aware, and proceeding would silently
     # ignore — or destroy on rewrite — the table's clustering contract.
+    # Checked BEFORE the protocol-None early exit: the configuration
+    # half needs only metadata, and a log whose metaData carries
+    # clusteringProvider without any protocol action must still refuse.
     cfg = ((metadata or {}).get("configuration") or {})
-    wfeats = set(protocol.get("writerFeatures") or [])
+    wfeats = set((protocol or {}).get("writerFeatures") or [])
     if "clusteringProvider" in cfg or "clusteredTable" in wfeats:
         raise ValueError(
             "unsupported Delta feature clusteredTable/clusteringProvider "
@@ -105,6 +106,8 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
             "ZORDER OPTIMIZE (optimize_zorder); refusing rather than "
             "reading without clustering awareness"
         )
+    if protocol is None:
+        return
     mrv = protocol.get("minReaderVersion", 1)
     if mrv <= 1:
         return
@@ -1405,7 +1408,10 @@ def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
     hit = (
         select_live(tagged)
         .select("__file", "__pos")
-        .collect()  # DV construction is metadata-scale, like the log
+        # driver-ok: DV construction — deleted positions are protocol
+        # metadata (the bitmap is driver-written), metadata-scale like
+        # the log itself
+        .collect()
     )
     new_by_file: dict[str, list[int]] = {}
     for r in hit:
@@ -1605,6 +1611,7 @@ def write_delta_partitioned_fixture(
     )
     langs = sorted(
         r[0]
+        # driver-ok: one row per lang — bounded enum domain, not rows
         for r in slim.select("lang").distinct().collect()
     )  # metadata-scale: one row per partition value
     actions: list[dict] = [

@@ -31,6 +31,17 @@ from news_ingestion_data_pipeline_spark.operators import avro_lite as AV
 _STATUS_DELETED = 2
 
 
+class IcebergCommitConflict(RuntimeError):
+    """A concurrent committer published a metadata version between this
+    writer's read of ``current_metadata`` and its exclusive-create
+    publish. The loser's ``new_meta`` was built from a STALE base —
+    republishing it at the next number would silently drop the winner's
+    snapshots (a lost update), so the commit refuses and the caller
+    must re-read and re-apply (the Delta twin's ``_commit`` rebase
+    discipline, ``tests/test_deltalog.py::
+    test_commit_exclusive_create_and_rebase``)."""
+
+
 def current_metadata(root: str) -> dict:
     """Parse the highest-versioned ``metadata/vN.metadata.json``."""
     mdir = os.path.join(root, "metadata")
@@ -51,33 +62,39 @@ def current_metadata(root: str) -> dict:
 
 def _write_metadata_exclusive(root: str, new_meta: dict) -> int:
     """Publish ``new_meta`` as the NEXT ``vN.metadata.json`` with
-    EXCLUSIVE create (mode 'x'), retrying at the next number on
-    FileExistsError — two concurrent publishers can race on the same N
-    but never silently clobber each other's commit (the Delta twin's
-    ``_commit`` exclusive-create discipline; every metadata publisher
-    in this module routes through here). Returns the version written."""
+    EXCLUSIVE create (mode 'x'). A FileExistsError means a concurrent
+    committer won the version number AFTER this writer read its base
+    metadata — ``new_meta`` is stale, and renumbering it would lose the
+    winner's snapshots — so the commit raises
+    :class:`IcebergCommitConflict` instead of silently clobbering (the
+    Delta twin's ``_commit`` exclusive-create + refuse-and-rebase
+    discipline; every metadata publisher in this module routes through
+    here). Returns the version written."""
     mdir = os.path.join(root, "metadata")
-    while True:
-        version = 1 + max(
-            (
-                int(n[1 : -len(".metadata.json")])
-                for n in os.listdir(mdir)
-                if n.startswith("v")
-                and n.endswith(".metadata.json")
-                and n[1 : -len(".metadata.json")].isdigit()
-            ),
-            default=0,
-        )
-        try:
-            with open(
-                os.path.join(mdir, f"v{version}.metadata.json"),
-                "x",
-                encoding="utf-8",
-            ) as fh:
-                json.dump(new_meta, fh)
-        except FileExistsError:
-            continue
-        return version
+    version = 1 + max(
+        (
+            int(n[1 : -len(".metadata.json")])
+            for n in os.listdir(mdir)
+            if n.startswith("v")
+            and n.endswith(".metadata.json")
+            and n[1 : -len(".metadata.json")].isdigit()
+        ),
+        default=0,
+    )
+    try:
+        with open(
+            os.path.join(mdir, f"v{version}.metadata.json"),
+            "x",
+            encoding="utf-8",
+        ) as fh:
+            json.dump(new_meta, fh)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"metadata v{version} was published concurrently under "
+            f"{root} — this commit's base is stale; re-read "
+            "current_metadata and re-apply the mutation"
+        ) from None
+    return version
 
 
 def _check_format_version(meta: dict, max_supported: int = 2) -> None:
@@ -144,8 +161,13 @@ def snapshot_files(
                 continue
             n_total += 1
             part = e["data_file"].get("partition") or {}
+            # conservative rule, shared with the Delta twin
+            # (read_delta_partition_pruned): a file whose partition
+            # record carries NO value for a filtered field is KEPT —
+            # pruning only ever acts on a recorded non-matching value,
+            # never on data it can't judge.
             if partition_filter and any(
-                part.get(k) not in allowed
+                k in part and part[k] not in allowed
                 for k, allowed in partition_filter.items()
             ):
                 continue
@@ -482,7 +504,8 @@ def write_iceberg_fixture(
     slim = docs.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
     )
-    # metadata-scale: one row per partition value
+    # driver-ok: metadata-scale — one row per lang partition value
+    # (bounded enum domain, never per data row)
     lang_counts = {
         r["lang"]: r["n"]
         for r in slim.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -609,7 +632,10 @@ def write_iceberg_rename_fixture(
     A correct reader must resolve file-a's physical ``n_chars`` to the
     current name ``char_count`` by id — a name-based read would drop or
     misplace the column. Files are written with pyarrow so the parquet
-    footers carry real field ids (``docs`` is the bounded 500-row dim).
+    footers carry real field ids. ``docs`` is SF-proportional, so the
+    fixture bounds it to the FIRST 500 doc_ids (deterministic: doc_id
+    is unique) before the driver-side materialization — the oracle SQL
+    of every query over this fixture applies the same bound.
     Returns (snapshot_id_1, snapshot_id_2)."""
     import shutil
 
@@ -619,7 +645,14 @@ def write_iceberg_rename_fixture(
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(os.path.join(root, "data"))
     os.makedirs(os.path.join(root, "metadata"))
-    pdf = docs.select("doc_id", "lang", "n_chars").toPandas()
+    # bounded driver-side materialization: ≤500 rows × 3 narrow columns
+    # regardless of SF (hygiene-adjudicated fixture construction)
+    pdf = (
+        docs.select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(500)
+        .toPandas()
+    )
 
     def _field(name: str, typ, fid: int):
         return pa.field(
@@ -937,6 +970,8 @@ def write_iceberg_hidden_partition_fixture(
     slim = docs.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
     ).withColumn("pv", F.col("n_chars") - F.col("n_chars") % 100)
+    # driver-ok: one row per truncate[100] bucket of n_chars — bounded
+    # by the value domain (document length), never by row count
     pvs = sorted(r[0] for r in slim.select("pv").distinct().collect())
     from news_ingestion_data_pipeline_spark.operators.deltalog import (
         _write_single_parquet,
@@ -2479,6 +2514,8 @@ def write_iceberg_v3_dv_fixture(
     # positions (row ordinals in doc_id order) of the rows the DV kills;
     # bounded by the deleted-row count — the same metadata-scale cost as
     # Delta's DV encode
+    # driver-ok: DV encode — deleted positions are protocol metadata
+    # (driver-written bitmap), bounded by the deleted-row count
     pos_rows = (
         slim.select(
             F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
@@ -2739,6 +2776,8 @@ def append_dv_delete(
             & (live["__pos"] == dels["pos"]),
             "left_anti",
         )
+    # driver-ok: DV encode — positions of newly deleted rows are
+    # protocol metadata (driver-written bitmap)
     new_pos = (
         live.filter(condition)
         .select(
@@ -3017,7 +3056,11 @@ def write_iceberg_v3_default_values_fixture(
     A correct reader must resolve file-a's missing field 4 to the
     string ``legacy`` — NOT null: that is precisely what
     initial-default changes about column projection. Files carry real
-    parquet field ids (pyarrow writer). Returns (snap_1, snap_2)."""
+    parquet field ids (pyarrow writer). ``docs`` is SF-proportional,
+    so the fixture bounds it to the FIRST 500 doc_ids (deterministic:
+    doc_id is unique) before the driver-side materialization — the
+    oracle SQL over this fixture applies the same bound.
+    Returns (snap_1, snap_2)."""
     import shutil
 
     import pyarrow as pa
@@ -3026,7 +3069,14 @@ def write_iceberg_v3_default_values_fixture(
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(os.path.join(root, "data"))
     os.makedirs(os.path.join(root, "metadata"))
-    pdf = docs.select("doc_id", "lang", "n_chars").toPandas()
+    # bounded driver-side materialization: ≤500 rows × 3 narrow columns
+    # regardless of SF (hygiene-adjudicated fixture construction)
+    pdf = (
+        docs.select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(500)
+        .toPandas()
+    )
 
     def _field(name: str, typ, fid: int):
         return pa.field(
@@ -3393,6 +3443,26 @@ def rewrite_data_files(
     n_before = len(old)
     prev = meta["current-snapshot-id"]
     snap_id = prev + 1
+    # Derive the manifest partition schema from the RECORDED partition
+    # fields: hard-coding {lang} here would silently drop another
+    # spec's partition values (e.g. the nc_trunc hidden-partition
+    # layout), after which snapshot_files' partition pruning skips the
+    # compacted files entirely — the data-loss mode this rewrite exists
+    # to avoid. Avro types come from the recorded values themselves.
+    part_fields = sorted({k for _, p in old for k in p})
+    part_type: dict[str, str] = {}
+    for k in part_fields:
+        vals = [p[k] for _, p in old if p.get(k) is not None]
+        part_type[k] = (
+            "long"
+            if vals and isinstance(vals[0], int) and not isinstance(vals[0], bool)
+            else "double" if vals and isinstance(vals[0], float)
+            else "string"
+        )
+    man_schema = json.loads(json.dumps(_MANIFEST_SCHEMA))
+    man_schema["fields"][2]["type"]["fields"][2]["type"]["fields"] = [
+        {"name": k, "type": ["null", part_type[k]]} for k in part_fields
+    ]
 
     def _entry(status: int, snap: int, path: str, n: int, part: dict) -> dict:
         return {
@@ -3401,7 +3471,7 @@ def rewrite_data_files(
             "data_file": {
                 "file_path": path,
                 "file_format": "PARQUET",
-                "partition": {"lang": part.get("lang")},
+                "partition": {k: part.get(k) for k in part_fields},
                 "record_count": n,
                 "file_size_in_bytes": os.path.getsize(
                     os.path.join(root, path)
@@ -3433,7 +3503,7 @@ def rewrite_data_files(
         entries.append(_entry(1, snap_id, name, n_rows, g["partition"]))
     m_name = f"m-compact-{snap_id}.avro"
     AV.write_container(
-        os.path.join(root, "metadata", m_name), _MANIFEST_SCHEMA, entries
+        os.path.join(root, "metadata", m_name), man_schema, entries
     )
     mlist = f"snap-compact-{snap_id}.avro"
     AV.write_container(
@@ -3726,6 +3796,9 @@ def rewrite_position_deletes_to_dvs(
     positions: dict[str, set[int]] = {}
     n_pos = 0
     if pos_files:
+        # driver-ok: positional-delete file contents are protocol
+        # metadata, bounded by the table's delete count — the same
+        # driver-side resolution production readers do before planning
         for r in (
             spark.read.parquet(*pos_files)
             .select("file_path", "pos")

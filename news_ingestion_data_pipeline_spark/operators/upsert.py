@@ -522,6 +522,8 @@ def upsert_partitioned(
         partition_col, F.col(partition_col).cast("string")
     )
     affected = sorted(
+        # driver-ok: distinct partition values — bounded partition
+        # domain (one row per touched partition, never per data row)
         r[0] for r in updates.select(partition_col).distinct().collect()
     )
     for v in affected:

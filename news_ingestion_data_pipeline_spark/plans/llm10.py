@@ -207,7 +207,9 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rel"), "vec_id")
         .limit(20)
     )
-    cand = cand_df.collect()  # 20 rows: the greedy pool is driver-side
+    # driver-ok: 20 rows — cand_df carries .limit(20); the greedy MMR
+    # pool is deliberately driver-side
+    cand = cand_df.collect()
 
     import math
 

@@ -101,6 +101,7 @@ def storage_point_lookup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("k"), "file_no"
     ).localCheckpoint(eager=True)
 
+    # driver-ok: single-row probe by unique doc_id
     probe_key = (
         docs.filter(F.col("doc_id") == _PROBE_ID)
         .select(F.md5("text").alias("k"))
@@ -109,6 +110,8 @@ def storage_point_lookup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files = sorted(
         r.file_no
+        # driver-ok: bounded by the layout's file count (fixed fan-out),
+        # never by row count
         for r in index.filter(F.col("k") == probe_key)
         .select("file_no")
         .distinct()

@@ -170,6 +170,7 @@ def scan_binary_files_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(outdir, exist_ok=True)
     ids = [
         r["doc_id"]
+        # driver-ok: ≤50 fixture doc ids (doc_id < 50 filter)
         for r in t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 50)
         .select("doc_id")

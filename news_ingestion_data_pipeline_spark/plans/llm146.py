@@ -186,6 +186,18 @@ def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
         .localCheckpoint()
     )
+    # guard: the pairwise slope table is quadratic in MONTHLY BUCKETS,
+    # not rows (36 months -> 630 pairs; 100 years -> ~719k pairs, still
+    # one executor's sort). Fail loudly rather than silently serialize
+    # the adjudicated global rank if a fixture ever spans centuries.
+    n_months = series.count()
+    if n_months > 1200:
+        raise ValueError(
+            f"agg_theil_sen_trend: {n_months} monthly buckets -> "
+            f"~{n_months * (n_months - 1) // 2:,} pairwise slopes in a "
+            "single-partition rank; decompose onto operators/ranking.py "
+            "helpers before running a span this long"
+        )
     a, b = series.alias("a"), series.alias("b")
     slopes = a.join(b, F.col("a.tday") < F.col("b.tday")).select(
         (

@@ -86,16 +86,18 @@ def scan_delta_deletion_vectors(
 @register(
     "scan_iceberg_field_id_rename",
     oracle="""
-WITH a1 AS (
+WITH docs500 AS (
+  SELECT * FROM documents ORDER BY doc_id LIMIT 500
+), a1 AS (
   SELECT 1 AS version, lang,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+  FROM docs500 WHERE doc_id % 2 = 0 GROUP BY lang
 ), a2 AS (
   SELECT 2 AS version, lang,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-  FROM documents GROUP BY lang
+  FROM docs500 GROUP BY lang
 )
 SELECT * FROM a1 UNION ALL SELECT * FROM a2
 """,
@@ -538,10 +540,13 @@ def pipeline_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_iceberg_incremental",
     oracle="""
+WITH docs500 AS (
+  SELECT * FROM documents ORDER BY doc_id LIMIT 500
+)
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-FROM documents WHERE doc_id % 2 = 1
+FROM docs500 WHERE doc_id % 2 = 1
 GROUP BY lang
 """,
     description="Iceberg incremental append scan: rows ADDED between "

@@ -117,15 +117,18 @@ def _defaults_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
 @register(
     "scan_iceberg_default_values",
     oracle="""
-WITH pre AS (
-  SELECT lang, n_chars FROM documents WHERE lang <> 'fr'
+WITH docs500 AS (
+  SELECT * FROM documents ORDER BY doc_id LIMIT 500
+),
+pre AS (
+  SELECT lang, n_chars FROM docs500 WHERE lang <> 'fr'
 ),
 cur AS (
   SELECT lang, 'legacy' AS tier, n_chars FROM pre
   UNION ALL
   SELECT lang, CASE WHEN n_chars >= 600 THEN 'standard' ELSE 'short' END,
          n_chars
-  FROM documents WHERE lang = 'fr'
+  FROM docs500 WHERE lang = 'fr'
 ),
 a1 AS (
   SELECT 1 AS version, lang, '(schema-0)' AS tier,

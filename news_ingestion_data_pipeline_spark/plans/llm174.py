@@ -335,12 +335,7 @@ def curation_semantic_decontaminate(
         "eval_id",
         F.round(V.cosine(F.col("tv"), F.col("ev")), 6).alias("c"),
     )
-    best = sims.groupBy("train_id").agg(
-        F.max("c").alias("max_cos"),
-        F.min_by(
-            F.struct(F.col("c").alias("_c"), F.col("eval_id")), -F.col("c")
-        ).getField("eval_id").alias("_drop"),
-    )
+    best = sims.groupBy("train_id").agg(F.max("c").alias("max_cos"))
     # deterministic argmax with min-eval-id tiebreak: re-join on the max
     arg = (
         sims.join(
@@ -517,9 +512,11 @@ d{t} AS (
 )"""
 
 
-@register(
-    "events_bradley_terry",
-    oracle=f"""
+#: shared CTE prefix: per-(user,type) decimal spend, duels, the duel
+#: matrix, win totals, and the unrolled MM iterations ending at
+#: s{_BT_ITERS} — reused verbatim by events_dpo_pairs (llm175) so the
+#: pair construction replays the SAME ratings the BT query publishes.
+_BT_CTES = f"""
 WITH per AS (
   SELECT user_id, event_type,
          SUM(CAST(value AS DECIMAL(20,10))) AS sv
@@ -544,7 +541,12 @@ m AS (
               AS DOUBLE) AS w
   FROM items ii
 ), s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM items),
-{",".join(_bt_iteration_sql(t) for t in range(1, _BT_ITERS + 1))}
+{",".join(_bt_iteration_sql(t) for t in range(1, _BT_ITERS + 1))}"""
+
+
+@register(
+    "events_bradley_terry",
+    oracle=f"""{_BT_CTES}
 SELECT s.i AS event_type,
        CAST(w.w AS BIGINT) AS wins,
        s.s AS bt_rating,

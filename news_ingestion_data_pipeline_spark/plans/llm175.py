@@ -1,0 +1,268 @@
+"""Round-9 wave: RLHF/eval-direction primitives on top of the round-8
+preference machinery.
+
+* events_dpo_pairs — DPO/RLHF preference-PAIR construction: each
+  user's strict within-user spend preferences become (chosen,
+  rejected) candidate pairs, kept only when the GLOBAL Bradley-Terry
+  reward model (events_bradley_terry's ratings, replayed exactly)
+  agrees by at least a margin threshold — the standard recipe for
+  turning raw pairwise evidence into a DPO training set (local
+  preference + reward-margin filter).
+* agg_krippendorff_alpha — judge-agreement with MISSING ratings:
+  Krippendorff's nominal alpha over (unit=user, judge=event_type)
+  quality categories, where a judge abstains below a minimum evidence
+  count — the multi-rater generalization of agg_cohens_kappa (llm88),
+  which handles >2 judges and incomplete rating matrices, the
+  agreement statistic used to audit LLM-judge panels.
+
+Reference parity note: the reference pipeline (NeerajBassi/
+news_ingestion_data_pipeline) has no analytics beyond top-N
+(database_utils/database_methods.py:108-125); this family is part of
+the LLM-training-data surface the driver contract demands.
+
+Determinism: per-(user,type) spends fold as DECIMAL(20,10) (exact);
+category thresholds compare sv < k*c in decimal (never the double
+average); Bradley-Terry margins compare as exact integer NANOS of the
+9-dp ratings; alpha's only non-integer fold (per-unit agree-pair
+density, denominator <= judges-1) rounds to 12 dp and sums as DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.plans.llm174 import _BT_CTES, _BT_ITERS
+from news_ingestion_data_pipeline_spark.plans.registry import (
+    REGISTRY,
+    register,
+    t,
+)
+
+#: minimum global reward-model margin for a kept pair, in nanos of the
+#: 9-dp Bradley-Terry rating (0.02 — between the ~0.004 adjacent-rank
+#: noise and the ~0.04 top-vs-bottom spread at the test SFs)
+_DPO_MARGIN_NANOS = 20_000_000
+
+
+@register(
+    "events_dpo_pairs",
+    oracle=f"""{_BT_CTES},
+ratings AS (
+  SELECT i AS event_type,
+         CAST(CAST(s AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS rn
+  FROM s{_BT_ITERS}
+),
+pairs AS (
+  SELECT a.user_id, a.event_type AS chosen, b.event_type AS rejected,
+         a.sv - b.sv AS um
+  FROM per a JOIN per b
+    ON b.user_id = a.user_id AND a.event_type != b.event_type
+  WHERE a.sv > b.sv
+)
+SELECT p.user_id, p.chosen, p.rejected,
+       CAST(p.um AS DOUBLE) AS user_margin,
+       CAST(rc.rn - rr.rn AS DOUBLE) / 1000000000.0 AS reward_margin
+FROM pairs p
+JOIN ratings rc ON rc.event_type = p.chosen
+JOIN ratings rr ON rr.event_type = p.rejected
+WHERE rc.rn - rr.rn >= {_DPO_MARGIN_NANOS}
+""",
+    description="DPO preference-pair construction from the Bradley-"
+    "Terry reward model: every user who spends strictly more on type A "
+    "than type B contributes a candidate (chosen=A, rejected=B) pair, "
+    "and a pair survives only when the GLOBAL ratings "
+    "(events_bradley_terry's MM fixed point, replayed exactly) agree "
+    "by >= 0.02 — local pairwise evidence filtered through the fitted "
+    "reward margin, exactly how raw human comparisons become a DPO/"
+    "RLHF training set (chosen, rejected, margin). Determinism: spends "
+    "are DECIMAL-exact, the margin threshold compares integer NANOS of "
+    "the 9-dp ratings (no double-vs-decimal promotion at the "
+    "boundary). Shape: one within-user self-join (shuffle on user_id), "
+    "then two broadcast joins against the 5-row rating table — the "
+    "rating fit itself is broadcast-scale forever.",
+    tags=("events", "llm", "preference", "curation"),
+)
+def events_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratings = (
+        REGISTRY["events_bradley_terry"]
+        .fn(spark, sf_dir)
+        .select(
+            "event_type",
+            (F.col("bt_rating").cast("decimal(18,9)") * 1000000000)
+            .cast("bigint")
+            .alias("rn"),
+        )
+    )
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(20,10)")).alias("sv"))
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") != F.col("b.event_type"))
+        & (F.col("a.sv") > F.col("b.sv")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("chosen"),
+        F.col("b.event_type").alias("rejected"),
+        (F.col("a.sv") - F.col("b.sv")).alias("um"),
+    )
+    rc = ratings.select(
+        F.col("event_type").alias("chosen"), F.col("rn").alias("rn_c")
+    )
+    rr = ratings.select(
+        F.col("event_type").alias("rejected"), F.col("rn").alias("rn_r")
+    )
+    return (
+        pairs.join(F.broadcast(rc), "chosen")
+        .join(F.broadcast(rr), "rejected")
+        .filter(F.col("rn_c") - F.col("rn_r") >= _DPO_MARGIN_NANOS)
+        .select(
+            "user_id",
+            "chosen",
+            "rejected",
+            F.col("um").cast("double").alias("user_margin"),
+            (
+                (F.col("rn_c") - F.col("rn_r")).cast("double")
+                / F.lit(1000000000.0)
+            ).alias("reward_margin"),
+        )
+    )
+
+
+#: a judge (event_type) rates a unit (user) only with >= this many
+#: observations — the abstention that makes the rating matrix
+#: INCOMPLETE, which is what alpha handles and kappa cannot
+_KA_MIN_OBS = 10
+#: nominal quality categories on the judge's per-unit average value,
+#: compared as exact decimals (sv < k*c), never the double average
+_KA_LO, _KA_HI = 45, 55
+
+
+@register(
+    "agg_krippendorff_alpha",
+    oracle=f"""
+WITH cell AS (
+  SELECT user_id, event_type, COUNT(*) AS c,
+         SUM(CAST(value AS DECIMAL(20,10))) AS sv
+  FROM events GROUP BY user_id, event_type
+), rated AS (
+  SELECT user_id,
+         CASE WHEN sv < {_KA_LO} * c THEN 'low'
+              WHEN sv < {_KA_HI} * c THEN 'mid'
+              ELSE 'high' END AS cat
+  FROM cell WHERE c >= {_KA_MIN_OBS}
+), uc AS (
+  SELECT user_id, cat, COUNT(*) AS nuc FROM rated GROUP BY user_id, cat
+), um AS (
+  SELECT user_id, SUM(nuc) AS mu, SUM(nuc * (nuc - 1)) AS agree_pairs
+  FROM uc GROUP BY user_id
+), pairable AS (SELECT * FROM um WHERE mu >= 2),
+odiag AS (
+  SELECT CAST(CAST(SUM(CAST(round(agree_pairs / (mu - 1), 12)
+                            AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS od
+  FROM pairable
+), nc AS (
+  SELECT uc.cat, SUM(uc.nuc) AS nc
+  FROM uc JOIN pairable p ON p.user_id = uc.user_id
+  GROUP BY uc.cat
+), tot AS (
+  SELECT CAST(SUM(nc) AS BIGINT) AS n,
+         CAST(SUM(nc * nc) AS BIGINT) AS s2,
+         COUNT(*) AS ncat
+  FROM nc
+)
+SELECT CAST((SELECT COUNT(*) FROM pairable) AS BIGINT) AS n_units,
+       CAST(tot.n AS BIGINT) AS n_ratings,
+       CAST(tot.ncat AS BIGINT) AS n_categories,
+       round((CAST(tot.n AS DOUBLE) - odiag.od) / CAST(tot.n AS DOUBLE),
+             6) AS observed_disagreement,
+       round((CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+              - CAST(tot.s2 AS DOUBLE))
+             / (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) - 1)),
+             6) AS expected_disagreement,
+       round(1 - ((CAST(tot.n AS DOUBLE) - odiag.od)
+                  / CAST(tot.n AS DOUBLE))
+               / ((CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                   - CAST(tot.s2 AS DOUBLE))
+                  / (CAST(tot.n AS DOUBLE)
+                     * (CAST(tot.n AS DOUBLE) - 1))),
+             6) AS krippendorff_alpha
+FROM tot CROSS JOIN odiag
+""",
+    description="Krippendorff's nominal alpha over an INCOMPLETE "
+    "multi-judge rating matrix: each event_type 'judges' each user "
+    "with a low/mid/high category of its per-user average value "
+    "(decimal-exact sv < k*c comparison), abstaining below "
+    f"{_KA_MIN_OBS} observations — so units have varying judge counts, "
+    "the case Cohen's kappa (agg_cohens_kappa) cannot score. alpha = "
+    "1 - D_o/D_e from the coincidence matrix in closed form: the "
+    "diagonal mass is sum_u sum_c n_uc(n_uc-1)/(m_u-1) (per-unit term "
+    "rounded to 12 dp, folded as DECIMAL — denominator bounded by "
+    "judges-1), marginals and n are exact integers, and both "
+    "disagreements are single IEEE expressions over 1-row frames — "
+    "the agreement statistic used to audit LLM-judge panels. Shape: "
+    "two corpus-sized groupBys (user,type then user,cat); everything "
+    "after is per-unit bounded by the 5-judge domain.",
+    tags=("agg", "stats", "eval", "llm"),
+)
+def agg_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast("decimal(20,10)")).alias("sv"),
+        )
+    )
+    rated = cell.filter(F.col("c") >= _KA_MIN_OBS).select(
+        "user_id",
+        F.when(F.col("sv") < F.lit(_KA_LO) * F.col("c"), "low")
+        .when(F.col("sv") < F.lit(_KA_HI) * F.col("c"), "mid")
+        .otherwise("high")
+        .alias("cat"),
+    )
+    uc = rated.groupBy("user_id", "cat").agg(F.count(F.lit(1)).alias("nuc"))
+    um = uc.groupBy("user_id").agg(
+        F.sum("nuc").alias("mu"),
+        F.sum(F.col("nuc") * (F.col("nuc") - 1)).alias("agree_pairs"),
+    )
+    pairable = um.filter(F.col("mu") >= 2)
+    odiag = pairable.agg(
+        F.sum(
+            F.round(
+                F.col("agree_pairs") / (F.col("mu") - 1), 12
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("od"),
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+    )
+    nc = (
+        uc.join(pairable.select("user_id"), "user_id")
+        .groupBy("cat")
+        .agg(F.sum("nuc").alias("nc"))
+    )
+    tot = nc.agg(
+        F.sum("nc").cast("bigint").alias("n"),
+        F.sum(F.col("nc") * F.col("nc")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("ncat"),
+    )
+    nD = F.col("n").cast("double")
+    d_o = (nD - F.col("od")) / nD
+    d_e = (nD * nD - F.col("s2").cast("double")) / (nD * (nD - F.lit(1.0)))
+    return (
+        tot.crossJoin(F.broadcast(odiag))
+        .select(
+            F.col("n_units"),
+            F.col("n").alias("n_ratings"),
+            F.col("ncat").alias("n_categories"),
+            F.round(d_o, 6).alias("observed_disagreement"),
+            F.round(d_e, 6).alias("expected_disagreement"),
+            F.round(F.lit(1.0) - d_o / d_e, 6).alias("krippendorff_alpha"),
+        )
+    )

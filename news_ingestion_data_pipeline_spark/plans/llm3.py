@@ -60,6 +60,7 @@ def sim_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     query_rows = [
         (r["vec_id"], list(r["embedding"]))
+        # driver-ok: ≤10 probe queries (vec_id < 10 filter)
         for r in emb.filter(F.col("vec_id") < 10)
         .select("vec_id", "embedding")
         .collect()

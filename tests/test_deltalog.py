@@ -1214,3 +1214,33 @@ def test_liquid_clustering_refused_by_name(tmp_path):
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(ValueError, match="clusteringProvider"):
         DL.read_delta(spark=None, root=root2)
+
+
+def test_liquid_clustering_refused_without_protocol_action(tmp_path):
+    """The clustering gate fires even when the log carries NO protocol
+    action (or the caller passes protocol=None): the configuration half
+    of the signal needs only metadata, so the by-name refusal must not
+    sit behind the protocol-None early exit."""
+    meta = {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet"},
+            "schemaString": json.dumps({"type": "struct", "fields": []}),
+            "partitionColumns": [],
+            "configuration": {"clusteringProvider": "liquid"},
+        }
+    }
+    root = str(tmp_path / "tbl_noproto")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        for a in (meta, _add("a.parquet")):
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="clusteringProvider"):
+        DL.read_delta(spark=None, root=root)
+    # direct call with protocol=None must also refuse
+    with pytest.raises(ValueError, match="clusteringProvider"):
+        DL._check_protocol(None, meta["metaData"])

@@ -1066,3 +1066,77 @@ def test_metadata_publish_exclusive_create(tmp_path):
     # the racer's v2 is untouched; ours landed at v3
     assert json.load(open(racing, encoding="utf-8"))["marker"] == "racer"
     assert os.path.exists(os.path.join(root, "metadata", "v3.metadata.json"))
+
+
+def test_metadata_publish_conflict_raises(tmp_path, monkeypatch):
+    """A racer landing BETWEEN the version listing and the exclusive
+    create means this commit's base metadata is stale — republishing it
+    at the next number would lose the racer's snapshots, so the publish
+    must refuse (IcebergCommitConflict), never renumber."""
+    root = _mk_iceberg(tmp_path, {1: [(1, "data/a.parquet")]})
+    meta = IB.current_metadata(root)
+    mdir = os.path.join(root, "metadata")
+    real_listdir = os.listdir
+
+    def stale_listdir(path):
+        names = real_listdir(path)
+        if os.path.abspath(path) == os.path.abspath(mdir):
+            return [n for n in names if n != "v2.metadata.json"]
+        return names
+
+    # the racer's v2 exists but the loser's listing predates it
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump({"format-version": 2, "marker": "racer"}, fh)
+    monkeypatch.setattr(os, "listdir", stale_listdir)
+    with pytest.raises(IB.IcebergCommitConflict, match="stale"):
+        IB._write_metadata_exclusive(root, dict(meta))
+    # the racer's commit is untouched and no v3 was published
+    monkeypatch.undo()
+    assert json.load(open(os.path.join(mdir, "v2.metadata.json")))[
+        "marker"
+    ] == "racer"
+    assert not os.path.exists(os.path.join(mdir, "v3.metadata.json"))
+
+
+def test_rewrite_data_files_nonlang_partition(spark, tmp_path):
+    """Compaction over a table partitioned on a NON-lang field must
+    carry the recorded partition values into the compacted manifest
+    (derived schema), so post-compaction partition pruning still
+    resolves — a lang-only hard-coded manifest would record NULLs and
+    snapshot_files would prune the compacted files to zero."""
+    docs = spark.createDataFrame(
+        [(i, "en", 350 + 100 * (i % 3), f"t{i}") for i in range(12)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "rewrite_trunc")
+    IB.write_iceberg_hidden_partition_fixture(spark, docs, root)
+    before = sorted(map(tuple, IB.read_iceberg(spark, root).collect()))
+    snap, n_before, n_after = IB.rewrite_data_files(spark, root)
+    assert n_before == 3 and n_after == 3  # one file per nc_trunc bucket
+    after = sorted(map(tuple, IB.read_iceberg(spark, root).collect()))
+    assert after == before
+    # partition pruning on the compacted layout still works: n_chars
+    # takes 350/450/550 -> truncate[100] buckets 300/400/500, so bucket
+    # 400 holds exactly the doc_id % 3 == 1 rows
+    files, n_live = IB.snapshot_files(
+        root, partition_filter={"nc_trunc": {400}}
+    )
+    assert len(files) == 1 and n_live == 3
+    got = IB.read_iceberg(
+        spark, root, partition_filter={"nc_trunc": {400}}
+    )
+    assert sorted(r.doc_id for r in got.collect()) == [1, 4, 7, 10]
+
+
+def test_snapshot_files_keeps_files_missing_partition_value(tmp_path):
+    """Pruning must never drop a file it can't judge: an entry whose
+    partition record carries NO value for the filtered field is KEPT
+    (the Delta read_delta_partition_pruned rule, now shared) — only a
+    recorded non-matching value prunes."""
+    root = _mk_iceberg(tmp_path, {1: [(1, "data/a.parquet")]})
+    # filter on a field the manifest never recorded -> file kept
+    files, n_total = IB.snapshot_files(root, partition_filter={"day": {"x"}})
+    assert len(files) == 1 and n_total == 1
+    # a recorded NULL value still prunes against a non-null allow-set
+    files2, _ = IB.snapshot_files(root, partition_filter={"lang": {"en"}})
+    assert files2 == []

@@ -173,6 +173,18 @@ QUERIES = [
     "events_stratified_att",
     "events_out_of_order_profile",
     "agg_fisher_exact_2x2",
+    # round-9: the remaining r8 rewrites, enrolled from the one-off
+    # tools/r8_smoke.py so their 0.9-2.3x evidence re-measures every round
+    "customer_rfm_segments",
+    "events_bradley_terry",
+    "lineitem_abc_classification",
+    "orders_abc_xyz_grid",
+    "agg_mann_whitney_u",
+    "agg_conformal_interval",
+    "events_peak_concurrency",
+    # round-9 new family (events-driven)
+    "events_dpo_pairs",
+    "agg_krippendorff_alpha",
 ]
 
 
@@ -199,6 +211,19 @@ DOC_QUERIES = [
     # round-8 global-window decompositions (documents side)
     "curation_quantile_normalize",
     "text_textrank_keywords",
+    # round-9: enrolled from the one-off tools/r8_smoke.py — the r8
+    # rewrites and the r8-new embeddings family (the 8x docs fixture's
+    # per-copy orthogonal transform preserves within-copy dot geometry)
+    "curation_quality_token_tradeoff",
+    "curation_pack_sequences",
+    "text_vocab_coverage",
+    "curation_dataset_card",
+    "agg_approx_top_k",
+    "text_bpe_merge_step",
+    "influence_tracin_proponents",
+    "influence_self_memorization",
+    "curation_semantic_decontaminate",
+    "rerank_cross_encoder_eval",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
