@@ -295,13 +295,16 @@ BENCH_QUERIES = [
     "curation_semantic_decontaminate",
     "rerank_cross_encoder_eval",
     "events_bradley_terry",
-    # round-9: RLHF pair construction + multi-judge agreement
+    # round-9: RLHF pair construction + multi-judge agreement + evals
     "events_dpo_pairs",
     "agg_krippendorff_alpha",
+    "eval_pass_at_k",
+    "eval_reward_calibration_ece",
 ]
 
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
 
 
 def run_query(spark, name: str, sf_dir: str) -> tuple[float, bool]:
@@ -344,6 +347,14 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, bool]:
     # otherwise idle box). Best-of-two on anything slow enough to matter
     # bounds that noise without re-running the cheap majority.
     if sec > 3.0:
+        sec = min(sec, timed())
+    # SPARK_GRAFT_BENCH_REPEATS=N (default 1): min-of-N timed runs per
+    # query — the fallback measurement mode for a box under BURSTY
+    # hypervisor steal, where any single pass is contaminated somewhere
+    # but each query gets at least one clean window across N passes.
+    # The artifact records the mode (meta["repeats"]), so cross-round
+    # ratio readers know min-of-N numbers are being compared.
+    for _ in range(_REPEATS - 1):
         sec = min(sec, timed())
     return sec, warm
 
@@ -394,6 +405,7 @@ def main() -> None:
         # jiffies / 100): nonzero-large means the run was throttled
         # by the host and over-reads every timing
         "cpu_steal_sec": round((_steal_jiffies() - steal0) / 100, 1),
+        "repeats": _REPEATS,
     }
     # Full per-query detail goes to a repo file; the stdout one-liner must
     # fit the driver's 2000-char tail buffer or it records parsed: null

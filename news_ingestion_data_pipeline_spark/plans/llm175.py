@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from news_ingestion_data_pipeline_spark.plans.llm174 import _BT_CTES, _BT_ITERS
+from news_ingestion_data_pipeline_spark.plans.llm174 import (
+    _BT_CTES,
+    _BT_ITERS,
+    _G_SQL,
+    _T_CHECKPOINTS,
+    _g_frame,
+)
 from news_ingestion_data_pipeline_spark.plans.registry import (
     REGISTRY,
     register,
@@ -264,5 +270,219 @@ def agg_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(d_o, 6).alias("observed_disagreement"),
             F.round(d_e, 6).alias("expected_disagreement"),
             F.round(F.lit(1.0) - d_o / d_e, 6).alias("krippendorff_alpha"),
+        )
+    )
+
+
+#: pass@k success threshold on the event value and the k grid
+_PK_THRESH = 90
+_PK_KS = (1, 5, 10)
+
+
+def _pass_at_k_product_sql(k: int) -> str:
+    """1 - prod_{i=0..k-1} (n-c-i)/(n-i), left-associated explicitly so
+    Spark and DuckDB run the identical IEEE op sequence."""
+    terms = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / (n - {i}))" for i in range(k)
+    )
+    return f"CASE WHEN n - c < {k} THEN CAST(1.0 AS DOUBLE) ELSE 1.0 - {terms} END"
+
+
+@register(
+    "eval_pass_at_k",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id, COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE value >= {_PK_THRESH}) AS c
+  FROM events GROUP BY user_id
+),
+scored AS (
+  {" UNION ALL ".join(
+      f'''SELECT {k} AS k,
+         CAST(round({_pass_at_k_product_sql(k)}, 12)
+              AS DECIMAL(24,12)) AS p
+      FROM per'''
+      for k in _PK_KS
+  )}
+)
+SELECT k,
+       CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       round(CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+         AS pass_at_k
+FROM scored GROUP BY k
+""",
+    description="pass@k over (task=user, attempt=event, success=value "
+    f">= {_PK_THRESH}): the unbiased estimator 1 - C(n-c,k)/C(n,k) "
+    "(Chen et al. 2021, 'Evaluating Large Language Models Trained on "
+    "Code') per task, averaged — THE metric for best-of-N sampling "
+    "and RLHF candidate pools. The binomial ratio is evaluated as the "
+    "explicit left-associated product of k falling-factorial terms "
+    "(never lgamma/exp-sum-ln — libm-free, so Spark and DuckDB run "
+    "the identical IEEE sequence), rounded to 12 dp per task and "
+    "folded as DECIMAL. Tasks with n-c < k score exactly 1. Shape: "
+    "one corpus-sized groupBy(user), then a 3-row-per-task literal "
+    "grid — no windows, no collects; at 100 TB it is one shuffle.",
+    tags=("eval", "events", "llm", "agg"),
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") >= _PK_THRESH, 1)).alias("c"),
+        )
+    )
+    scored = None
+    for k in _PK_KS:
+        prod = None
+        for i in range(k):
+            term = (F.col("n") - F.col("c") - F.lit(i)).cast("double") / (
+                F.col("n") - F.lit(i)
+            )
+            prod = term if prod is None else prod * term
+        pk = F.when(
+            F.col("n") - F.col("c") < k, F.lit(1.0).cast("double")
+        ).otherwise(F.lit(1.0) - prod)
+        part = per.select(
+            F.lit(k).alias("k"),
+            F.round(pk, 12).cast("decimal(24,12)").alias("p"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    return scored.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        F.round(
+            F.sum("p").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pass_at_k"),
+    )
+
+
+@register(
+    "eval_reward_calibration_ece",
+    oracle=f"""
+WITH {_G_SQL},
+pp AS (
+  SELECT g.vec_id, g.g + e.y AS p, e.y
+  FROM g JOIN e ON e.vec_id = g.vec_id
+  WHERE g.t = {_T_CHECKPOINTS}
+), binned AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin, p, y FROM pp
+), b AS (
+  SELECT bin, COUNT(*) AS n_bin, SUM(y) AS sy,
+         CAST(CAST(SUM(CAST(round(p, 9) AS DECIMAL(18,9)))
+                   AS VARCHAR) AS DOUBLE) AS sp
+  FROM binned GROUP BY bin
+), tot AS (SELECT CAST(SUM(n_bin) AS BIGINT) AS n FROM b),
+scal AS (
+  SELECT
+    CAST(CAST(SUM(CAST(round(
+        ABS(CAST(sy AS DOUBLE) / n_bin - sp / n_bin) * n_bin, 12)
+      AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
+      / (SELECT n FROM tot) AS ece,
+    (SELECT CAST(CAST(SUM(CAST(round((p - y) * (p - y), 12)
+                               AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
+     FROM binned) / (SELECT n FROM tot) AS brier
+  FROM b
+)
+SELECT b.bin,
+       CAST(b.n_bin AS BIGINT) AS n_bin,
+       round(b.sp / b.n_bin, 6) AS avg_conf,
+       round(CAST(b.sy AS DOUBLE) / b.n_bin, 6) AS accuracy,
+       round(ABS(CAST(b.sy AS DOUBLE) / b.n_bin - b.sp / b.n_bin), 6)
+         AS gap,
+       round(scal.ece, 6) AS ece,
+       round(scal.brier, 6) AS brier
+FROM b CROSS JOIN scal
+""",
+    description="Reliability diagram + expected calibration error of "
+    "the deterministic reward model the influence family trains "
+    "(llm174's final class-mean-direction checkpoint): p = "
+    "sigmoid(w_T.x) is the model's positive-class probability (the "
+    "9-dp libm residual g plus the label recovers p exactly), binned "
+    "into 10 fixed-width confidence bins; per bin the mean confidence "
+    "vs empirical accuracy and their gap, plus the n-weighted ECE and "
+    "the Brier score as audit columns — the calibration check run on "
+    "every reward model before its margins gate RLHF pairs "
+    "(events_dpo_pairs). Determinism: p reuses the bit-reproducible "
+    "residual pipeline (decimal class means, decimal margin folds, "
+    "9-dp sigmoid); bin sums fold 9-dp decimals, ECE/Brier fold "
+    "12-dp decimals; bin edges are exact double comparisons identical "
+    "in both engines. Shape: one per-dimension aggregate + one "
+    "per-vector fold (the g pipeline), then a 10-row bin table — "
+    "no windows, no collects.",
+    tags=("eval", "llm", "stats", "agg"),
+)
+def eval_reward_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, g = _g_frame(spark, sf_dir)
+    pp = (
+        g.filter(F.col("t") == _T_CHECKPOINTS)
+        .join(emb.select("vec_id", "y"), "vec_id")
+        .select((F.col("g") + F.col("y")).alias("p"), "y")
+    )
+    binned = pp.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "y",
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.sum("y").alias("sy"),
+        F.sum(F.round("p", 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sp"),
+    )
+    tot = b.agg(F.sum("n_bin").cast("bigint").alias("n"))
+    ece = (
+        b.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.abs(
+                            F.col("sy").cast("double") / F.col("n_bin")
+                            - F.col("sp") / F.col("n_bin")
+                        )
+                        * F.col("n_bin"),
+                        12,
+                    ).cast("decimal(24,12)")
+                ).cast("double")
+                / F.max("n")
+            ).alias("ece")
+        )
+    )
+    brier = (
+        binned.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("p") - F.col("y"))
+                        * (F.col("p") - F.col("y")),
+                        12,
+                    ).cast("decimal(24,12)")
+                ).cast("double")
+                / F.max("n")
+            ).alias("brier")
+        )
+    )
+    return (
+        b.crossJoin(F.broadcast(ece))
+        .crossJoin(F.broadcast(brier))
+        .select(
+            "bin",
+            F.col("n_bin").cast("bigint").alias("n_bin"),
+            F.round(F.col("sp") / F.col("n_bin"), 6).alias("avg_conf"),
+            F.round(
+                F.col("sy").cast("double") / F.col("n_bin"), 6
+            ).alias("accuracy"),
+            F.round(
+                F.abs(
+                    F.col("sy").cast("double") / F.col("n_bin")
+                    - F.col("sp") / F.col("n_bin")
+                ),
+                6,
+            ).alias("gap"),
+            F.round("ece", 6).alias("ece"),
+            F.round("brier", 6).alias("brier"),
         )
     )

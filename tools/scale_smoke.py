@@ -185,6 +185,7 @@ QUERIES = [
     # round-9 new family (events-driven)
     "events_dpo_pairs",
     "agg_krippendorff_alpha",
+    "eval_pass_at_k",
 ]
 
 
@@ -224,6 +225,8 @@ DOC_QUERIES = [
     "influence_self_memorization",
     "curation_semantic_decontaminate",
     "rerank_cross_encoder_eval",
+    # round-9 (embeddings-driven)
+    "eval_reward_calibration_ece",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
