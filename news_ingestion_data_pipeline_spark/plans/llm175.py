@@ -44,6 +44,7 @@ from news_ingestion_data_pipeline_spark.plans.registry import (
     register,
     t,
 )
+from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
 
 #: minimum global reward-model margin for a kept pair, in nanos of the
 #: 9-dp Bradley-Terry rating (0.02 — between the ~0.004 adjacent-rank
@@ -484,5 +485,137 @@ def eval_reward_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap"),
             F.round("ece", 6).alias("ece"),
             F.round("brier", 6).alias("brier"),
+        )
+    )
+
+
+#: ROUGE-2 F1 floor for an emitted pair — near-dup-grade overlap only,
+#: keeping the pair table reviewable at any SF
+_R2_MIN_F1 = 0.2
+
+
+@register(
+    "eval_rouge2_pairs",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, lang, CAST(round(n_chars, -2) AS BIGINT) AS len_bucket,
+         {SQL_NORM.format(col='text')} AS s
+  FROM documents
+), words AS (
+  SELECT doc_id, lang, len_bucket,
+         list_filter(regexp_split_to_array(s, '\\s+'), _t -> _t <> '') AS w
+  FROM norm
+), g AS (
+  SELECT doc_id, lang, len_bucket, gram, COUNT(*) AS c FROM (
+    SELECT doc_id, lang, len_bucket,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i + 1])) AS gram
+    FROM words
+  ) GROUP BY doc_id, lang, len_bucket, gram
+), tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb FROM g GROUP BY doc_id
+), ov AS (
+  SELECT a.doc_id AS ref_id, b.doc_id AS cand_id,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
+  FROM g a JOIN g b
+    ON b.lang = a.lang AND b.len_bucket = a.len_bucket
+   AND b.gram = a.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ref_id, cand_id, clip, rouge2_recall, rouge2_precision,
+       round(f1, 6) AS rouge2_f1
+FROM (
+  SELECT o.ref_id, o.cand_id, o.clip,
+         round(CAST(o.clip AS DOUBLE) / tr.nb, 6) AS rouge2_recall,
+         round(CAST(o.clip AS DOUBLE) / tc.nb, 6) AS rouge2_precision,
+         2.0 * (CAST(o.clip AS DOUBLE) / tr.nb)
+             * (CAST(o.clip AS DOUBLE) / tc.nb)
+             / (CAST(o.clip AS DOUBLE) / tr.nb
+                + CAST(o.clip AS DOUBLE) / tc.nb) AS f1
+  FROM ov o
+  JOIN tot tr ON tr.doc_id = o.ref_id
+  JOIN tot tc ON tc.doc_id = o.cand_id
+)
+WHERE f1 >= {_R2_MIN_F1}
+""",
+    description="ROUGE-2 scoring over blocked document pairs: word "
+    "bigrams with MULTISET (clipped) counts — the summarization-eval "
+    "convention, sum of min(count_ref, count_cand) per bigram — give "
+    "per-pair recall/precision/F1, reference = lower doc_id; pairs "
+    "below F1 0.2 are dropped. Distinct from the Jaccard family: "
+    "clipping preserves repeated-phrase mass that set semantics "
+    "discard, which is exactly what ROUGE measures. Shape: the pair "
+    "generator is the same (lang, length-bucket)-blocked inverted-"
+    "index join as dedup_ngram_jaccard (bigram equality IS the index; "
+    "no all-pairs anywhere), per-doc bigram totals ride a separate "
+    "tiny aggregate; everything is integer counts until the final "
+    "rounded ratios, with the F1 expression written in the identical "
+    "IEEE order in both engines.",
+    tags=("eval", "llm", "text", "dedup"),
+)
+def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.functions import text as TX
+
+    norm = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round("n_chars", -2).cast("bigint").alias("len_bucket"),
+        TX.normalize_text(F.col("text")).alias("s"),
+    )
+    w = TX.tokens(F.col("s"))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        norm.select(
+            "doc_id", "lang", "len_bucket", F.explode(bigrams).alias("gram")
+        )
+        .groupBy("doc_id", "lang", "len_bucket", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = g.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("nb"))
+    a, b = g.alias("a"), g.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("b.lang") == F.col("a.lang"))
+            & (F.col("b.len_bucket") == F.col("a.len_bucket"))
+            & (F.col("b.gram") == F.col("a.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ref_id"),
+            F.col("b.doc_id").alias("cand_id"),
+        )
+        .agg(
+            F.sum(F.least(F.col("a.c"), F.col("b.c")))
+            .cast("bigint")
+            .alias("clip")
+        )
+    )
+    tr = tot.select(F.col("doc_id").alias("ref_id"), F.col("nb").alias("nbr"))
+    tc = tot.select(
+        F.col("doc_id").alias("cand_id"), F.col("nb").alias("nbc")
+    )
+    r = F.col("clip").cast("double") / F.col("nbr")
+    p = F.col("clip").cast("double") / F.col("nbc")
+    f1 = F.lit(2.0) * r * p / (r + p)
+    return (
+        ov.join(tr, "ref_id")
+        .join(tc, "cand_id")
+        .filter(f1 >= _R2_MIN_F1)
+        .select(
+            "ref_id",
+            "cand_id",
+            "clip",
+            F.round(r, 6).alias("rouge2_recall"),
+            F.round(p, 6).alias("rouge2_precision"),
+            F.round(f1, 6).alias("rouge2_f1"),
         )
     )
