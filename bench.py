@@ -300,6 +300,8 @@ BENCH_QUERIES = [
     "agg_krippendorff_alpha",
     "eval_pass_at_k",
     "eval_reward_calibration_ece",
+    "eval_rouge2_pairs",
+    "events_duel_winrate_matrix",
 ]
 
 

@@ -619,3 +619,127 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(f1, 6).alias("rouge2_f1"),
         )
     )
+
+
+_WZ = 1.959963984540054  # 97.5th normal quantile (95% two-sided)
+
+
+@register(
+    "events_duel_winrate_matrix",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id, event_type,
+         SUM(CAST(value AS DECIMAL(20,10))) AS sv
+  FROM events GROUP BY user_id, event_type
+), duels AS (
+  SELECT a.event_type AS winner, b.event_type AS loser
+  FROM per a JOIN per b
+    ON b.user_id = a.user_id AND a.event_type != b.event_type
+  WHERE a.sv > b.sv
+), n AS (
+  SELECT winner, loser, COUNT(*) AS c FROM duels GROUP BY winner, loser
+), pairs AS (
+  SELECT CASE WHEN winner < loser THEN winner ELSE loser END AS item_a,
+         CASE WHEN winner < loser THEN loser ELSE winner END AS item_b,
+         CAST(SUM(CASE WHEN winner < loser THEN c ELSE 0 END) AS BIGINT)
+           AS wins_a,
+         CAST(SUM(CASE WHEN winner >= loser THEN c ELSE 0 END) AS BIGINT)
+           AS wins_b
+  FROM n GROUP BY 1, 2
+), wil AS (
+  SELECT item_a, item_b, wins_a, wins_b,
+         wins_a + wins_b AS nd,
+         CAST(wins_a AS DOUBLE) / (wins_a + wins_b) AS p,
+         {_WZ} AS z
+  FROM pairs
+)
+SELECT item_a, item_b, wins_a, wins_b,
+       CAST(nd AS BIGINT) AS n_duels,
+       round(p, 6) AS win_rate_a,
+       round((p + z*z/(2*nd) - z * sqrt(p*(1-p)/nd + z*z/(4.0*nd*nd)))
+             / (1 + z*z/nd), 6) AS wilson_lower_a,
+       round((p + z*z/(2*nd) + z * sqrt(p*(1-p)/nd + z*z/(4.0*nd*nd)))
+             / (1 + z*z/nd), 6) AS wilson_upper_a,
+       CASE WHEN (p + z*z/(2*nd) - z * sqrt(p*(1-p)/nd + z*z/(4.0*nd*nd)))
+                 / (1 + z*z/nd) > 0.5 THEN 'a_wins'
+            WHEN (p + z*z/(2*nd) + z * sqrt(p*(1-p)/nd + z*z/(4.0*nd*nd)))
+                 / (1 + z*z/nd) < 0.5 THEN 'b_wins'
+            ELSE 'undecided' END AS verdict
+FROM wil
+""",
+    description="Preference-data QA on the duel matrix feeding "
+    "Bradley-Terry / DPO: per unordered item pair, both directions' "
+    "duel counts, the win rate of the lexically-first item, and its "
+    "95% Wilson interval — verdict 'a_wins'/'b_wins' only when the "
+    "interval clears 0.5, else 'undecided'. The triage that tells a "
+    "preference-data curator which comparisons are statistically "
+    "decided (safe to mine pairs from) and which need more "
+    "annotations. Duel counts are exact integers; sqrt is IEEE "
+    "correctly-rounded, so the interval is bit-identical in both "
+    "engines. Shape: one within-user self-join, then an items^2/2-row "
+    "frame forever.",
+    tags=("events", "stats", "preference", "eval"),
+)
+def events_duel_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(20,10)")).alias("sv"))
+    )
+    a, b = per.alias("a"), per.alias("b")
+    n = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.sv") > F.col("b.sv")),
+        )
+        .select(
+            F.col("a.event_type").alias("winner"),
+            F.col("b.event_type").alias("loser"),
+        )
+        .groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        n.select(
+            F.when(F.col("winner") < F.col("loser"), F.col("winner"))
+            .otherwise(F.col("loser"))
+            .alias("item_a"),
+            F.when(F.col("winner") < F.col("loser"), F.col("loser"))
+            .otherwise(F.col("winner"))
+            .alias("item_b"),
+            F.when(F.col("winner") < F.col("loser"), F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("ca"),
+            F.when(F.col("winner") >= F.col("loser"), F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("cb"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum("ca").cast("bigint").alias("wins_a"),
+            F.sum("cb").cast("bigint").alias("wins_b"),
+        )
+    )
+    nd = (F.col("wins_a") + F.col("wins_b")).cast("double")
+    p = F.col("wins_a").cast("double") / (F.col("wins_a") + F.col("wins_b"))
+    z = F.lit(_WZ)
+    half = z * F.sqrt(p * (1 - p) / nd + z * z / (4.0 * nd * nd))
+    denom = 1 + z * z / nd
+    lower = (p + z * z / (2 * nd) - half) / denom
+    upper = (p + z * z / (2 * nd) + half) / denom
+    return pairs.select(
+        "item_a",
+        "item_b",
+        "wins_a",
+        "wins_b",
+        (F.col("wins_a") + F.col("wins_b")).cast("bigint").alias("n_duels"),
+        F.round(p, 6).alias("win_rate_a"),
+        F.round(lower, 6).alias("wilson_lower_a"),
+        F.round(upper, 6).alias("wilson_upper_a"),
+        F.when(lower > 0.5, "a_wins")
+        .when(upper < 0.5, "b_wins")
+        .otherwise("undecided")
+        .alias("verdict"),
+    )

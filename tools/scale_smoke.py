@@ -186,6 +186,7 @@ QUERIES = [
     "events_dpo_pairs",
     "agg_krippendorff_alpha",
     "eval_pass_at_k",
+    "events_duel_winrate_matrix",
 ]
 
 
@@ -225,8 +226,9 @@ DOC_QUERIES = [
     "influence_self_memorization",
     "curation_semantic_decontaminate",
     "rerank_cross_encoder_eval",
-    # round-9 (embeddings-driven)
+    # round-9 (embeddings/documents-driven)
     "eval_reward_calibration_ece",
+    "eval_rouge2_pairs",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
