@@ -506,12 +506,16 @@ WITH norm AS (
          list_filter(regexp_split_to_array(s, '\\s+'), _t -> _t <> '') AS w
   FROM norm
 ), g AS (
-  SELECT doc_id, lang, len_bucket, gram, COUNT(*) AS c FROM (
+  SELECT doc_id, lang, len_bucket, gh, COUNT(*) AS c FROM (
     SELECT doc_id, lang, len_bucket,
-           unnest(list_transform(range(1, len(w)),
-                                 i -> w[i] || ' ' || w[i + 1])) AS gram
-    FROM words
-  ) GROUP BY doc_id, lang, len_bucket, gram
+           CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh
+    FROM (
+      SELECT doc_id, lang, len_bucket,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM words
+    )
+  ) GROUP BY doc_id, lang, len_bucket, gh
 ), tot AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb FROM g GROUP BY doc_id
 ), ov AS (
@@ -519,7 +523,7 @@ WITH norm AS (
          CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip
   FROM g a JOIN g b
     ON b.lang = a.lang AND b.len_bucket = a.len_bucket
-   AND b.gram = a.gram AND a.doc_id < b.doc_id
+   AND b.gh = a.gh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT ref_id, cand_id, clip, rouge2_recall, rouge2_precision,
@@ -556,7 +560,11 @@ WHERE f1 >= {_R2_MIN_F1}
 def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.functions import text as TX
 
-    norm = t(spark, sf_dir, "documents").select(
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    # spread first: bigram explode + md5 hashing is map-heavy and must
+    # not inherit a one-row-group scan's single partition
+    norm = spread(t(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.round("n_chars", -2).cast("bigint").alias("len_bucket"),
@@ -576,7 +584,19 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.select(
             "doc_id", "lang", "len_bucket", F.explode(bigrams).alias("gram")
         )
-        .groupBy("doc_id", "lang", "len_bucket", "gram")
+        # 60-bit md5-prefix hash, identical in both engines (the
+        # _SQL_SHINGLES trick): the join/shuffle key becomes a primitive
+        # long instead of a two-word string, and any collision yields
+        # identical results in Spark and DuckDB — parity by construction
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
+        .groupBy("doc_id", "lang", "len_bucket", "gh")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = g.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("nb"))
@@ -586,7 +606,7 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("b.lang") == F.col("a.lang"))
             & (F.col("b.len_bucket") == F.col("a.len_bucket"))
-            & (F.col("b.gram") == F.col("a.gram"))
+            & (F.col("b.gh") == F.col("a.gh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
