@@ -3450,6 +3450,19 @@ def rewrite_data_files(
     # compacted files entirely — the data-loss mode this rewrite exists
     # to avoid. Avro types come from the recorded values themselves.
     part_fields = sorted({k for _, p in old for k in p})
+    # Refuse MIXED partition specs: writing a union-field manifest would
+    # record NULL for fields absent from a file's own spec, and
+    # snapshot_files treats a RECORDED null as judgable — a later
+    # partition filter on the other spec's field would prune those
+    # compacted files (per-manifest spec-ids are how real Iceberg keeps
+    # this sound; this writer supports one spec per table).
+    key_sets = {tuple(sorted(p)) for _, p in old}
+    if len(key_sets) > 1:
+        raise ValueError(
+            f"rewriteDataFiles over mixed partition specs {sorted(key_sets)} "
+            "— compact one spec at a time (union-field manifests would "
+            "record judgable NULLs and break partition pruning)"
+        )
     part_type: dict[str, str] = {}
     for k in part_fields:
         vals = [p[k] for _, p in old if p.get(k) is not None]

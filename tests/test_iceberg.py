@@ -1140,3 +1140,54 @@ def test_snapshot_files_keeps_files_missing_partition_value(tmp_path):
     # a recorded NULL value still prunes against a non-null allow-set
     files2, _ = IB.snapshot_files(root, partition_filter={"lang": {"en"}})
     assert files2 == []
+
+
+def test_rewrite_data_files_refuses_mixed_specs(spark, tmp_path):
+    """Compaction over manifests whose entries carry DIFFERENT
+    partition-field sets refuses by name: a union-field manifest would
+    record NULL for the foreign spec's fields, and partition pruning
+    treats a recorded null as judgable — silently pruning the
+    compacted files on the next filtered read."""
+    docs = spark.createDataFrame(
+        [(i, "en", 400 + i, f"t{i}") for i in range(6)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "mixed")
+    IB.write_iceberg_fixture(spark, docs, root)  # lang-partitioned
+    # splice a second manifest recording a DIFFERENT partition field
+    meta = IB.current_metadata(root)
+    snap = meta["current-snapshot-id"]
+    AV.write_container(
+        os.path.join(root, "metadata", "m-foreign.avro"),
+        IB._MANIFEST_SCHEMA_TRUNC,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap,
+                "data_file": {
+                    "file_path": "data/lang=en/part-0.parquet",
+                    "file_format": "PARQUET",
+                    "partition": {"nc_trunc": 400},
+                    "record_count": 0,
+                    "file_size_in_bytes": 1,
+                },
+            }
+        ],
+    )
+    mlist = {s["snapshot-id"]: s for s in meta["snapshots"]}[snap][
+        "manifest-list"
+    ]
+    _, manifests = AV.read_container(os.path.join(root, mlist))
+    manifests.append(
+        {
+            "manifest_path": "metadata/m-foreign.avro",
+            "manifest_length": 1,
+            "partition_spec_id": 1,
+            "added_snapshot_id": snap,
+        }
+    )
+    AV.write_container(
+        os.path.join(root, mlist), IB._MANIFEST_LIST_SCHEMA, manifests
+    )
+    with pytest.raises(ValueError, match="mixed partition specs"):
+        IB.rewrite_data_files(spark, root)
