@@ -800,3 +800,34 @@ def test_no_unadjudicated_driver_materialization():
         "`# driver-ok:` comment within 6 lines above the call:\n"
         + "\n".join(offenders)
     )
+
+
+def test_driver_materialization_checker_catches_a_real_one(tmp_path):
+    """The detector actually bites: an unbounded, unadjudicated
+    .collect() is flagged; a .limit() chain, an ungrouped .agg, and a
+    driver-ok-adjudicated site are excused."""
+    src = tmp_path / "mod.py"
+    src.write_text(
+        "def f(df):\n"
+        "    bad = df.select('x').collect()\n"
+        "    ok1 = df.limit(5).collect()\n"
+        "    ok2 = df.agg(x.max()).collect()\n"
+        "    # driver-ok: bounded enum domain\n"
+        "    ok3 = df.select('lang').distinct().collect()\n"
+        + "\n" * 7  # outside the 6-line adjudication window above
+        + "    grouped = df.groupBy('k').agg(x.max()).collect()\n"
+    )
+    lines = src.read_text().splitlines()
+    flagged = []
+    for lo, hi, chain in _driver_materialize_sites(src):
+        if ".limit(" in chain:
+            continue
+        if ".agg(" in chain and ".groupBy(" not in chain:
+            continue
+        ctx = "\n".join(lines[max(0, lo - 7) : hi])
+        if "driver-ok" in ctx:
+            continue
+        flagged.append(lo)
+    # line 2 (unbounded select) and line 14 (grouped agg) are flagged;
+    # the limit, ungrouped agg, and adjudicated sites are excused
+    assert flagged == [2, 14], flagged
