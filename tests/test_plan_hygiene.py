@@ -307,6 +307,13 @@ PYTHON_FREE = [
     "sim_mips_topk",
     "curation_soft_dedup_weights",
     "agg_ddsketch_quantiles",
+    # round-9 waves (all-relational by construction; frozen here)
+    "events_dpo_pairs",
+    "agg_krippendorff_alpha",
+    "eval_pass_at_k",
+    "eval_reward_calibration_ece",
+    "eval_rouge2_pairs",
+    "events_duel_winrate_matrix",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -329,6 +336,13 @@ BNLJ_ALLOWED = frozenset(
         # wave 166: 3-row quantile probe frame crossed into the
         # histogram-sized bucket table and the ranked values
         "agg_ddsketch_quantiles",
+
+        # round-9: 1-row scalar envelopes — alpha crosses the
+        # (n, s2, ncat) totals into the 1-row O_diag frame; the
+        # calibration query crosses the <=10-row bin table with the
+        # 1-row ECE and Brier aggregates. All sides SF-independent.
+        "agg_krippendorff_alpha",
+        "eval_reward_calibration_ece",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",
