@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "eval_reward_calibration_ece",
     "eval_rouge2_pairs",
     "events_duel_winrate_matrix",
+    "eval_reward_length_bias",
 ]
 
 

@@ -763,3 +763,115 @@ def events_duel_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("undecided")
         .alias("verdict"),
     )
+
+
+@register(
+    "eval_reward_length_bias",
+    oracle=f"""
+WITH {_G_SQL},
+pp AS (
+  SELECT g.vec_id, round(g.g + e.y, 9) AS p
+  FROM g JOIN e ON e.vec_id = g.vec_id
+  WHERE g.t = {_T_CHECKPOINTS}
+), joined AS (
+  SELECT pp.vec_id, pp.p, d.n_chars,
+         CAST(round(d.n_chars, -2) AS BIGINT) AS len_bucket
+  FROM pp JOIN documents d ON d.doc_id = pp.vec_id
+), sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+           AS sx,
+         CAST(SUM(n_chars) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(round(p * p, 12) AS DECIMAL(24,12)))
+                   AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS syy,
+         CAST(CAST(SUM(CAST(round(p * n_chars, 12) AS DECIMAL(24,12)))
+                   AS VARCHAR) AS DOUBLE) AS sxy
+  FROM joined
+), corr AS (
+  SELECT round(
+    (n * sxy - sx * sy)
+    / sqrt((n * sxx - sx * sx) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+    6) AS reward_length_corr
+  FROM sums
+)
+SELECT j.len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(CAST(SUM(CAST(j.p AS DECIMAL(18,9))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS mean_reward,
+       corr.reward_length_corr
+FROM joined j CROSS JOIN corr
+GROUP BY j.len_bucket, corr.reward_length_corr
+""",
+    description="Reward-model LENGTH BIAS report — the standard RLHF "
+    "diagnostic (reward models notoriously drift toward preferring "
+    "longer outputs): per 100-char length bucket, the mean reward "
+    "probability of the influence family's deterministic model "
+    "(sigmoid of the final class-mean-direction checkpoint, the same "
+    "9-dp-reproducible p as the calibration query), plus the overall "
+    "Pearson correlation between reward and document length as a "
+    "constant audit column. A |corr| near 0 clears the reward model "
+    "for margin-gating DPO pairs; a large one means the margin "
+    "threshold is silently a length filter. Determinism: p is the "
+    "bit-reproducible residual pipeline; all folds are 9/12-dp "
+    "decimals or exact integers; sqrt is IEEE correctly-rounded. "
+    "Shape: the g pipeline plus one broadcast-joined per-bucket "
+    "aggregate — no windows, no collects.",
+    tags=("eval", "llm", "stats", "curation"),
+)
+def eval_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, g = _g_frame(spark, sf_dir)
+    pp = (
+        g.filter(F.col("t") == _T_CHECKPOINTS)
+        .join(emb.select("vec_id", "y"), "vec_id")
+        .select(
+            "vec_id", F.round(F.col("g") + F.col("y"), 9).alias("p")
+        )
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = pp.join(
+        docs, pp["vec_id"] == docs["doc_id"]
+    ).select(
+        "p",
+        "n_chars",
+        F.round("n_chars", -2).cast("bigint").alias("len_bucket"),
+    )
+    sums = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum("n_chars").cast("bigint").alias("sy"),
+        F.sum(
+            F.round(F.col("p") * F.col("p"), 12).cast("decimal(24,12)")
+        ).cast("double").alias("sxx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("syy"),
+        F.sum(
+            F.round(F.col("p") * F.col("n_chars"), 12).cast("decimal(24,12)")
+        ).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = sums.select(
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (
+                    n * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("reward_length_corr")
+    )
+    return (
+        joined.crossJoin(F.broadcast(corr))
+        .groupBy("len_bucket", "reward_length_corr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_reward"),
+        )
+        .select("len_bucket", "n_docs", "mean_reward", "reward_length_corr")
+    )

@@ -314,6 +314,7 @@ PYTHON_FREE = [
     "eval_reward_calibration_ece",
     "eval_rouge2_pairs",
     "events_duel_winrate_matrix",
+    "eval_reward_length_bias",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -343,6 +344,7 @@ BNLJ_ALLOWED = frozenset(
         # 1-row ECE and Brier aggregates. All sides SF-independent.
         "agg_krippendorff_alpha",
         "eval_reward_calibration_ece",
+        "eval_reward_length_bias",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",

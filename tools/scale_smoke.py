@@ -229,6 +229,7 @@ DOC_QUERIES = [
     # round-9 (embeddings/documents-driven)
     "eval_reward_calibration_ece",
     "eval_rouge2_pairs",
+    "eval_reward_length_bias",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
