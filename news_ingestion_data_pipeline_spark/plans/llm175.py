@@ -789,10 +789,15 @@ pp AS (
                    AS VARCHAR) AS DOUBLE) AS sxy
   FROM joined
 ), corr AS (
-  SELECT round(
-    (n * sxy - sx * sy)
-    / sqrt((n * sxx - sx * sx) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
-    6) AS reward_length_corr
+  SELECT CASE
+    WHEN (n * sxx - sx * sx)
+         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy) > 0
+    THEN round(
+      (n * sxy - sx * sy)
+      / sqrt((n * sxx - sx * sx)
+             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+      6)
+    ELSE NULL END AS reward_length_corr
   FROM sums
 )
 SELECT j.len_bucket,
@@ -849,17 +854,22 @@ def eval_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("sxy"),
     )
     n = F.col("n")
+    # zero-variance guard: a degenerate corpus where every reward (or
+    # every length) is identical has no defined correlation — NULL, not
+    # an ANSI divide-by-zero (surfaced by the 8x smoke fixture, whose
+    # per-copy sign flips cancel the class-mean direction exactly)
+    varprod = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
     corr = sums.select(
-        F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (
-                    n * F.col("syy").cast("double")
-                    - F.col("sy").cast("double") * F.col("sy")
-                )
+        F.when(
+            varprod > 0,
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(varprod),
+                6,
             ),
-            6,
         ).alias("reward_length_corr")
     )
     return (
