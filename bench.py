@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "eval_rouge2_pairs",
     "events_duel_winrate_matrix",
     "eval_reward_length_bias",
+    "eval_best_of_n_reward",
 ]
 
 

@@ -885,3 +885,127 @@ def eval_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("len_bucket", "n_docs", "mean_reward", "reward_length_corr")
     )
+
+
+#: best-of-n sample sizes for the reward-scaling curve
+_BON_NS = (1, 4, 16)
+
+
+def _bon_weight_sql(n: int) -> str:
+    """w_i(n) = C(i-1, n-1)/C(N, n) = n * (i-1)...(i-n+1) / (N...(N-n+1)),
+    written as an explicit left-associated product so both engines run
+    the identical IEEE sequence (the pass@k discipline)."""
+    if n == 1:
+        return "(1.0 / nu)"
+    # first factor cast to DOUBLE so the whole left-associated product
+    # runs in floats (an INT64 product overflows by rank ~40 at n=16);
+    # every factor is an exact small integer, so the double sequence is
+    # identical to the Spark side's per-term double casts
+    num = " * ".join(
+        (f"(CAST(rk - {j} AS DOUBLE))" if j == 1 else f"(rk - {j})")
+        for j in range(1, n)
+    )
+    den = " * ".join(
+        (f"(CAST(nu - {j} AS DOUBLE))" if j == 1 else f"(nu - {j})")
+        for j in range(1, n)
+    )
+    return (
+        f"(CASE WHEN rk >= {n} THEN {n}.0 * ({num}) / (CAST(nu AS DOUBLE)"
+        f" * ({den})) ELSE 0.0 END)"
+    )
+
+
+@register(
+    "eval_best_of_n_reward",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS nu
+  FROM events
+), eligible AS (
+  SELECT * FROM ranked WHERE nu >= {max(_BON_NS)}
+), per AS (
+  {" UNION ALL ".join(
+      f'''SELECT {n} AS n, user_id,
+         CAST(CAST(SUM(CAST(round(value * {_bon_weight_sql(n)}, 12)
+                            AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
+           AS ebon
+      FROM eligible GROUP BY user_id'''
+      for n in _BON_NS
+  )}
+)
+SELECT n,
+       CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       round(CAST(CAST(SUM(CAST(round(ebon, 9) AS DECIMAL(18,9)))
+                       AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+         AS mean_best_of_n
+FROM per GROUP BY n
+""",
+    description="Best-of-n reward scaling curve: for each task (user) "
+    "the EXPECTED maximum reward over a uniformly random n-subset of "
+    "its attempts, computed exactly from order statistics — E[max] = "
+    "sum_i value_(i) * C(i-1,n-1)/C(N,n) over the within-task "
+    "ascending rank i — then averaged across tasks, for n in "
+    f"{_BON_NS}. The curve that tells an RLHF pipeline how much "
+    "reward best-of-n sampling buys before training on it "
+    "(reward-model overoptimization shows up as this curve lying). "
+    "The combinatorial weight is an explicit left-associated product "
+    "(the pass@k discipline — no lgamma), per-term products round to "
+    "12 dp and fold as DECIMAL, task means fold 9-dp decimals. "
+    "Windows are PARTITIONED by user (bounded frames); tasks with "
+    f"fewer than {max(_BON_NS)} attempts are excluded by the same "
+    "rule in both engines. Shape: one shuffle on user_id, then a "
+    "3-row-per-task literal grid.",
+    tags=("eval", "events", "llm", "window"),
+)
+def eval_best_of_n_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("nu"),
+    ).filter(F.col("nu") >= max(_BON_NS))
+    per = None
+    for n in _BON_NS:
+        if n == 1:
+            wcol = F.lit(1.0) / F.col("nu")
+        else:
+            num = None
+            for j in range(1, n):
+                term = (F.col("rk") - F.lit(j)).cast("double")
+                num = term if num is None else num * term
+            den = None
+            for j in range(1, n):
+                term = (F.col("nu") - F.lit(j)).cast("double")
+                den = term if den is None else den * term
+            wcol = F.when(
+                F.col("rk") >= n,
+                F.lit(float(n)) * num / (F.col("nu").cast("double") * den),
+            ).otherwise(F.lit(0.0))
+        part = (
+            ranked.select(
+                "user_id",
+                F.round(F.col("value") * wcol, 12)
+                .cast("decimal(24,12)")
+                .alias("term"),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("term").cast("double").alias("ebon"))
+            .select(F.lit(n).alias("n"), "user_id", "ebon")
+        )
+        per = part if per is None else per.unionByName(part)
+    return per.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        F.round(
+            F.sum(F.round("ebon", 9).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_best_of_n"),
+    )

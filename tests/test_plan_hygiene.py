@@ -315,6 +315,7 @@ PYTHON_FREE = [
     "eval_rouge2_pairs",
     "events_duel_winrate_matrix",
     "eval_reward_length_bias",
+    "eval_best_of_n_reward",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the

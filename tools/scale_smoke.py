@@ -187,6 +187,7 @@ QUERIES = [
     "agg_krippendorff_alpha",
     "eval_pass_at_k",
     "events_duel_winrate_matrix",
+    "eval_best_of_n_reward",
 ]
 
 
