@@ -350,7 +350,11 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, bool]:
     # a 7s query spiking to 35s exactly once in a 52-query suite on an
     # otherwise idle box). Best-of-two on anything slow enough to matter
     # bounds that noise without re-running the cheap majority.
-    if sec > 3.0:
+    # In min-of-N mode the repeat loop below already bounds noise; running
+    # the adaptive retry too would make slow queries min-of-(N+1) while the
+    # artifact records N — cross-round ratio readers would get an
+    # understated sample count for exactly the queries the mode exists for.
+    if sec > 3.0 and _REPEATS == 1:
         sec = min(sec, timed())
     # SPARK_GRAFT_BENCH_REPEATS=N (default 1): min-of-N timed runs per
     # query — the fallback measurement mode for a box under BURSTY

@@ -3464,14 +3464,32 @@ def rewrite_data_files(
             "record judgable NULLs and break partition pruning)"
         )
     part_type: dict[str, str] = {}
+
+    def _avro_type(v: object) -> str:
+        if isinstance(v, bool):
+            return "string"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        return "string"
+
     for k in part_fields:
         vals = [p[k] for _, p in old if p.get(k) is not None]
-        part_type[k] = (
-            "long"
-            if vals and isinstance(vals[0], int) and not isinstance(vals[0], bool)
-            else "double" if vals and isinstance(vals[0], float)
-            else "string"
-        )
+        # Refuse heterogeneous recorded value types for one field (e.g.
+        # int in one manifest, string in another): inferring from
+        # vals[0] alone would build a manifest schema that mismatches
+        # the other values, leaving the failure mode to avro_lite's
+        # write-time strictness instead of an explicit refusal here —
+        # same discipline as the mixed-spec guard above.
+        types = {_avro_type(v) for v in vals}
+        if len(types) > 1:
+            raise ValueError(
+                f"rewriteDataFiles: partition field {k!r} has recorded "
+                f"values of mixed Avro types {sorted(types)} — compact "
+                "manifests with a consistent partition value type"
+            )
+        part_type[k] = types.pop() if types else "string"
     man_schema = json.loads(json.dumps(_MANIFEST_SCHEMA))
     man_schema["fields"][2]["type"]["fields"][2]["type"]["fields"] = [
         {"name": k, "type": ["null", part_type[k]]} for k in part_fields

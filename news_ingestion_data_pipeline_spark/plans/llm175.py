@@ -302,7 +302,7 @@ scored AS (
       f'''SELECT {k} AS k,
          CAST(round({_pass_at_k_product_sql(k)}, 12)
               AS DECIMAL(24,12)) AS p
-      FROM per'''
+      FROM per WHERE n >= {k}'''
       for k in _PK_KS
   )}
 )
@@ -320,7 +320,11 @@ FROM scored GROUP BY k
     "explicit left-associated product of k falling-factorial terms "
     "(never lgamma/exp-sum-ln — libm-free, so Spark and DuckDB run "
     "the identical IEEE sequence), rounded to 12 dp per task and "
-    "folded as DECIMAL. Tasks with n-c < k score exactly 1. Shape: "
+    "folded as DECIMAL. Only tasks with n >= k attempts are eligible "
+    "per k (an under-sampled task has no unbiased pass@k and the "
+    "n-c<k clamp would otherwise inflate it to exactly 1); eligible "
+    "tasks with n-c < k score exactly 1, which IS the estimator's "
+    "value there (k draws cannot all be failures). Shape: "
     "one corpus-sized groupBy(user), then a 3-row-per-task literal "
     "grid — no windows, no collects; at 100 TB it is one shuffle.",
     tags=("eval", "events", "llm", "agg"),
@@ -345,7 +349,7 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         pk = F.when(
             F.col("n") - F.col("c") < k, F.lit(1.0).cast("double")
         ).otherwise(F.lit(1.0) - prod)
-        part = per.select(
+        part = per.filter(F.col("n") >= k).select(
             F.lit(k).alias("k"),
             F.round(pk, 12).cast("decimal(24,12)").alias("p"),
         )

@@ -1191,3 +1191,61 @@ def test_rewrite_data_files_refuses_mixed_specs(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixed partition specs"):
         IB.rewrite_data_files(spark, root)
+
+
+def test_rewrite_data_files_refuses_mixed_value_types(spark, tmp_path):
+    """Same partition-field SET but heterogeneous recorded value types
+    (string lang in one manifest, int lang in another) refuses by name:
+    inferring the manifest Avro type from the first value alone would
+    build a schema that mismatches the other values, leaving the
+    failure to avro_lite's write-time strictness instead of an explicit
+    guard."""
+    docs = spark.createDataFrame(
+        [(i, "en", 400 + i, f"t{i}") for i in range(6)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    root = str(tmp_path / "mixedtype")
+    IB.write_iceberg_fixture(spark, docs, root)  # lang-partitioned (string)
+    meta = IB.current_metadata(root)
+    snap = meta["current-snapshot-id"]
+    # splice a manifest recording the SAME field name with a LONG value
+    schema_long = json.loads(
+        json.dumps(IB._MANIFEST_SCHEMA).replace(
+            '{"name": "lang", "type": ["null", "string"]}',
+            '{"name": "lang", "type": ["null", "long"]}',
+        )
+    )
+    AV.write_container(
+        os.path.join(root, "metadata", "m-longlang.avro"),
+        schema_long,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap,
+                "data_file": {
+                    "file_path": "data/lang=en/part-0.parquet",
+                    "file_format": "PARQUET",
+                    "partition": {"lang": 400},
+                    "record_count": 0,
+                    "file_size_in_bytes": 1,
+                },
+            }
+        ],
+    )
+    mlist = {s["snapshot-id"]: s for s in meta["snapshots"]}[snap][
+        "manifest-list"
+    ]
+    _, manifests = AV.read_container(os.path.join(root, mlist))
+    manifests.append(
+        {
+            "manifest_path": "metadata/m-longlang.avro",
+            "manifest_length": 1,
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap,
+        }
+    )
+    AV.write_container(
+        os.path.join(root, mlist), IB._MANIFEST_LIST_SCHEMA, manifests
+    )
+    with pytest.raises(ValueError, match="mixed Avro types"):
+        IB.rewrite_data_files(spark, root)
