@@ -672,3 +672,29 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         
     )
+
+
+#: (applicationId, sf_dir) -> localCheckpointed Bradley-Terry ratings
+_BT_RATINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def bt_ratings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_bradley_terry's output (event_type, wins, bt_rating,
+    rank), localCheckpointed once per (SparkContext, sf_dir): the
+    preference family (events_dpo_pairs, and any future consumer of the
+    fitted reward model) replays the SAME MM fixed point — the fit is
+    the expensive part (a corpus-sized per-(user, type) aggregate plus
+    the within-user duel join), while the artifact is a 5-row table. At
+    100 TB this is "fit the reward model once, join it everywhere": the
+    artifact reuse a production RLHF pipeline gets by persisting the
+    rating table between stages. Keyed by applicationId so a restarted
+    SparkContext recomputes instead of dereferencing dead RDDs."""
+    from news_ingestion_data_pipeline_spark.plans import artifact_cache
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _BT_RATINGS_CACHE.get(key)
+    artifact_cache.record("bt_ratings", df is not None)
+    if df is None:
+        df = events_bradley_terry(spark, sf_dir).localCheckpoint()
+        _BT_RATINGS_CACHE[key] = df
+    return df
