@@ -1,0 +1,522 @@
+"""Hundred-seventy-sixth wave: the SentencePiece EM M-step and the
+length-controlled reward win rate — round-10 growth of the tokenizer and
+RLHF-eval families.
+
+* ``text_unigram_em_mstep`` completes the unigram-LM EM loop started by
+  ``text_unigram_viterbi_segment`` (llm119, the E-step): the Viterbi DP
+  is re-run with the chosen piece length carried in the encoded integer,
+  the optimal segmentation is BACKTRACED relationally (a second exact-
+  integer fold walking the positions array), and the piece table is
+  re-estimated from the Viterbi piece counts — Kudo 2018's M-step
+  (arXiv:1804.10959), the step SentencePiece alternates with Viterbi
+  until the vocabulary converges.
+
+* ``eval_lc_winrate`` is the length-controlled win rate — the
+  AlpacaEval-LC idea (Dubois et al. 2024, arXiv:2404.04475): raw win
+  rates reward verbosity, so compare two models ONLY within length-
+  matched buckets and average the per-bucket rates with equal weight.
+  Models A/B are a seeded md5 parity split of the labeled eval set, the
+  per-bucket pairing is a seeded md5 rank alignment, and wins are
+  counted in exact half-units (2 = win, 1 = tie, 0 = loss) over the
+  influence family's deterministic reward model.
+
+Both queries follow the registry's determinism discipline: every DP and
+every count is exact integer arithmetic; the only doubles are the final
+-log2 costs (the E-step's established nano-bit contract) and 6-dp
+rounded rates of exact integer ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_ingestion_data_pipeline_spark.functions.text import (
+    normalize_text,
+    tokens,
+)
+from news_ingestion_data_pipeline_spark.plans.llm174 import (
+    _G_SQL,
+    _T_CHECKPOINTS,
+    _g_frame,
+)
+from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
+from news_ingestion_data_pipeline_spark.plans.registry import register, t
+
+_MAXP = 4  # max piece length (must match llm119's E-step)
+
+#: candidate encoding: value = cost_e9 * 128 + n_pieces * 8 + last_k.
+#: least() is then lexicographic (cost, pieces, k) — the k tiebreak
+#: makes the backtraced path UNIQUE even when several segmentations
+#: share the optimal (cost, pieces), which the M-step needs (the
+#: E-step's cost*16+pieces encoding reports identical costs but would
+#: leave the piece identities ambiguous on ties).
+_SENT = "10000000000000000"  # beats nothing: max valid encode < 2^47
+
+
+def _m_enc_sql(k: int) -> str:
+    prev = f"acc[e[1] - {k - 1}]" if k > 1 else "acc[e[1]]"
+    core = (
+        f"({prev} // 128 + cs[(e[1] - {k}) * {_MAXP} + {k}]) * 128"
+        f" + (({prev} % 128) // 8 + 1) * 8 + {k}"
+    )
+    if k == 1:
+        return core
+    return f"CASE WHEN e[1] >= {k} THEN {core} ELSE {_SENT} END"
+
+
+@register(
+    "text_unigram_em_mstep",
+    oracle=f"""
+WITH words AS (
+  SELECT term AS w, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array({SQL_NORM.format(col='text')}, '\\s+'),
+      _t -> _t <> '')) AS term
+    FROM documents
+  ) GROUP BY term
+),
+grid AS (
+  SELECT w, freq, length(w) AS L, s.start, k.k,
+         substr(w, s.start + 1, k.k) AS piece
+  FROM words,
+       LATERAL (SELECT unnest(range(0, length(w))) AS start) s,
+       LATERAL (SELECT unnest(range(1, {_MAXP} + 1)) AS k) k
+  WHERE s.start + k.k <= length(w)
+),
+vocab AS (
+  SELECT piece, SUM(freq) AS cnt FROM grid GROUP BY piece
+),
+tot AS (
+  SELECT SUM(cnt) AS n_total, COUNT(*) AS v FROM vocab
+),
+costs AS (
+  SELECT vocab.piece,
+         CAST(round(-log2((vocab.cnt + 1.0) / (tot.n_total + tot.v))
+                    * 1000000000.0) AS BIGINT) AS c_e9
+  FROM vocab, tot
+),
+cell AS (
+  SELECT g.w, g.freq, g.L, g.start * {_MAXP} + g.k AS idx, c.c_e9
+  FROM grid g JOIN costs c ON c.piece = g.piece
+),
+full_grid AS (
+  SELECT w, freq, length(w) AS L, s.start * {_MAXP} + k.k AS idx
+  FROM words,
+       LATERAL (SELECT unnest(range(0, length(w))) AS start) s,
+       LATERAL (SELECT unnest(range(1, {_MAXP} + 1)) AS k) k
+),
+ca AS (
+  SELECT fg.w, MAX(fg.freq) AS freq, MAX(fg.L) AS L,
+         array_agg(COALESCE(cell.c_e9, 1000000000000000) ORDER BY fg.idx)
+           AS cs
+  FROM full_grid fg
+  LEFT JOIN cell ON cell.w = fg.w AND cell.idx = fg.idx
+  GROUP BY fg.w
+),
+folded AS (
+  SELECT w, freq, L,
+    list_reduce(
+      list_prepend([CAST(0 AS BIGINT)],
+        list_transform(range(1, L + 1), j -> [CAST(j AS BIGINT)])),
+      (acc, e) -> list_append(acc,
+        least({", ".join(_m_enc_sql(k) for k in range(1, _MAXP + 1))}))
+    ) AS dp
+  FROM ca
+),
+back AS (
+  SELECT w, freq, L,
+    list_reduce(
+      list_prepend([CAST(L AS BIGINT)],
+        list_transform(range(1, L + 1), j -> [CAST(j AS BIGINT)])),
+      (acc, e) -> list_append(acc,
+        CASE WHEN acc[len(acc)] > 0
+             THEN acc[len(acc)] - dp[acc[len(acc)] + 1] % 8
+             ELSE -1 END)
+    ) AS pos
+  FROM folded
+),
+pieces AS (
+  SELECT substr(b.w, CAST(b.pos[i.i + 1] + 1 AS INT),
+                CAST(b.pos[i.i] - b.pos[i.i + 1] AS INT)) AS piece,
+         b.freq
+  FROM back b, LATERAL (SELECT unnest(range(1, b.L + 1)) AS i) i
+  WHERE b.pos[i.i] > 0 AND b.pos[i.i + 1] >= 0
+),
+used AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS e_cnt
+  FROM pieces GROUP BY piece
+),
+etot AS (
+  SELECT CAST(SUM(e_cnt) AS BIGINT) AS s FROM used
+),
+newc AS (
+  SELECT u.piece, u.e_cnt, c.c_e9 AS old_cost_e9,
+         CAST(round(-log2(CAST(u.e_cnt AS DOUBLE) / etot.s)
+                    * 1000000000.0) AS BIGINT) AS new_cost_e9
+  FROM used u JOIN costs c ON c.piece = u.piece CROSS JOIN etot
+)
+SELECT piece, e_cnt, old_cost_e9, new_cost_e9,
+       new_cost_e9 - old_cost_e9 AS delta_e9
+FROM newc
+""",
+    description="SentencePiece unigram-LM EM M-STEP (Kudo 2018, the "
+    "counterpart of text_unigram_viterbi_segment's E-step): the Viterbi "
+    "DP re-runs with the chosen piece length k carried in the encoded "
+    "BIGINT (cost*128 + pieces*8 + k, so least() is lexicographic "
+    "(cost, pieces, k) and the optimal path is UNIQUE even on ties), a "
+    "second exact-integer fold backtraces the positions array, and the "
+    "piece probabilities are re-estimated from the freq-weighted "
+    "Viterbi piece counts — new cost -log2(count/total) in nano-bits "
+    "beside the E-step's add-one prior cost, delta_e9 = how far one EM "
+    "round moved each piece. Pieces the Viterbi never uses drop out "
+    "(SentencePiece's pruning). Determinism: both folds are pure BIGINT "
+    "arithmetic replayed verbatim by the oracle's list_reduce; the only "
+    "doubles are the two -log2 nano-bit costs (the E-step's established "
+    "libm contract). Scale shape: the DP and backtrace run per DISTINCT "
+    "word (vocabulary-sized, not corpus-sized); corpus-scale work is "
+    "the word count, then one (word, piece) shuffle and one piece-keyed "
+    "re-aggregation — EM iterates by repeating this stage with "
+    "new_cost_e9 as the cost table.",
+    tags=("text", "llm", "iterative"),
+)
+def text_unigram_em_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    words = (
+        spread(t(spark, sf_dir, "documents"))
+        .select(
+            F.explode(tokens(normalize_text(F.col("text")))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    base = words.select("w", "freq", F.length("w").alias("L"))
+    grid = base.select(
+        "w",
+        "freq",
+        "L",
+        F.explode(F.sequence(F.lit(0), F.col("L") - 1)).alias("start"),
+    ).select(
+        "w",
+        "freq",
+        "L",
+        "start",
+        F.explode(F.sequence(F.lit(1), F.lit(_MAXP))).alias("k"),
+    )
+    pieces = grid.filter(F.col("start") + F.col("k") <= F.col("L")).select(
+        "w",
+        "freq",
+        "L",
+        "start",
+        "k",
+        F.expr("substr(w, start + 1, k)").alias("piece"),
+    )
+    vocab = pieces.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    costs = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(
+            -F.log2(
+                (F.col("cnt") + 1.0) / (F.col("n_total") + F.col("v"))
+            )
+            * 1000000000.0
+        )
+        .cast("bigint")
+        .alias("c_e9"),
+    )
+    cell = pieces.join(F.broadcast(costs), "piece").select(
+        "w", (F.col("start") * _MAXP + F.col("k")).alias("idx"), "c_e9"
+    )
+    full_grid = grid.select(
+        "w",
+        "freq",
+        "L",
+        (F.col("start") * _MAXP + F.col("k")).alias("idx"),
+    )
+    ca = (
+        full_grid.join(cell, ["w", "idx"], "left")
+        .groupBy("w")
+        .agg(
+            F.max("freq").alias("freq"),
+            F.max("L").alias("L"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "idx",
+                            F.coalesce(
+                                "c_e9", F.lit(1000000000000000)
+                            ).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ).alias("cs"),
+        )
+    )
+
+    big = F.lit(1 << 55).cast("bigint")
+
+    def step(acc, j):
+        # encoded candidate for a piece of length k ending at position j:
+        # ((prev_cost + piece_cost) << 7) + ((prev_pieces + 1) << 3) + k,
+        # all exact bit arithmetic (see llm119's E-step; here k rides
+        # the low 3 bits so the min also fixes the backpointer).
+        def enc(k):
+            prev = F.element_at(acc, (j - (k - 1)).cast("int"))
+            cost = F.element_at("cs", ((j - k) * _MAXP + k).cast("int"))
+            return (
+                F.shiftleft(F.shiftright(prev, 7) + cost, 7)
+                + F.shiftleft(
+                    F.shiftright(prev, 3).bitwiseAND(F.lit(15)) + 1, 3
+                )
+                + k
+            )
+
+        cands = [enc(1)]
+        for k in (2, 3, 4):
+            cands.append(F.when(j >= k, enc(k)).otherwise(big))
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    folded = ca.select(
+        "w",
+        "freq",
+        "L",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.array(F.lit(0).cast("bigint")),
+            step,
+        ).alias("dp"),
+    )
+
+    def bstep(acc, _j):
+        last = F.element_at(acc, F.size(acc))
+        nxt = F.when(
+            last > 0,
+            last - F.element_at("dp", (last + 1).cast("int")) % 8,
+        ).otherwise(F.lit(-1).cast("bigint"))
+        return F.concat(acc, F.array(nxt))
+
+    back = folded.select(
+        "w",
+        "freq",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("L")),
+            F.array(F.col("L").cast("bigint")),
+            bstep,
+        ).alias("pos"),
+        "L",
+    )
+    segs = (
+        back.select(
+            "w",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("i"),
+            "pos",
+        )
+        .select(
+            "w",
+            "freq",
+            F.element_at("pos", F.col("i").cast("int")).alias("a"),
+            F.element_at("pos", (F.col("i") + 1).cast("int")).alias("b"),
+        )
+        .filter((F.col("a") > 0) & (F.col("b") >= 0))
+        .select(
+            F.expr("substr(w, CAST(b + 1 AS INT), CAST(a - b AS INT))")
+            .alias("piece"),
+            "freq",
+        )
+    )
+    used = segs.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("e_cnt")
+    )
+    etot = used.agg(F.sum("e_cnt").cast("bigint").alias("s"))
+    new_cost = (
+        F.round(
+            -F.log2(F.col("e_cnt").cast("double") / F.col("s"))
+            * 1000000000.0
+        )
+        .cast("bigint")
+        .alias("new_cost_e9")
+    )
+    return (
+        used.join(F.broadcast(costs), "piece")
+        .crossJoin(F.broadcast(etot))
+        .select(
+            "piece",
+            "e_cnt",
+            F.col("c_e9").alias("old_cost_e9"),
+            new_cost,
+        )
+        .select(
+            "piece",
+            "e_cnt",
+            "old_cost_e9",
+            "new_cost_e9",
+            (F.col("new_cost_e9") - F.col("old_cost_e9")).alias("delta_e9"),
+        )
+    )
+
+
+@register(
+    "eval_lc_winrate",
+    oracle=f"""
+WITH {_G_SQL},
+pp AS (
+  SELECT g.vec_id, round(g.g + e.y, 9) AS p
+  FROM g JOIN e ON e.vec_id = g.vec_id
+  WHERE g.t = {_T_CHECKPOINTS}
+),
+j AS (
+  SELECT d.doc_id,
+         CAST(CAST(pp.p AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS pn,
+         CAST(round(d.n_chars, -2) AS BIGINT) AS len_bucket,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':lc'),
+                             1, 15) AS BIGINT) % 2 AS m,
+         md5(CAST(d.doc_id AS VARCHAR) || ':pair') AS h
+  FROM pp JOIN documents d ON d.doc_id = pp.vec_id
+),
+ranked AS (
+  SELECT len_bucket, m, pn,
+         ROW_NUMBER() OVER (PARTITION BY len_bucket, m
+                            ORDER BY h, doc_id) AS r
+  FROM j
+),
+pairs AS (
+  SELECT a.len_bucket,
+         CASE WHEN a.pn > b.pn THEN 2
+              WHEN a.pn = b.pn THEN 1
+              ELSE 0 END AS wa2
+  FROM ranked a JOIN ranked b
+    ON b.len_bucket = a.len_bucket AND b.r = a.r
+  WHERE a.m = 0 AND b.m = 1
+),
+per AS (
+  SELECT len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(wa2) AS BIGINT) AS wins_a_x2
+  FROM pairs GROUP BY len_bucket
+),
+consts AS (
+  SELECT round(CAST(CAST(SUM(CAST(round(wins_a_x2 / (2.0 * n_pairs), 12)
+                                  AS DECIMAL(24,12))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*), 6) AS lc_winrate_a,
+         round(CAST(SUM(wins_a_x2) AS DOUBLE) / (2.0 * SUM(n_pairs)), 6)
+           AS raw_winrate_a
+  FROM per
+)
+SELECT per.len_bucket, per.n_pairs, per.wins_a_x2,
+       round(per.wins_a_x2 / (2.0 * per.n_pairs), 6) AS win_rate_a,
+       consts.lc_winrate_a, consts.raw_winrate_a
+FROM per CROSS JOIN consts
+""",
+    description="Length-controlled win rate — the AlpacaEval-LC "
+    "debiasing (Dubois et al. 2024): raw pairwise win rates reward "
+    "verbosity (see eval_reward_length_bias's correlation audit), so "
+    "models are compared ONLY within 100-char length buckets and the "
+    "per-bucket rates are averaged with EQUAL weight — the LC rate "
+    "moves only when a model wins at matched length, not when it pads. "
+    "Models A/B are a seeded md5 parity split of the labeled eval set; "
+    "within each (bucket, model) the pairing is a seeded md5 rank "
+    "alignment (ROW_NUMBER over the pair-salt hash, unmatched tail "
+    "dropped by the inner join); the judge is the influence family's "
+    "deterministic reward model with scores compared as exact integer "
+    "NANOS (the events_dpo_pairs discipline). Wins count in half-units "
+    "(2/1/0 for win/tie/loss) so every rate is an exact-integer ratio. "
+    "Output: per-bucket n_pairs, wins, win rate, plus the LC and raw "
+    "overall rates as constant audit columns — LC far from raw IS the "
+    "length-bias diagnosis. Shape: the g pipeline, one rank window "
+    "partitioned by (bucket, model) over the EVAL-SET-sized frame (not "
+    "the corpus), one (bucket, rank) equi-join, one bucket aggregate; "
+    "the 1-row consts frame is a broadcast cross join.",
+    tags=("eval", "llm", "stats", "preference"),
+)
+def eval_lc_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, g = _g_frame(spark, sf_dir)
+    pp = (
+        g.filter(F.col("t") == _T_CHECKPOINTS)
+        .join(emb.select("vec_id", "y"), "vec_id")
+        .select("vec_id", F.round(F.col("g") + F.col("y"), 9).alias("p"))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = pp.join(docs, pp["vec_id"] == docs["doc_id"]).select(
+        "doc_id",
+        (F.col("p").cast("decimal(18,9)") * 1000000000)
+        .cast("bigint")
+        .alias("pn"),
+        F.round("n_chars", -2).cast("bigint").alias("len_bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(":lc")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("m"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":pair"))
+        ).alias("h"),
+    )
+    wr = Window.partitionBy("len_bucket", "m").orderBy("h", "doc_id")
+    ranked = j.select(
+        "len_bucket", "m", "pn", F.row_number().over(wr).alias("r")
+    )
+    a = ranked.filter(F.col("m") == 0).select(
+        "len_bucket", "r", F.col("pn").alias("pa")
+    )
+    b = ranked.filter(F.col("m") == 1).select(
+        "len_bucket", "r", F.col("pn").alias("pb")
+    )
+    per = (
+        a.join(b, ["len_bucket", "r"])
+        .select(
+            "len_bucket",
+            F.when(F.col("pa") > F.col("pb"), 2)
+            .when(F.col("pa") == F.col("pb"), 1)
+            .otherwise(0)
+            .alias("wa2"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("wa2").cast("bigint").alias("wins_a_x2"),
+        )
+    )
+    consts = per.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("wins_a_x2") / (F.lit(2.0) * F.col("n_pairs")),
+                    12,
+                ).cast("decimal(24,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("lc_winrate_a"),
+        F.round(
+            F.sum("wins_a_x2").cast("double")
+            / (F.lit(2.0) * F.sum("n_pairs")),
+            6,
+        ).alias("raw_winrate_a"),
+    )
+    return per.crossJoin(F.broadcast(consts)).select(
+        "len_bucket",
+        "n_pairs",
+        "wins_a_x2",
+        F.round(
+            F.col("wins_a_x2") / (F.lit(2.0) * F.col("n_pairs")), 6
+        ).alias("win_rate_a"),
+        "lc_winrate_a",
+        "raw_winrate_a",
+    )

@@ -316,6 +316,9 @@ PYTHON_FREE = [
     "events_duel_winrate_matrix",
     "eval_reward_length_bias",
     "eval_best_of_n_reward",
+    # round-10 wave (all-relational by construction; frozen here)
+    "text_unigram_em_mstep",
+    "eval_lc_winrate",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -346,6 +349,14 @@ BNLJ_ALLOWED = frozenset(
         "agg_krippendorff_alpha",
         "eval_reward_calibration_ece",
         "eval_reward_length_bias",
+
+        # round-10: 1-row scalar envelopes — the M-step crosses the
+        # 1-row vocab-totals and EM-totals frames into the piece
+        # table (the E-step's adjudicated shape); the LC win rate
+        # crosses the 1-row (lc, raw) rate frame into the per-bucket
+        # rows. All build sides SF-independent.
+        "text_unigram_em_mstep",
+        "eval_lc_winrate",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",

@@ -231,6 +231,9 @@ DOC_QUERIES = [
     "eval_reward_calibration_ece",
     "eval_rouge2_pairs",
     "eval_reward_length_bias",
+    # round-10 (documents/embeddings-driven)
+    "text_unigram_em_mstep",
+    "eval_lc_winrate",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
