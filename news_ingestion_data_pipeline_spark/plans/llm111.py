@@ -273,6 +273,15 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tag") == "__base__")
             | ((F.col("src") != F.col("tag")) & (F.col("dst") != F.col("tag")))
         )
+        # the iterate is a (tags x trans)-sized grid (~200 rows): collapse
+        # to ONE partition before checkpointing so each of the 8 loop
+        # rounds schedules 1 task, not 32. r10 adjudication: the loop's
+        # wall time (~0.25-0.35 s/round at any SF) is per-JOB driver fixed
+        # cost, not task or shuffle work — broadcast-hinted and
+        # checkpoint-free variants measured the SAME 3.5-4.3 s min-of-3,
+        # so the r7->r9 drift (2.5 -> 3.3 s) is driver-latency weather.
+        # The loop cost is CONSTANT in SF; only the corpus pass scales.
+        .coalesce(1)
         .localCheckpoint()  # reused every iteration round
     )
     p = (
@@ -283,6 +292,7 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             F.when(F.col("node") == _ABS_STATE, 1.0).otherwise(0.0).alias("p"),
         )
+        .coalesce(1)
         .localCheckpoint()
     )
     shell = p.select("tag", "node")
@@ -306,6 +316,7 @@ def events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.coalesce("v", F.lit(0.0)))
                 .alias("p"),
             )
+            .coalesce(1)
             .localCheckpoint()
         )
     conv = (
