@@ -304,9 +304,12 @@ BENCH_QUERIES = [
     "events_duel_winrate_matrix",
     "eval_reward_length_bias",
     "eval_best_of_n_reward",
-    # round-10: tokenizer EM M-step + length-controlled win rate
+    # round-10: tokenizer EM M-step + length-controlled win rate +
+    # per-lang fertility + KTO labels
     "text_unigram_em_mstep",
     "eval_lc_winrate",
+    "text_tokenizer_fertility",
+    "events_kto_labels",
 ]
 
 

@@ -36,10 +36,10 @@ from news_ingestion_data_pipeline_spark.plans.registry import register, t
 
 _MAXP = 4  # max piece length
 
-
-@register(
-    "text_unigram_viterbi_segment",
-    oracle=f"""
+#: the E-step oracle's CTE chain (word counts -> add-one piece costs ->
+#: per-word cost arrays -> the integer Viterbi fold), shared verbatim by
+#: llm176's per-language fertility eval so both replay the identical DP
+_VITERBI_CTES = f"""
 WITH words AS (
   SELECT term AS w, COUNT(*) AS freq FROM (
     SELECT unnest(list_filter(
@@ -109,7 +109,12 @@ folded AS (
           ELSE 10000000000000000 END))
     ) AS dp
   FROM ca
-)
+)"""
+
+
+@register(
+    "text_unigram_viterbi_segment",
+    oracle=f"""{_VITERBI_CTES}
 SELECT w AS word,
        CAST(freq AS BIGINT) AS freq,
        CAST(L AS BIGINT) AS n_chars,

@@ -35,6 +35,7 @@ from news_ingestion_data_pipeline_spark.functions.text import (
     normalize_text,
     tokens,
 )
+from news_ingestion_data_pipeline_spark.plans.llm119 import _VITERBI_CTES
 from news_ingestion_data_pipeline_spark.plans.llm174 import (
     _G_SQL,
     _T_CHECKPOINTS,
@@ -519,4 +520,206 @@ def eval_lc_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("win_rate_a"),
         "lc_winrate_a",
         "raw_winrate_a",
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""{_VITERBI_CTES},
+seg AS (
+  SELECT w, L,
+         CAST(dp[L + 1] // 16 AS BIGINT) AS cost_e9,
+         CAST(dp[L + 1] % 16 AS BIGINT) AS np
+  FROM folded
+),
+lw AS (
+  SELECT lang, term AS w, COUNT(*) AS freq FROM (
+    SELECT lang, unnest(list_filter(
+      regexp_split_to_array({SQL_NORM.format(col='text')}, '\\s+'),
+      _t -> _t <> '')) AS term
+    FROM documents
+  ) GROUP BY lang, term
+)
+SELECT lw.lang,
+       CAST(SUM(lw.freq) AS BIGINT) AS n_tokens,
+       CAST(SUM(lw.freq * seg.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(lw.freq * seg.L) AS BIGINT) AS n_chars,
+       round(CAST(SUM(lw.freq * seg.np) AS DOUBLE) / SUM(lw.freq), 6)
+         AS fertility,
+       round(CAST(SUM(lw.freq * seg.L) AS DOUBLE)
+             / SUM(lw.freq * seg.np), 6) AS chars_per_piece,
+       round(CAST(SUM(lw.freq * seg.cost_e9) AS DOUBLE) / 1000000000.0
+             / SUM(lw.freq * seg.L), 6) AS bits_per_char
+FROM lw JOIN seg ON seg.w = lw.w
+GROUP BY lw.lang
+""",
+    description="Per-language tokenizer PARITY eval over the unigram-LM "
+    "Viterbi segmentation (the standard multilingual-tokenizer audit: "
+    "fertility premiums mean some languages pay more pieces — and so "
+    "more compute and context — per word): per lang, total tokens, "
+    "Viterbi pieces, chars, FERTILITY (pieces/token), chars-per-piece, "
+    "and bits-per-char (the unigram LM's compression rate, from the "
+    "DP's exact nano-bit costs). The DP replay is llm119's E-step "
+    "verbatim (shared oracle CTE chain); per-(lang, word) counts join "
+    "the vocabulary-sized segmentation table. Determinism: every SUM "
+    "is exact BIGINT (freq x {{pieces, chars, cost_e9}}); the only "
+    "doubles are three final 6-dp-rounded ratios. Shape: one corpus "
+    "(lang, word) count, the vocabulary-sized DP, one word-keyed join, "
+    "one per-lang aggregate — no windows, no collects.",
+    tags=("text", "llm", "eval"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.plans.llm119 import (
+        text_unigram_viterbi_segment,
+    )
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    seg = text_unigram_viterbi_segment(spark, sf_dir).select(
+        F.col("word").alias("w"),
+        F.col("n_chars").alias("L"),
+        F.col("best_cost_e9").alias("cost_e9"),
+        F.col("n_pieces").alias("np"),
+    )
+    lw = (
+        spread(t(spark, sf_dir, "documents"))
+        .select(
+            "lang",
+            F.explode(tokens(normalize_text(F.col("text")))).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        lw.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("np")).cast("bigint").alias("n_pieces"),
+            F.sum(F.col("freq") * F.col("L")).cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum(F.col("freq") * F.col("np")).cast("double")
+                / F.sum("freq"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("freq") * F.col("L")).cast("double")
+                / F.sum(F.col("freq") * F.col("np")),
+                6,
+            ).alias("chars_per_piece"),
+            F.round(
+                F.sum(F.col("freq") * F.col("cost_e9")).cast("double")
+                / F.lit(1000000000.0)
+                / F.sum(F.col("freq") * F.col("L")),
+                6,
+            ).alias("bits_per_char"),
+        )
+    )
+
+
+@register(
+    "events_kto_labels",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type,
+         SUM(CAST(value AS DECIMAL(20,10))) AS sv
+  FROM events GROUP BY user_id, event_type
+),
+e10 AS (
+  SELECT user_id, event_type,
+         CAST(sv * 10000000000 AS BIGINT) AS sv_e10
+  FROM per
+),
+u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(sv_e10) AS BIGINT) AS tot_e10
+  FROM e10 GROUP BY user_id
+),
+lab AS (
+  SELECT e.user_id, e.event_type AS completion,
+         e.sv_e10 * u.c - u.tot_e10 AS margin_e10,
+         CASE WHEN e.sv_e10 * u.c - u.tot_e10 > 0 THEN 'desirable'
+              ELSE 'undesirable' END AS label
+  FROM e10 e JOIN u ON u.user_id = e.user_id
+  WHERE e.sv_e10 * u.c - u.tot_e10 <> 0
+),
+consts AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE label = 'desirable') AS BIGINT)
+           AS n_desirable,
+         CAST(COUNT(*) FILTER (WHERE label = 'undesirable') AS BIGINT)
+           AS n_undesirable,
+         CASE WHEN COUNT(*) FILTER (WHERE label = 'desirable') > 0
+              THEN round(
+                CAST(COUNT(*) FILTER (WHERE label = 'undesirable')
+                     AS DOUBLE)
+                / COUNT(*) FILTER (WHERE label = 'desirable'), 6)
+              ELSE NULL END AS w_desirable
+  FROM lab
+)
+SELECT lab.user_id, lab.completion, lab.label, lab.margin_e10,
+       consts.n_desirable, consts.n_undesirable, consts.w_desirable
+FROM lab CROSS JOIN consts
+""",
+    description="KTO binary-preference label construction (Ethayarajh "
+    "et al. 2024, 'KTO: Model Alignment as Prospect Theoretic "
+    "Optimization' — the pointwise alternative to DPO's pairs: each "
+    "completion is simply DESIRABLE or UNDESIRABLE relative to a "
+    "reference point): per user, each event type's spend is labeled "
+    "against the user's own mean spend (the reference), exact ties "
+    "dropped. The comparison is sv*c - sum(sv) in exact integer "
+    "TENTH-NANOS (sign-equivalent to sv > mean with NO division, the "
+    "events_dpo_pairs integer-margin discipline), emitted as "
+    "margin_e10. Global class counts and the KTO class-balance weight "
+    "lambda ratio (n_undesirable / n_desirable, the paper's "
+    "lambda_D*n_D ~ lambda_U*n_U prescription) ride every row as "
+    "constant audit columns. Shape: one (user, type) aggregate, one "
+    "per-user aggregate, one user-keyed join — margins never leave "
+    "integer arithmetic; the 1-row consts frame is a broadcast cross "
+    "join.",
+    tags=("events", "llm", "preference", "curation"),
+)
+def events_kto_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(20,10)")).alias("sv"))
+    )
+    e10 = per.select(
+        "user_id",
+        "event_type",
+        (F.col("sv") * 10000000000).cast("bigint").alias("sv_e10"),
+    )
+    u = e10.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("sv_e10").cast("bigint").alias("tot_e10"),
+    )
+    margin = F.col("sv_e10") * F.col("c") - F.col("tot_e10")
+    lab = (
+        e10.join(u, "user_id")
+        .select(
+            "user_id",
+            F.col("event_type").alias("completion"),
+            margin.alias("margin_e10"),
+            F.when(margin > 0, "desirable")
+            .otherwise("undesirable")
+            .alias("label"),
+        )
+        .filter(F.col("margin_e10") != 0)
+    )
+    n_d = F.count(F.when(F.col("label") == "desirable", 1))
+    n_u = F.count(F.when(F.col("label") == "undesirable", 1))
+    consts = lab.agg(
+        n_d.cast("bigint").alias("n_desirable"),
+        n_u.cast("bigint").alias("n_undesirable"),
+        F.when(
+            n_d > 0, F.round(n_u.cast("double") / n_d, 6)
+        ).alias("w_desirable"),
+    )
+    return lab.crossJoin(F.broadcast(consts)).select(
+        "user_id",
+        "completion",
+        "label",
+        "margin_e10",
+        "n_desirable",
+        "n_undesirable",
+        "w_desirable",
     )

@@ -319,6 +319,8 @@ PYTHON_FREE = [
     # round-10 wave (all-relational by construction; frozen here)
     "text_unigram_em_mstep",
     "eval_lc_winrate",
+    "text_tokenizer_fertility",
+    "events_kto_labels",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -357,6 +359,11 @@ BNLJ_ALLOWED = frozenset(
         # rows. All build sides SF-independent.
         "text_unigram_em_mstep",
         "eval_lc_winrate",
+        # fertility replays the E-step's adjudicated 1-row vocab-totals
+        # cross; KTO crosses the 1-row class-balance frame into the
+        # label rows. All build sides SF-independent.
+        "text_tokenizer_fertility",
+        "events_kto_labels",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",

@@ -188,6 +188,8 @@ QUERIES = [
     "eval_pass_at_k",
     "events_duel_winrate_matrix",
     "eval_best_of_n_reward",
+    # round-10 (events-driven)
+    "events_kto_labels",
 ]
 
 
@@ -234,6 +236,7 @@ DOC_QUERIES = [
     # round-10 (documents/embeddings-driven)
     "text_unigram_em_mstep",
     "eval_lc_winrate",
+    "text_tokenizer_fertility",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
