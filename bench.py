@@ -310,6 +310,8 @@ BENCH_QUERIES = [
     "eval_lc_winrate",
     "text_tokenizer_fertility",
     "events_kto_labels",
+    "eval_judge_position_bias",
+    "curation_sampling_temperature",
 ]
 
 
@@ -350,8 +352,18 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, bool]:
         return time.time() - t0
 
     artifact_cache.drain()  # warmup-run events are not attribution
+
+    def drained_warm() -> bool:
+        return any(kind == "hit" for _, kind in artifact_cache.drain())
+
     sec = timed()
-    warm = any(kind == "hit" for _, kind in artifact_cache.drain())
+    # warm accumulates across EVERY timed run: in min-of-N mode a
+    # producer query's first run is the cache miss and runs 2..N are
+    # hits, so the recorded minimum is cache-assisted even though run 1
+    # wasn't — sampling only the first drain mislabeled exactly those
+    # queries as cold (events_dpo_pairs read 0.47 s min with no warm
+    # attribution before this fix).
+    warm = drained_warm()
     # Heavy queries are where one-off scheduler/IO hiccups hide (observed:
     # a 7s query spiking to 35s exactly once in a 52-query suite on an
     # otherwise idle box). Best-of-two on anything slow enough to matter
@@ -362,6 +374,7 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, bool]:
     # understated sample count for exactly the queries the mode exists for.
     if sec > 3.0 and _REPEATS == 1:
         sec = min(sec, timed())
+        warm = drained_warm() or warm
     # SPARK_GRAFT_BENCH_REPEATS=N (default 1): min-of-N timed runs per
     # query — the fallback measurement mode for a box under BURSTY
     # hypervisor steal, where any single pass is contaminated somewhere
@@ -370,6 +383,7 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, bool]:
     # ratio readers know min-of-N numbers are being compared.
     for _ in range(_REPEATS - 1):
         sec = min(sec, timed())
+        warm = drained_warm() or warm
     return sec, warm
 
 

@@ -723,3 +723,224 @@ def events_kto_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_undesirable",
         "w_desirable",
     )
+
+
+from news_ingestion_data_pipeline_spark.plans.llm175 import _WZ  # noqa: E402
+
+#: literal form for the oracle f-string — repr round-trips the exact
+#: double, so both engines square/multiply the identical z
+_WZ_LIT = repr(_WZ)
+
+
+@register(
+    "eval_judge_position_bias",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id, event_type,
+         SUM(CAST(value AS DECIMAL(20,10))) AS sv
+  FROM events GROUP BY user_id, event_type
+),
+duels AS (
+  SELECT a.user_id, a.event_type AS winner, b.event_type AS loser
+  FROM per a JOIN per b
+    ON b.user_id = a.user_id AND a.event_type != b.event_type
+  WHERE a.sv > b.sv
+),
+pos AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(
+                CAST(user_id AS VARCHAR) || '|' || winner || '|' || loser
+                || ':pos'), 1, 15) AS BIGINT) % 2 = 0
+              THEN 1 ELSE 0 END AS first_win
+  FROM duels
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_duels,
+         CAST(SUM(first_win) AS BIGINT) AS first_wins
+  FROM pos
+),
+wil AS (
+  SELECT n_duels, first_wins,
+         CAST(first_wins AS DOUBLE) / n_duels AS p,
+         {_WZ_LIT} AS z
+  FROM agg
+)
+SELECT n_duels, first_wins,
+       round(p, 6) AS first_win_rate,
+       round((p + z*z/(2*n_duels)
+              - z * sqrt(p*(1-p)/n_duels + z*z/(4.0*n_duels*n_duels)))
+             / (1 + z*z/n_duels), 6) AS wilson_lower,
+       round((p + z*z/(2*n_duels)
+              + z * sqrt(p*(1-p)/n_duels + z*z/(4.0*n_duels*n_duels)))
+             / (1 + z*z/n_duels), 6) AS wilson_upper,
+       CASE WHEN (p + z*z/(2*n_duels)
+                  - z * sqrt(p*(1-p)/n_duels + z*z/(4.0*n_duels*n_duels)))
+                 / (1 + z*z/n_duels) > 0.5 THEN 'first_biased'
+            WHEN (p + z*z/(2*n_duels)
+                  + z * sqrt(p*(1-p)/n_duels + z*z/(4.0*n_duels*n_duels)))
+                 / (1 + z*z/n_duels) < 0.5 THEN 'second_biased'
+            ELSE 'unbiased' END AS verdict
+FROM wil
+""",
+    description="POSITION-BIAS audit for pairwise judging — the "
+    "standard LLM-as-judge QA check (judges systematically prefer the "
+    "first-presented response; e.g. Zheng et al. 2023, 'Judging "
+    "LLM-as-a-Judge'): each duel's presentation order is a seeded md5 "
+    "coin on (user, winner, loser), and the audit reports the rate at "
+    "which the FIRST-presented item won, with its 95% Wilson interval "
+    "— verdict 'first_biased'/'second_biased' only when the interval "
+    "clears 0.5. Under the synthetic random-order assignment the rate "
+    "must straddle 0.5, making this the harness's own null-calibration "
+    "check as well as the reusable audit shape (swap the coin for a "
+    "real presentation-order column and nothing else changes). "
+    "Determinism: duel counts exact integers, the coin is the md5 "
+    "parity idiom, sqrt is IEEE correctly-rounded. Shape: one "
+    "within-user self-join then a single global aggregate — a 1-row "
+    "result forever.",
+    tags=("eval", "events", "preference", "stats"),
+)
+def eval_judge_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(20,10)")).alias("sv"))
+    )
+    a, b = per.alias("a"), per.alias("b")
+    duels = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") != F.col("b.event_type"))
+        & (F.col("a.sv") > F.col("b.sv")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("winner"),
+        F.col("b.event_type").alias("loser"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.col("winner"),
+                        F.lit("|"),
+                        F.col("loser"),
+                        F.lit(":pos"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    agg = duels.select(
+        F.when(coin == 0, 1).otherwise(0).alias("first_win")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_duels"),
+        F.sum("first_win").cast("bigint").alias("first_wins"),
+    )
+    n = F.col("n_duels").cast("double")
+    p = F.col("first_wins").cast("double") / F.col("n_duels")
+    z = F.lit(_WZ)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    lower = (p + z * z / (2 * n) - half) / denom
+    upper = (p + z * z / (2 * n) + half) / denom
+    return agg.select(
+        "n_duels",
+        "first_wins",
+        F.round(p, 6).alias("first_win_rate"),
+        F.round(lower, 6).alias("wilson_lower"),
+        F.round(upper, 6).alias("wilson_upper"),
+        F.when(lower > 0.5, "first_biased")
+        .when(upper < 0.5, "second_biased")
+        .otherwise("unbiased")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "curation_sampling_temperature",
+    oracle=f"""
+WITH lc AS (
+  SELECT lang,
+         CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS nl FROM lc
+),
+scaled AS (
+  SELECT lc.lang, lc.n_tokens,
+         CAST(lc.n_tokens AS DOUBLE) / tot.t AS raw_share,
+         round(sqrt(CAST(lc.n_tokens AS DOUBLE) / tot.t), 12) AS s
+  FROM lc CROSS JOIN tot
+),
+z AS (
+  SELECT CAST(CAST(SUM(CAST(s AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
+           AS zsum
+  FROM scaled
+)
+SELECT sc.lang, sc.n_tokens,
+       round(sc.raw_share, 6) AS raw_share,
+       round(sc.s / z.zsum, 6) AS sampled_share,
+       round(sc.s / z.zsum / sc.raw_share, 6) AS upsample_factor
+FROM scaled sc CROSS JOIN z
+""",
+    description="Temperature-scaled multilingual sampling mix — the "
+    "standard low-resource rebalance (mBERT/XLM-R exponent-smoothed "
+    "sampling, p_l^alpha renormalized; Conneau & Lample 2019) at "
+    "alpha = 0.5, chosen deliberately because p^0.5 = sqrt(p) is the "
+    "ONE power libm rounds correctly — the scaled shares are "
+    "bit-identical in both engines with no pow() contract needed. Per "
+    "language: the corpus token estimate (ceil(chars/4), the "
+    "curation_token_estimate heuristic), raw share, the "
+    "sqrt-temperature share renormalized over a 12-dp decimal fold, "
+    "and the upsample factor (>1 = low-resource language oversampled, "
+    "the entire point of temperature sampling). Shape: one per-lang "
+    "aggregate and two 1-row broadcast cross joins — language-count-"
+    "sized forever.",
+    tags=("curation", "llm", "text"),
+)
+def curation_sampling_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lc = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.ceil(F.col("n_chars") / 4.0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    tot = lc.agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.count(F.lit(1)).alias("nl"),
+    )
+    scaled = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t")).alias("raw_share"),
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("t")), 12
+        ).alias("s"),
+    )
+    z = scaled.agg(
+        F.sum(F.col("s").cast("decimal(24,12)"))
+        .cast("double")
+        .alias("zsum")
+    )
+    return scaled.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tokens",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(F.col("s") / F.col("zsum"), 6).alias("sampled_share"),
+        F.round(
+            F.col("s") / F.col("zsum") / F.col("raw_share"), 6
+        ).alias("upsample_factor"),
+    )

@@ -321,6 +321,8 @@ PYTHON_FREE = [
     "eval_lc_winrate",
     "text_tokenizer_fertility",
     "events_kto_labels",
+    "eval_judge_position_bias",
+    "curation_sampling_temperature",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -364,6 +366,9 @@ BNLJ_ALLOWED = frozenset(
         # label rows. All build sides SF-independent.
         "text_tokenizer_fertility",
         "events_kto_labels",
+        # temperature sampling crosses the 1-row corpus-total and
+        # 1-row renormalizer frames into the language-count-sized mix
+        "curation_sampling_temperature",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",

@@ -190,6 +190,7 @@ QUERIES = [
     "eval_best_of_n_reward",
     # round-10 (events-driven)
     "events_kto_labels",
+    "eval_judge_position_bias",
 ]
 
 
@@ -237,6 +238,7 @@ DOC_QUERIES = [
     "text_unigram_em_mstep",
     "eval_lc_winrate",
     "text_tokenizer_fertility",
+    "curation_sampling_temperature",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
