@@ -312,6 +312,8 @@ BENCH_QUERIES = [
     "events_kto_labels",
     "eval_judge_position_bias",
     "curation_sampling_temperature",
+    "eval_distinct_ngrams",
+    "curation_chinchilla_allocation",
 ]
 
 

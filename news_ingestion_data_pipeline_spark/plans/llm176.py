@@ -944,3 +944,182 @@ def curation_sampling_temperature(
             F.col("s") / F.col("zsum") / F.col("raw_share"), 6
         ).alias("upsample_factor"),
     )
+
+
+@register(
+    "eval_distinct_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS w
+  FROM (
+    SELECT source, doc_id,
+           list_filter(regexp_split_to_array(
+             {SQL_NORM.format(col='text')}, '\\s+'), _t -> _t <> '') AS v
+    FROM documents
+  )
+),
+uni AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS d_unigrams
+  FROM toks GROUP BY source
+),
+bi AS (
+  SELECT a.source,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT a.w || ' ' || b.w) AS BIGINT) AS d_bigrams
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       AND b.source = a.source
+  GROUP BY a.source
+)
+SELECT uni.source, uni.n_unigrams, uni.d_unigrams,
+       bi.n_bigrams, bi.d_bigrams,
+       round(CAST(uni.d_unigrams AS DOUBLE) / uni.n_unigrams, 6)
+         AS distinct_1,
+       round(CAST(bi.d_bigrams AS DOUBLE) / bi.n_bigrams, 6)
+         AS distinct_2
+FROM uni JOIN bi ON bi.source = uni.source
+""",
+    description="Distinct-n GENERATION-DIVERSITY eval (Li et al. 2016, "
+    "'A Diversity-Promoting Objective Function' — distinct-1/distinct-2 "
+    "are THE standard degenerate-repetition metrics for sampled "
+    "generations): per source (each source standing for one "
+    "generator), the unique-to-total ratio of unigrams and of "
+    "within-document bigrams. A collapsing sampler (mode collapse, "
+    "greedy loops) drives these toward 0; diverse sampling holds them "
+    "up. Determinism: all counts are exact integers over the shared "
+    "normalize+split token pipeline; the two 6-dp ratios are the only "
+    "doubles. Shape: one corpus tokenize, a per-source distinct "
+    "aggregate, and a position-offset self-join for bigrams (shuffle on "
+    "doc_id) — two shuffles at any SF.",
+    tags=("eval", "text", "llm"),
+)
+def eval_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.posexplode(tokens(normalize_text(F.col("text")))).alias(
+                "pos", "w"
+            ),
+        )
+        # DuckDB generate_subscripts is 1-based; posexplode is 0-based —
+        # align so the bigram offset join matches positions identically
+        .select(
+            "source", "doc_id", (F.col("pos") + 1).alias("pos"), "w"
+        )
+    )
+    uni = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unigrams"),
+        F.countDistinct("w").cast("bigint").alias("d_unigrams"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    bi = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1)
+            & (F.col("b.source") == F.col("a.source")),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.concat(F.col("a.w"), F.lit(" "), F.col("b.w")).alias("bg"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.countDistinct("bg").cast("bigint").alias("d_bigrams"),
+        )
+    )
+    return uni.join(bi, "source").select(
+        "source",
+        "n_unigrams",
+        "d_unigrams",
+        "n_bigrams",
+        "d_bigrams",
+        F.round(
+            F.col("d_unigrams").cast("double") / F.col("n_unigrams"), 6
+        ).alias("distinct_1"),
+        F.round(
+            F.col("d_bigrams").cast("double") / F.col("n_bigrams"), 6
+        ).alias("distinct_2"),
+    )
+
+
+#: model-size grid (params) for the token-budget allocation report
+_CHIN_GRID = (100_000_000, 1_000_000_000, 10_000_000_000)
+#: Chinchilla-optimal tokens-per-parameter (Hoffmann et al. 2022, ~20)
+_CHIN_TPP = 20
+#: diminishing-returns epoch ceiling for repeated data
+#: (Muennighoff et al. 2023, 'Scaling Data-Constrained LMs', ~4)
+_CHIN_MAX_EPOCHS = 4
+
+
+@register(
+    "curation_chinchilla_allocation",
+    oracle=f"""
+WITH corpus AS (
+  SELECT CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+           AS avail_tokens
+  FROM documents
+),
+grid AS (
+  SELECT unnest([{", ".join(f"CAST({n} AS BIGINT)" for n in _CHIN_GRID)}])
+           AS n_params
+)
+SELECT g.n_params,
+       c.avail_tokens,
+       g.n_params * {_CHIN_TPP} AS needed_tokens,
+       round(CAST(g.n_params * {_CHIN_TPP} AS DOUBLE) / c.avail_tokens, 6)
+         AS epochs_needed,
+       CASE
+         WHEN g.n_params * {_CHIN_TPP} <= c.avail_tokens THEN 'single_epoch'
+         WHEN CAST(g.n_params * {_CHIN_TPP} AS DOUBLE) / c.avail_tokens
+              <= {_CHIN_MAX_EPOCHS} THEN 'repeat_ok'
+         ELSE 'data_constrained'
+       END AS verdict
+FROM grid g CROSS JOIN corpus c
+""",
+    description="Compute-optimal TOKEN-BUDGET allocation report — the "
+    "planning query a training-data pipeline answers before a run: for "
+    "a model-size grid, Chinchilla-optimal token need (20 tokens/param, "
+    "Hoffmann et al. 2022) vs the corpus's available tokens "
+    "(ceil(chars/4), the curation_token_estimate heuristic), the "
+    "implied EPOCHS over the corpus, and a verdict — 'single_epoch' "
+    "(corpus covers the budget), 'repeat_ok' (<= 4 epochs, inside the "
+    "diminishing-returns ceiling of Muennighoff et al. 2023), or "
+    "'data_constrained' (more dedup'd/filtered data needed, not more "
+    "repetition). Determinism: token counts and needs are exact "
+    "BIGINTs; epochs is one 6-dp-rounded IEEE division. Shape: ONE "
+    "corpus aggregate crossed into a 3-row literal grid — the output "
+    "is grid-sized forever.",
+    tags=("curation", "llm", "agg"),
+)
+def curation_chinchilla_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    corpus = (
+        t(spark, sf_dir, "documents")
+        .agg(
+            F.sum(F.ceil(F.col("n_chars") / 4.0).cast("bigint"))
+            .cast("bigint")
+            .alias("avail_tokens")
+        )
+    )
+    grid = spark.createDataFrame(
+        [(n,) for n in _CHIN_GRID], "n_params bigint"
+    )
+    needed = F.col("n_params") * _CHIN_TPP
+    epochs = needed.cast("double") / F.col("avail_tokens")
+    return grid.crossJoin(F.broadcast(corpus)).select(
+        "n_params",
+        "avail_tokens",
+        needed.alias("needed_tokens"),
+        F.round(epochs, 6).alias("epochs_needed"),
+        F.when(needed <= F.col("avail_tokens"), "single_epoch")
+        .when(epochs <= _CHIN_MAX_EPOCHS, "repeat_ok")
+        .otherwise("data_constrained")
+        .alias("verdict"),
+    )

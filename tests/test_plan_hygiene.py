@@ -323,6 +323,8 @@ PYTHON_FREE = [
     "events_kto_labels",
     "eval_judge_position_bias",
     "curation_sampling_temperature",
+    "eval_distinct_ngrams",
+    "curation_chinchilla_allocation",
 ]
 
 #: queries where BroadcastNestedLoopJoin / CartesianProduct IS the
@@ -369,6 +371,9 @@ BNLJ_ALLOWED = frozenset(
         # temperature sampling crosses the 1-row corpus-total and
         # 1-row renormalizer frames into the language-count-sized mix
         "curation_sampling_temperature",
+        # 1-row corpus-total frame crossed into the 3-row literal
+        # model-size grid
+        "curation_chinchilla_allocation",
 
         # 50-cell contingency self-joins (wave 155)
         "agg_somers_d",

@@ -239,6 +239,8 @@ DOC_QUERIES = [
     "eval_lc_winrate",
     "text_tokenizer_fertility",
     "curation_sampling_temperature",
+    "eval_distinct_ngrams",
+    "curation_chinchilla_allocation",
 ]
 
 _AL = "abcdefghijklmnopqrstuvwxyz"
