@@ -1113,6 +1113,8 @@ def curation_chinchilla_allocation(
     )
     needed = F.col("n_params") * _CHIN_TPP
     epochs = needed.cast("double") / F.col("avail_tokens")
+    # bcast-ok: `corpus` is the 1-row ungrouped .agg total above, not
+    # the documents table — scalar envelope at any SF
     return grid.crossJoin(F.broadcast(corpus)).select(
         "n_params",
         "avail_tokens",
