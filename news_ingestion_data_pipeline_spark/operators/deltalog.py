@@ -411,6 +411,23 @@ def _write_single_parquet(df: DataFrame, root: str, name: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_concurrent_writes(*thunks) -> list:
+    """Run independent Spark write actions from a small driver thread
+    pool so each job's straggler tail back-fills with the next job's
+    tasks (the guide §2.6 overlap pattern). Fixture builders lay out
+    several independent single-file parquet writes — sequentially each
+    pays a full job submission + single-task write latency; overlapped,
+    the wall cost is ~one job. Results are returned in thunk order and
+    exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futures = [pool.submit(th) for th in thunks]
+        return [f.result() for f in futures]
+
+
 def _commit(root: str, version: int, actions: list[dict]) -> None:
     """Atomically create commit ``version`` — exclusive create ('x'),
     per the protocol's optimistic concurrency: the writer who creates
@@ -473,12 +490,18 @@ def write_delta_fixture(spark: SparkSession, docs: DataFrame, root: str) -> str:
     slim = docs.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
     )
-    _write_single_parquet(slim.filter(F.col("lang") != "fr"), root, "file-0.parquet")
-    _write_single_parquet(slim.filter(F.col("lang") == "fr"), root, "file-1.parquet")
-    _write_single_parquet(
-        slim.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 600)),
-        root,
-        "file-2.parquet",
+    run_concurrent_writes(
+        lambda: _write_single_parquet(
+            slim.filter(F.col("lang") != "fr"), root, "file-0.parquet"
+        ),
+        lambda: _write_single_parquet(
+            slim.filter(F.col("lang") == "fr"), root, "file-1.parquet"
+        ),
+        lambda: _write_single_parquet(
+            slim.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 600)),
+            root,
+            "file-2.parquet",
+        ),
     )
 
     def _add(name: str) -> dict:
@@ -637,25 +660,27 @@ def write_delta_type_widening_fixture(
 
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
-    _write_single_parquet(
-        docs.filter(F.col("lang") != "fr").select(
-            "doc_id",
-            "lang",
-            (F.col("n_chars") % 90000).cast("int").alias("score"),
-        ),
-        root,
-        "file-0.parquet",
-    )
-    _write_single_parquet(
-        docs.filter(F.col("lang") == "fr").select(
-            "doc_id",
-            "lang",
-            (F.col("n_chars") + F.lit(3_000_000_000)).cast("long").alias(
-                "score"
+    run_concurrent_writes(
+        lambda: _write_single_parquet(
+            docs.filter(F.col("lang") != "fr").select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") % 90000).cast("int").alias("score"),
             ),
+            root,
+            "file-0.parquet",
         ),
-        root,
-        "file-1.parquet",
+        lambda: _write_single_parquet(
+            docs.filter(F.col("lang") == "fr").select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") + F.lit(3_000_000_000)).cast("long").alias(
+                    "score"
+                ),
+            ),
+            root,
+            "file-1.parquet",
+        ),
     )
 
     def _add(name: str) -> dict:
@@ -829,14 +854,16 @@ def write_delta_ict_fixture(
     slim = docs.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("content_h")
     )
-    _write_single_parquet(slim, root, "file-0.parquet")
-    _write_single_parquet(
-        slim.filter(F.col("n_chars") >= 600), root, "file-1.parquet"
-    )
-    _write_single_parquet(
-        slim.filter((F.col("n_chars") >= 600) & (F.col("lang") != "fr")),
-        root,
-        "file-2.parquet",
+    run_concurrent_writes(
+        lambda: _write_single_parquet(slim, root, "file-0.parquet"),
+        lambda: _write_single_parquet(
+            slim.filter(F.col("n_chars") >= 600), root, "file-1.parquet"
+        ),
+        lambda: _write_single_parquet(
+            slim.filter((F.col("n_chars") >= 600) & (F.col("lang") != "fr")),
+            root,
+            "file-2.parquet",
+        ),
     )
 
     def _add(name: str) -> dict:

@@ -511,17 +511,29 @@ def write_iceberg_fixture(
         for r in slim.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     langs = sorted(lang_counts)
-    for lang in langs:
-        _write_single_parquet(
-            slim.filter(F.col("lang") == lang),
-            root,
-            f"data/lang={lang}/file-1.parquet",
-        )
     fr_keep = slim.filter(
         (F.col("lang") == "fr") & (F.col("n_chars") >= 600)
     )
-    n_fr_keep = fr_keep.count()
-    _write_single_parquet(fr_keep, root, "data/lang=fr/file-2.parquet")
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        run_concurrent_writes,
+    )
+
+    n_fr_keep, *_ = run_concurrent_writes(
+        lambda: fr_keep.count(),
+        lambda: _write_single_parquet(
+            fr_keep, root, "data/lang=fr/file-2.parquet"
+        ),
+        *[
+            (
+                lambda lang=lang: _write_single_parquet(
+                    slim.filter(F.col("lang") == lang),
+                    root,
+                    f"data/lang={lang}/file-1.parquet",
+                )
+            )
+            for lang in langs
+        ],
+    )
 
     def _entry(status: int, snap: int, name: str, lang: str, n: int) -> dict:
         p = os.path.join(root, name)
@@ -2892,10 +2904,16 @@ def write_iceberg_v3_lineage_fixture(
     slim = docs.select("doc_id", "lang", "n_chars")
     even = slim.filter(F.col("doc_id") % 2 == 0).orderBy("doc_id")
     odd = slim.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id")
-    _write_single_parquet(even, root, "data/file-even.parquet")
-    _write_single_parquet(odd, root, "data/file-odd.parquet")
-    n_even = even.count()
-    n_odd = odd.count()
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        run_concurrent_writes,
+    )
+
+    _, _, n_even, n_odd = run_concurrent_writes(
+        lambda: _write_single_parquet(even, root, "data/file-even.parquet"),
+        lambda: _write_single_parquet(odd, root, "data/file-odd.parquet"),
+        lambda: even.count(),
+        lambda: odd.count(),
+    )
 
     def _data_entry(snap: int, path: str, n: int, first: int) -> dict:
         return {

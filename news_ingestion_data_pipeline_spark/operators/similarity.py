@@ -126,9 +126,27 @@ def lsh_bucketed_topk(
     tables = [make_hyperplanes(dim, n_planes, seed + ti) for ti in range(n_tables)]
 
     def entries(df: DataFrame, idc: str, vecc: str, normc: str, probe: bool) -> DataFrame:
+        # Project each table's signature ONCE, then assemble the (tbl,
+        # bucket) probe array from plain column REFERENCES. Inlining the
+        # signature tree into every probe struct (the former shape) made
+        # every later plan-construction step re-analyze n_tables*(1+
+        # n_planes) copies of the literal-heavy dot-product trees —
+        # classic-mode Dataset ops analyze eagerly, so tree size is a
+        # per-transform driver cost. CollapseProject keeps the split
+        # (the signature is non-cheap and multiply-referenced), so each
+        # signature also evaluates once per row per table at runtime.
+        base = df.select(
+            F.col(idc),
+            F.col(vecc),
+            F.col(normc),
+            *[
+                V.hyperplane_signature(vecc, planes).alias(f"__sig{ti}")
+                for ti, planes in enumerate(tables)
+            ],
+        )
         sigs = []
-        for ti, planes in enumerate(tables):
-            sig = V.hyperplane_signature(F.col(vecc), planes)
+        for ti in range(len(tables)):
+            sig = F.col(f"__sig{ti}")
             sigs.append(F.struct(F.lit(ti).alias("tbl"), sig.alias("bucket")))
             if probe:
                 # hamming-1 probes: flip each bit of this table's signature
@@ -139,7 +157,7 @@ def lsh_bucketed_topk(
                             flip_bit(sig, b + 1, n_planes).alias("bucket"),
                         )
                     )
-        return df.select(
+        return base.select(
             F.col(idc),
             F.col(vecc),
             F.col(normc),

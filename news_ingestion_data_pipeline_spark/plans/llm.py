@@ -571,7 +571,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select(
             "vec_id",
-            V.hyperplane_signature(F.col("embedding"), _PLANES).alias("bucket"),
+            V.hyperplane_signature("embedding", _PLANES).alias("bucket"),
         )
         .groupBy("bucket")
         .agg(

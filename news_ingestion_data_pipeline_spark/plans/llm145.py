@@ -118,9 +118,10 @@ def sim_jl_projection_distortion(
         ]
         for j in range(1, _D_OUT + 1)
     ]
-    sign_arr = F.array(
-        *[F.array(*[F.lit(s) for s in row]) for row in signs]
-    )
+    # one nested-array literal (not _D_OUT*64 py4j F.lit calls): folds to
+    # the identical Literal, but plan construction is ~64x fewer driver
+    # round trips
+    sign_arr = F.lit(signs)
 
     def project(vcol):
         def one_dim(j):

@@ -185,7 +185,14 @@ ORDER BY p.exact_cnt DESC, p.l_suppkey
     tags=("agg", "sketch", "approx"),
 )
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_suppkey")
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    # spread BEFORE the md5/conv sketch hashing: the single-row-group
+    # fixture scans as ~3 tasks and the 600k-row×3-seed digest+conv
+    # chain was serialized there (profiled: one 3-task stage = the whole
+    # query); the round-robin moves only l_suppkey ints. No-op on a
+    # well-laid-out table.
+    li = spread(t(spark, sf_dir, "lineitem").select("l_suppkey"))
     seeds = F.array([F.lit(s) for s in range(_CMS_D)])
     # md5 ONCE per element (before the seed explode); each sketch row
     # reads its own 32-bit slice of the shared digest.

@@ -151,20 +151,20 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("event_id") % 23 == 0) & (F.col("q") < 4), F.col("q") + 1)
         .otherwise(F.col("q")),
     ).drop("q")
-    # one lineage break: the four per-file filters below would otherwise
-    # re-scan events (and re-run the bounds aggregate) once per file
-    batched = batched.localCheckpoint(eager=True)
+    # ONE partitioned write lays out all four arrival files in a single
+    # job (hash-repartition on batch -> exactly one part file per batch
+    # directory), replacing the localCheckpoint + four filtered
+    # coalesce(1) writes — five sequential jobs of harness prep become
+    # one, and the corpus is scanned once instead of being pinned.
     base_t = 1_700_000_000
+    tmp = f"{src}/_tmp"
+    batched.repartition(F.col("batch")).write.partitionBy("batch").parquet(tmp)
     for k in range(1, 5):
-        tmp = f"{src}/_tmp{k}"
-        batched.filter(F.col("batch") == k).drop("batch").coalesce(
-            1
-        ).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        part = glob.glob(f"{tmp}/batch={k}/part-*.parquet")[0]
         tgt = f"{src}/{k:02d}.parquet"
         shutil.move(part, tgt)
-        shutil.rmtree(tmp)
         os.utime(tgt, (base_t + k, base_t + k))
+    shutil.rmtree(tmp)
 
     name = f"stream_wm_drop_{sfx}"
     for qq in spark.streams.active:

@@ -225,7 +225,6 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
     "agg_rolling_origin_cv": (1, "folds over the day-granular time axis"),
     "agg_runs_test": (1, "lag over the day-granular daily-count series"),
     "agg_spc_individuals_chart": (1, "moving range over the day-granular series"),
-    "agg_spearman_corr": (2, "histogram rank over distinct l_quantity (50) and the bounded price vocabulary (r7 verdict: the accepted two-pass template)"),
     "agg_theil_sen_trend": (2, "pairwise slopes over the day-pair domain (~days^2/2, calendar-bounded)"),
     "curation_epoch_apportionment": (1, "largest-remainder rank over the SOURCE domain"),
     "customer_survival_km": (2, "suffix-sum + KM product over the day-granular gap/event axes"),
