@@ -1746,7 +1746,10 @@ def write_delta_generated_partition_fixture(
     (
         events.select("event_type", "ts", "value")
         .withColumn("day", F.to_date("ts").cast("string"))
-        .repartition(F.col("day"))
+        .repartition(
+            events.sparkSession.sparkContext.defaultParallelism,
+            F.col("day"),
+        )
         .sortWithinPartitions("day")
         .write.mode("overwrite")
         .partitionBy("day")

@@ -104,8 +104,18 @@ def storage_hidden_partition_transforms(
             f" AS BIGINT) % {_NB}"
         ).alias("p_bucket"),
     )
+    # explicit partition count: a column-only repartition of a ~1 MB
+    # frame is AQE-coalesced to ONE post-shuffle partition, and that
+    # single task then writes every (day, bucket) directory sequentially
+    # (profiled 9.5 s serial stage). Sizing by defaultParallelism keeps
+    # one file per live partition (each combo still hashes to one task)
+    # at any cluster width.
     (
-        ev.repartition("p_day", "p_bucket")
+        ev.repartition(
+            ev.sparkSession.sparkContext.defaultParallelism,
+            "p_day",
+            "p_bucket",
+        )
         .write.partitionBy("p_day", "p_bucket")
         .mode("overwrite")
         .parquet(path)

@@ -158,7 +158,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one, and the corpus is scanned once instead of being pinned.
     base_t = 1_700_000_000
     tmp = f"{src}/_tmp"
-    batched.repartition(F.col("batch")).write.partitionBy("batch").parquet(tmp)
+    batched.repartition(4, F.col("batch")).write.partitionBy("batch").parquet(tmp)
     for k in range(1, 5):
         part = glob.glob(f"{tmp}/batch={k}/part-*.parquet")[0]
         tgt = f"{src}/{k:02d}.parquet"

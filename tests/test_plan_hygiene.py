@@ -392,6 +392,10 @@ BNLJ_ALLOWED = frozenset(
         "agg_wilcoxon_signed_rank",
         "customer_decile_migration",
         "agg_cliffs_delta",
+        # round-11: spearman's rank maps moved off the single-partition
+        # histogram window onto the same two-pass helper; the cross is
+        # the helper's 1-row quantity/price min-max envelope
+        "agg_spearman_corr",
 
         # 50-cell contingency self-join / 1-row marginal frames (wave 152)
         "agg_goodman_kruskal_gamma",
