@@ -3529,7 +3529,17 @@ def rewrite_data_files(
         }
 
     entries = [_entry(2, snap_id, p, 0, part) for p, part in old]
-    for key, g in sorted(groups.items()):
+    # One single-file write job per partition group: sequentially each
+    # pays full job-submission + one-task write latency (profiled as the
+    # bulk of the compaction wall time at 5 groups); overlapped through
+    # the fixture builders' driver thread pool the wall cost is ~one job.
+    # Entry order stays deterministic — thunks are built and results
+    # consumed in sorted(groups) order.
+    from news_ingestion_data_pipeline_spark.operators.deltalog import (
+        run_concurrent_writes,
+    )
+
+    def _compact_one(key: tuple, g: dict) -> str:
         pf = {k: {v} for k, v in g["partition"].items()}
         df = read_iceberg(spark, root, partition_filter=pf or None)
         if sort_by is not None:
@@ -3545,9 +3555,16 @@ def rewrite_data_files(
         )
         name = f"data/compact-{snap_id}-{suffix}.parquet"
         _write_single_parquet(df, root, name)
-        # record_count from the written footer — no second scan per group
-        import pyarrow.parquet as pq
+        return name
 
+    ordered = sorted(groups.items())
+    names = run_concurrent_writes(
+        *[lambda key=key, g=g: _compact_one(key, g) for key, g in ordered]
+    )
+    # record_count from the written footer — no second scan per group
+    import pyarrow.parquet as pq
+
+    for (_key, g), name in zip(ordered, names):
         n_rows = pq.read_metadata(os.path.join(root, name)).num_rows
         entries.append(_entry(1, snap_id, name, n_rows, g["partition"]))
     m_name = f"m-compact-{snap_id}.avro"

@@ -168,6 +168,16 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", _gram3_hashed(F.col("text")).alias("grams")
     )
+    # Lineage break (same pathology as dedup_ngram_jaccard, r11): the
+    # bench/train doc_id%41 split consumes this frame THREE times
+    # (bench grams, train-side contamination probe, final anti-join), so
+    # the md5 3-gram pipeline was re-derived in every branch — and the
+    # branches' inferred isnotnull/size>0 predicates were substituted
+    # with the full gram expression and pushed below the round-robin
+    # exchange into the one-task scan stage. Pinning the gram table
+    # computes it once, in parallel; it is the gram-postings artifact a
+    # production decontamination pass materializes anyway.
+    d = d.localCheckpoint()
     is_bench = F.col("doc_id") % 41 == 0
     # Eval sets are ~10³-10⁵ docs regardless of corpus size: their distinct
     # gram set fits any executor, so the contamination check broadcasts.

@@ -86,17 +86,28 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = F.split("text", " ")
     docs = spread(t(spark, sf_dir, "documents")).select("doc_id", toks.alias("tk"))
+    # The size(tk) >= K guard lives INSIDE the gram expression (short docs
+    # yield an empty array that posexplode drops) rather than as a Filter:
+    # as a Filter, predicate pushdown substituted `tk` with split(text)
+    # and evaluated it below the round-robin exchange — the whole-corpus
+    # tokenization ran serially in the one-task scan stage, three plan
+    # copies of it (r11 pushdown audit). Identical rows either way; the
+    # filter was barely selective (docs with < 8 words).
     grams = (
-        docs.filter(F.size("tk") >= _SPAN_K)
-        .select(
+        docs.select(
             "doc_id",
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - _SPAN_K + 1),
-                    lambda i: F.substring(
-                        F.md5(F.array_join(F.slice("tk", i, _SPAN_K), " ")), 1, 16
+                F.when(
+                    F.size("tk") >= _SPAN_K,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - _SPAN_K + 1),
+                        lambda i: F.substring(
+                            F.md5(F.array_join(F.slice("tk", i, _SPAN_K), " ")),
+                            1,
+                            16,
+                        ),
                     ),
-                )
+                ).otherwise(F.expr("CAST(array() AS array<string>)")),
             ).alias("pos0", "gh"),
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")

@@ -278,18 +278,22 @@ def curation_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.expr("CAST(array() AS array<string>)")),
     )
-    return (
-        docs.withColumn("grams", grams)
-        .select(
-            "doc_id",
-            F.size("grams").alias("n_grams"),
-            F.size(F.array_distinct("grams")).alias("n_uniq"),
-        )
-        .filter(F.col("n_uniq") < F.col("n_grams"))
-        .withColumn(
-            "dup_ratio",
-            F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_grams"),
-        )
+    counts = docs.withColumn("grams", grams).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_uniq"),
+    )
+    # Lineage break before the n_uniq < n_grams filter: pushed below the
+    # round-robin exchange, the filter's aliases are substituted with the
+    # FULL gram pipeline (split + transform + array_distinct, twice over)
+    # and the whole heavy compute runs serially inside the one-task scan
+    # stage — then again, distributed, for the projection. The pinned
+    # frame is three bigints per doc (tiny at any SF); the gram build
+    # runs once, above the exchange, on every core.
+    counts = counts.localCheckpoint()
+    return counts.filter(F.col("n_uniq") < F.col("n_grams")).withColumn(
+        "dup_ratio",
+        F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_grams"),
     )
 
 
