@@ -323,11 +323,16 @@ ORDER BY train_id
 def curation_semantic_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from news_ingestion_data_pipeline_spark.tables import spread
+
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ev = emb.filter(F.col("vec_id") < _DECON_EVAL).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
     )
-    tr = emb.filter(F.col("vec_id") >= _DECON_EVAL).select(
+    # spread: the |train|x|eval| cosine stage is the heavy map compute
+    # (interpreted array folds) and the one-row-group scan would run it
+    # on a single task (profiled r11: one 4.6 s single-task stage)
+    tr = spread(emb.filter(F.col("vec_id") >= _DECON_EVAL)).select(
         F.col("vec_id").alias("train_id"), F.col("embedding").alias("tv")
     )
     sims = tr.crossJoin(F.broadcast(ev)).select(
@@ -335,18 +340,16 @@ def curation_semantic_decontaminate(
         "eval_id",
         F.round(V.cosine(F.col("tv"), F.col("ev")), 6).alias("c"),
     )
-    best = sims.groupBy("train_id").agg(F.max("c").alias("max_cos"))
-    # deterministic argmax with min-eval-id tiebreak: re-join on the max
-    arg = (
-        sims.join(
-            best.select("train_id", "max_cos"), "train_id"
-        )
-        .filter(F.col("c") == F.col("max_cos"))
-        .groupBy("train_id")
-        .agg(
-            F.min("eval_id").alias("matched_eval_id"),
-            F.max("max_cos").alias("max_cos"),
-        )
+    # one-pass argmax: max(struct(c, -eval_id)) picks max cosine with the
+    # min-eval-id tiebreak — same values as the former max + equality
+    # re-join against sims, which re-ran the whole cosine stage a second
+    # time (sims has no exchange below it, so both consumers replayed it)
+    arg = sims.groupBy("train_id").agg(
+        F.max(F.struct(F.col("c"), (-F.col("eval_id")).alias("neg"))).alias("m")
+    ).select(
+        "train_id",
+        (-F.col("m.neg")).alias("matched_eval_id"),
+        F.col("m.c").alias("max_cos"),
     )
     return (
         arg.filter(F.col("max_cos") >= _DECON_TAU)

@@ -608,6 +608,14 @@ def eval_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "len_bucket", "gh")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # Lineage break: the three consumers below (per-doc totals, both
+    # self-join sides) each need a DIFFERENT partitioning of g — doc_id
+    # vs (lang, len_bucket, gh) — so without a barrier each one replays
+    # the tokenize + bigram-explode + md5 pipeline from the scan
+    # (profiled r11: two ~60 CPU-s map stages writing byte-identical
+    # shuffle output). The pinned frame is the per-doc bigram-count
+    # table — the artifact a production ROUGE harness materializes.
+    g = g.localCheckpoint()
     tot = g.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("nb"))
     a, b = g.alias("a"), g.alias("b")
     ov = (

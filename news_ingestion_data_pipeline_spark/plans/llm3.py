@@ -117,11 +117,18 @@ FROM assigned LEFT JOIN dup ON assigned.vec_id = dup.vec_id
 )
 def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.functions import vectors as V
+    from news_ingestion_data_pipeline_spark.tables import spread
 
-    e = t(spark, sf_dir, "embeddings").select(
+    # spread: the centroid-assignment distance folds are interpreted
+    # array compute and the one-row-group scan would serialize them on a
+    # single task (profiled r11: every stage of this query was tasks=1)
+    e0 = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = e.filter(F.col("vec_id") < 8).select(
+    e = spread(e0)
+    # centroids come off the raw scan (8 rows) — no need to route the
+    # broadcast side through the spread exchange
+    cent = e0.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     d = F.aggregate(
@@ -140,23 +147,37 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", F.col("m.cent_id").alias("cell"))
         .localCheckpoint()  # two consumers of a shuffle-bearing plan
     )
+    # Salted within-cell self-join: the cell domain has 8 values, so a
+    # plain join on "cell" runs the quadratic cosine pass in <= 8 tasks —
+    # and AQE coalesces those to ONE because the shuffled BYTES are tiny
+    # while the pair COMPUTE is the whole query (profiled r11: a 3.7 s
+    # single-task join stage). Salting id_a over _SD_SALT buckets and
+    # replicating the b side per salt splits each cell's pair space into
+    # _SD_SALT independent tasks; the explicit repartition count is
+    # AQE-coalesce-proof. Pair set is unchanged: each (id_a, id_b) meets
+    # exactly once, at b's copy of a's deterministic salt. Same recipe as
+    # join_salted_skew; at 100 TB _SD_SALT rides the same dial.
+    _SD_SALT = 32
+    n_parts = 8 * _SD_SALT
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
         V.norm(F.col("v")).alias("na"),
         "cell",
-    )
+        F.pmod(F.col("vec_id"), F.lit(_SD_SALT)).cast("int").alias("salt"),
+    ).repartition(n_parts, "cell", "salt")
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
         V.norm(F.col("v")).alias("nb"),
         "cell",
-    )
+        F.explode(F.lit(list(range(_SD_SALT)))).alias("salt"),
+    ).repartition(n_parts, "cell", "salt")
     cos = F.round(
         V.cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
     )
     dup = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cos >= 0.85)
         .groupBy(F.col("id_b").alias("vec_id"))
