@@ -131,34 +131,55 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    has_out = edges.select("src").distinct()
+    # pinned: probed once per iteration (12 rounds would otherwise each
+    # recompute the distinct inside their checkpoint query)
+    has_out = (
+        edges.select(F.col("src").alias("node"), F.lit(True).alias("has_out"))
+        .distinct()
+        .localCheckpoint()
+    )
     rank = nodes.select(
         "node",
         F.when(F.col("node") == _SEED, 1.0).otherwise(0.0).alias("rank"),
     ).localCheckpoint()
     for _ in range(_ITERS):
-        dang = (
-            rank.join(has_out, rank.node == has_out.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-        )
         contrib = (
             rank.join(edges, rank.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("prob")).alias("contrib"))
         )
+        # Dangling mass as a global-window sum over the node-sized rank
+        # frame (rank carries every node, so it IS the per-round base)
+        # instead of a separate anti-join aggregate + broadcast cross
+        # join: same terms (rows with no outgoing edge), two fewer job
+        # submissions per round — profiled r11: this query ran 118 jobs /
+        # 175 stages with ~0.05 s of task work per stage. Bounded domain:
+        # the node set is the event-type vocabulary. The window executes
+        # inside the per-round localCheckpoint, not in the final plan.
+        dang = F.coalesce(
+            F.sum(F.when(F.col("has_out").isNull(), F.col("rank"))).over(
+                Window.partitionBy()
+            ),
+            F.lit(0.0),
+        )
         rank = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
+            rank.join(has_out, "node", "left")
+            .join(contrib, "node", "left")
             .select(
                 "node",
                 (
                     F.when(
                         F.col("node") == _SEED,
-                        F.lit(1 - _D) + F.lit(_D) * F.col("d"),
+                        F.lit(1 - _D) + F.lit(_D) * dang,
                     ).otherwise(0.0)
                     + F.lit(_D) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
+            # per-round truncation stays: rank is consumed twice per
+            # round, so skipping barriers doubles the subtree per round —
+            # tried a 3-round cadence (jobs 96 -> 72) but the duplicated
+            # chains raised AQE stage materializations 154 -> 202 for no
+            # wall win
             .localCheckpoint()
         )
     return rank.select(

@@ -235,7 +235,11 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # no re-checkpoint: visited is a UNION of already-pinned per-hop
+        # frontiers (narrow op over ExistingRDDs) — re-materializing the
+        # whole visited set every hop copied O(reached) rows per hop and
+        # paid one extra query submission per hop (r11 profile: 47 jobs)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return (
         visited.groupBy(F.col("seed").alias("user_id"))

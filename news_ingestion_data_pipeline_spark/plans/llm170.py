@@ -333,8 +333,21 @@ def pipeline_dedup_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"{_ROOT}/delta_dedup_dv_{sfx}"
-    slim = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", TX.doc_fingerprint(F.col("text")).alias("f")
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    # spread + pin: the normalized-text md5 fingerprint map is consumed
+    # THREE times (Delta export, keeper aggregate, loser join side) and
+    # ran once per consumer on the scan's partitioning (r11 profile: a
+    # 45 CPU-s compute stage dominating the query)
+    slim = (
+        spread(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            TX.doc_fingerprint(F.col("text")).alias("f"),
+        )
+        .localCheckpoint()
     )
     import shutil
 

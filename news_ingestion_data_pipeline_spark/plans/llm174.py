@@ -71,7 +71,12 @@ def _g_frame(spark: SparkSession, sf_dir: str):
     6-dp-rounded components, margins are decimal folds of 12-dp-rounded
     products (unordered SUMs must be order-independent), and the
     sigmoid lands on the 9-dp libm contract."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    # spread: the one-row-group embeddings scan otherwise serializes the
+    # posexplode + per-(vec, checkpoint) decimal margin folds on a single
+    # task (r11 profile: a ~1.4 s tasks=1 stage in BOTH influence queries)
+    emb = spread(t(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", (F.col("label") % 2).alias("y")
     )
     dims = emb.select(
@@ -573,10 +578,13 @@ ORDER BY rank
     tags=("events", "stats", "llm", "preference"),
 )
 def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pinned: consumed by BOTH duel-join sides and the items domain —
+    # unpinned, the events aggregate re-ran once per consumer
     per = (
         t(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
         .agg(F.sum(F.col("value").cast("decimal(20,10)")).alias("sv"))
+        .localCheckpoint()
     )
     a, b = per.alias("a"), per.alias("b")
     duels = a.join(
@@ -596,7 +604,10 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
-    items = per.select(F.col("event_type").alias("i")).distinct().localCheckpoint()
+    # not pinned: one tiny distinct over the PINNED per frame — its
+    # exchange is computed once and ReuseExchange serves every consumer,
+    # cheaper than another localCheckpoint query submission
+    items = per.select(F.col("event_type").alias("i")).distinct()
     # symmetric duel counts m_ij (i != j), zero-filled over the item grid
     grid = items.crossJoin(items.select(F.col("i").alias("j"))).filter(
         F.col("i") != F.col("j")
@@ -655,15 +666,27 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = w.join(den, "i").select(
             "i", F.round(F.col("w") / F.col("den"), 9).alias("s")
         )
-        z = r.agg(
-            F.sum(F.col("s").cast("decimal(18,9)")).cast("double").alias("z")
+        # normalization constant as a global-window decimal sum over the
+        # 5-item frame instead of a separate aggregate + broadcast cross
+        # join: the DECIMAL fold is partition/order-proof, so the value is
+        # bit-identical, and each MM round sheds two job submissions (the
+        # z materialization and the broadcast build) — profiled r11: this
+        # query was 62 jobs / 105 stages, every stage ~0.01 s of work.
+        # Bounded domain (event-type vocabulary, 5 values): adjudicated in
+        # GLOBAL_WINDOW_OK like the rank window below.
+        z = (
+            F.sum(F.col("s").cast("decimal(18,9)"))
+            .over(Window.partitionBy())
+            .cast("double")
         )
-        # item-count-sized state, truncated per round (the graph-loop rule)
-        s = (
-            r.crossJoin(F.broadcast(z))
-            .select("i", F.round(F.col("s") / F.col("z"), 9).alias("s"))
-            .localCheckpoint()
-        )
+        # No per-round lineage break: all corpus-scale inputs (m, w,
+        # items) are pinned above, so each round only adds a handful of
+        # 5-row join/window nodes — 3 unrolled rounds stay a small plan,
+        # and the whole iteration executes as ONE query instead of one
+        # RDD-materialization query per round (profiled r11: the
+        # checkpointed form ran 60 jobs / 98 stages with ~0.01 s of work
+        # per stage — pure job-submission fixed cost).
+        s = r.select("i", F.round(F.col("s") / z, 9).alias("s"))
     wr = Window.orderBy(F.desc("s"), F.col("i"))
     return (
         s.join(w, "i")

@@ -86,7 +86,10 @@ ORDER BY user_id
     tags=("graph", "events"),
 )
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copresence_edges(spark, sf_dir)
+    # pinned: the co-presence pair join feeds deg, BOTH wedge sides and
+    # the triangle-closing probe — unpinned, the presence + pair-join
+    # pipeline replayed once per consumer
+    edges = _copresence_edges(spark, sf_dir).localCheckpoint()
     und = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

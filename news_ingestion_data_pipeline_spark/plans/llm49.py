@@ -170,6 +170,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("cnt").desc(), F.col("event_type")
     )
+    # pinned: the modal-event-type map is broadcast THREE times (degree
+    # join + both internal-edge sides) — unpinned, each broadcast build
+    # re-ran the events aggregate + rank window
     comm = (
         t(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
@@ -177,6 +180,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("community"))
+        .localCheckpoint()
     )
     m = edges.agg(F.count(F.lit(1)).alias("m"))
     und = edges.select(F.col("u").alias("node")).unionAll(

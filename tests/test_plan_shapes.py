@@ -229,7 +229,7 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
     "curation_epoch_apportionment": (1, "largest-remainder rank over the SOURCE domain"),
     "customer_survival_km": (2, "suffix-sum + KM product over the day-granular gap/event axes"),
     "events_autocorrelation": (1, "ACF over the fixed lag grid"),
-    "events_bradley_terry": (1, "final rank over the event-type item domain (5 ratings)"),
+    "events_bradley_terry": (8, "final rank + 7 unrolled copies of the per-MM-round normalization sum, ALL over the 5-row event-type rating frame (r11: the normalization window replaced a per-round aggregate+broadcast pair and the per-round localCheckpoints were dropped — 62 jobs -> 25; the un-truncated 3-round lineage references round t-1 twice, so the round-t window appears 2^(3-t) times: 1+2+4=7 copies, each executing over <= 5 rows)"),
     "events_bootstrap_ci": (1, "rank over the FIXED bootstrap replicate count B"),
     "events_changepoint_binseg": (1, "prefix sums over the day-granular series"),
     "events_seasonal_decompose": (2, "seasonal index over the hour/day-of-week grid"),
