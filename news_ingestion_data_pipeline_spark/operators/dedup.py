@@ -225,6 +225,11 @@ def lsh_band_pairs_incremental(
     (id_a, id_b, n_bands_matched, vs) with vs in ('index', 'delta')
     telling whether the new doc duplicates the corpus or its own batch.
     """
+    # pin the signatures first: they are consumed twice (band explode +
+    # the delta-flag join-back), and unpinned the whole shingle+signature
+    # pipeline ran once per consumer (r11 profile: two ~17 CPU-s map
+    # stages reading the same spread exchange)
+    sigs = sigs.localCheckpoint()
     entries = band_entry_table(
         sigs, num_hashes, bands
     ).join(
