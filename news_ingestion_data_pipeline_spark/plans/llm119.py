@@ -139,16 +139,29 @@ ORDER BY word
     tags=("text", "llm", "iterative"),
 )
 def text_unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from news_ingestion_data_pipeline_spark.tables import spread
-
-    words = (
-        spread(t(spark, sf_dir, "documents"))
-        .select(
-            F.explode(tokens(normalize_text(F.col("text")))).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    folded = viterbi_folded(corpus_word_counts(spark, sf_dir))
+    last = F.element_at("dp", (F.col("L") + 1).cast("int"))
+    return folded.select(
+        F.col("w").alias("word"),
+        F.col("freq").cast("bigint").alias("freq"),
+        F.col("L").cast("bigint").alias("n_chars"),
+        F.expr("CAST(element_at(dp, CAST(L + 1 AS INT)) div 16 AS BIGINT)").alias(
+            "best_cost_e9"
+        ),
+        (last % 16).cast("bigint").alias("n_pieces"),
     )
+
+
+def _viterbi_ca(words: DataFrame) -> DataFrame:
+    """words(w, freq) -> ca(w, freq, L, cs): the (start,len)-indexed
+    cost-array table the Viterbi fold consumes.
+
+    One grid pass: the FULL (start, k) grid carries its piece substring
+    only where start + k <= L (NULL otherwise), so a single left join
+    against the broadcast piece-cost table fills real costs and the
+    coalesce fills the out-of-range sentinel — the cs arrays are
+    bit-identical to the former full_grid LEFT JOIN cell form, without
+    re-deriving the grid a second time for the join's probe side."""
     base = words.select("w", "freq", F.length("w").alias("L"))
     grid = base.select(
         "w",
@@ -185,18 +198,18 @@ def text_unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c_e9"),
     )
-    cell = pieces.join(F.broadcast(costs), "piece").select(
-        "w", (F.col("start") * _MAXP + F.col("k")).alias("idx"), "c_e9"
-    )
-    full_grid = grid.select(
+    cell = grid.select(
         "w",
         "freq",
         "L",
         (F.col("start") * _MAXP + F.col("k")).alias("idx"),
-    )
+        F.when(
+            F.col("start") + F.col("k") <= F.col("L"),
+            F.expr("substr(w, start + 1, k)"),
+        ).alias("piece"),
+    ).join(F.broadcast(costs), "piece", "left")
     ca = (
-        full_grid.join(cell, ["w", "idx"], "left")
-        .groupBy("w")
+        cell.groupBy("w")
         .agg(
             F.max("freq").alias("freq"),
             F.max("L").alias("L"),
@@ -215,6 +228,34 @@ def text_unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cs"),
         )
     )
+    return ca
+
+
+def corpus_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, freq) distinct-word counts — THE corpus-scale pass of unigram
+    tokenizer training, pinned (localCheckpoint) because every downstream
+    stage (grid, piece vocabulary, costs, DP) is vocabulary-sized and
+    multiply consumed: unpinned, the tokenize+explode+count pipeline
+    re-ran once per consumer subtree (r11 profile: two ~32-task corpus
+    map stages per query where one suffices)."""
+    from news_ingestion_data_pipeline_spark.tables import spread
+
+    return (
+        spread(t(spark, sf_dir, "documents"))
+        .select(
+            F.explode(tokens(normalize_text(F.col("text")))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+
+
+def viterbi_folded(words: DataFrame) -> DataFrame:
+    """words(w, freq) -> (w, freq, L, dp): the full Viterbi DP fold,
+    shared with llm176's fertility eval (which derives the identical
+    words frame from its own pinned (lang, word) count)."""
+    ca = _viterbi_ca(words)
 
     big = F.lit(1 << 55).cast("bigint")
 
@@ -237,7 +278,7 @@ def text_unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             cands.append(F.when(j >= k, enc(k)).otherwise(big))
         return F.concat(acc, F.array(F.least(*cands)))
 
-    folded = ca.select(
+    return ca.select(
         "w",
         "freq",
         "L",
@@ -246,14 +287,4 @@ def text_unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(0).cast("bigint")),
             step,
         ).alias("dp"),
-    )
-    last = F.element_at("dp", (F.col("L") + 1).cast("int"))
-    return folded.select(
-        F.col("w").alias("word"),
-        F.col("freq").cast("bigint").alias("freq"),
-        F.col("L").cast("bigint").alias("n_chars"),
-        F.expr("CAST(element_at(dp, CAST(L + 1 AS INT)) div 16 AS BIGINT)").alias(
-            "best_cost_e9"
-        ),
-        (last % 16).cast("bigint").alias("n_pieces"),
     )

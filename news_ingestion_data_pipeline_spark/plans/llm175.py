@@ -434,50 +434,44 @@ def eval_reward_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         "y",
     )
+    # ONE corpus-level aggregate: the per-bin Brier sum rides b's agg (a
+    # decimal sum is exact and associative, so per-bin partials summed
+    # across the 10 bins equal the former single ungrouped decimal sum
+    # bit-for-bit), and ece/brier/n then come from one 10-row aggregate
+    # over b instead of three separate aggregate+broadcast pairs
+    # (r11: the extra corpus pass and two of the three broadcast
+    # exchanges were pure AQE-job fixed cost).
     b = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_bin"),
         F.sum("y").alias("sy"),
         F.sum(F.round("p", 9).cast("decimal(18,9)"))
         .cast("double")
         .alias("sp"),
+        F.sum(
+            F.round(
+                (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")),
+                12,
+            ).cast("decimal(24,12)")
+        ).alias("sq"),
     )
-    tot = b.agg(F.sum("n_bin").cast("bigint").alias("n"))
-    ece = (
-        b.crossJoin(F.broadcast(tot))
-        .agg(
-            (
-                F.sum(
-                    F.round(
-                        F.abs(
-                            F.col("sy").cast("double") / F.col("n_bin")
-                            - F.col("sp") / F.col("n_bin")
-                        )
-                        * F.col("n_bin"),
-                        12,
-                    ).cast("decimal(24,12)")
-                ).cast("double")
-                / F.max("n")
-            ).alias("ece")
-        )
-    )
-    brier = (
-        binned.crossJoin(F.broadcast(tot))
-        .agg(
-            (
-                F.sum(
-                    F.round(
-                        (F.col("p") - F.col("y"))
-                        * (F.col("p") - F.col("y")),
-                        12,
-                    ).cast("decimal(24,12)")
-                ).cast("double")
-                / F.max("n")
-            ).alias("brier")
-        )
+    consts = b.agg(
+        (
+            F.sum(
+                F.round(
+                    F.abs(
+                        F.col("sy").cast("double") / F.col("n_bin")
+                        - F.col("sp") / F.col("n_bin")
+                    )
+                    * F.col("n_bin"),
+                    12,
+                ).cast("decimal(24,12)")
+            ).cast("double")
+            / F.sum("n_bin")
+        ).alias("ece"),
+        (F.sum("sq").cast("double") / F.sum("n_bin")).alias("brier"),
     )
     return (
-        b.crossJoin(F.broadcast(ece))
-        .crossJoin(F.broadcast(brier))
+        b.crossJoin(F.broadcast(consts))
         .select(
             "bin",
             F.col("n_bin").cast("bigint").alias("n_bin"),
@@ -858,17 +852,33 @@ def eval_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round("n_chars", -2).cast("bigint").alias("len_bucket"),
     )
-    sums = joined.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("p").cast("decimal(18,9)")).cast("double").alias("sx"),
-        F.sum("n_chars").cast("bigint").alias("sy"),
+    # per-bucket moment sums FIRST (exact decimal/bigint partials), so the
+    # corpus-level correlation sums are re-aggregates of the ~bounded
+    # len-bucket frame instead of a second pass over `joined` — decimal
+    # addition is exact and associative, so the regrouped totals (and the
+    # correlation computed from them) are bit-identical (r11: removed one
+    # aggregate pass + one broadcast exchange of pure AQE-job fixed cost).
+    per_bucket = joined.groupBy("len_bucket").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.col("p").cast("decimal(18,9)")).alias("sx_b"),
+        F.sum("n_chars").cast("bigint").alias("sy_b"),
         F.sum(
             F.round(F.col("p") * F.col("p"), 12).cast("decimal(24,12)")
-        ).cast("double").alias("sxx"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("syy"),
+        ).alias("sxx_b"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("syy_b"),
         F.sum(
             F.round(F.col("p") * F.col("n_chars"), 12).cast("decimal(24,12)")
-        ).cast("double").alias("sxy"),
+        ).alias("sxy_b"),
+    )
+    sums = per_bucket.agg(
+        F.sum("n_b").alias("n"),
+        F.sum("sx_b").cast("double").alias("sx"),
+        F.sum("sy_b").cast("bigint").alias("sy"),
+        F.sum("sxx_b").cast("double").alias("sxx"),
+        F.sum("syy_b").cast("bigint").alias("syy"),
+        F.sum("sxy_b").cast("double").alias("sxy"),
     )
     n = F.col("n")
     # zero-variance guard: a degenerate corpus where every reward (or
@@ -889,18 +899,13 @@ def eval_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("reward_length_corr")
     )
-    return (
-        joined.crossJoin(F.broadcast(corr))
-        .groupBy("len_bucket", "reward_length_corr")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(
-                F.sum(F.col("p").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_reward"),
-        )
-        .select("len_bucket", "n_docs", "mean_reward", "reward_length_corr")
+    return per_bucket.crossJoin(F.broadcast(corr)).select(
+        "len_bucket",
+        F.col("n_b").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("sx_b").cast("double") / F.col("n_b"), 6
+        ).alias("mean_reward"),
+        "reward_length_corr",
     )
 
 

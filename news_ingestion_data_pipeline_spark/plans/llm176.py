@@ -43,6 +43,7 @@ from news_ingestion_data_pipeline_spark.plans.llm174 import (
 )
 from news_ingestion_data_pipeline_spark.plans.pipeline import SQL_NORM
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 _MAXP = 4  # max piece length (must match llm119's E-step)
 
@@ -182,16 +183,14 @@ FROM newc
     tags=("text", "llm", "iterative"),
 )
 def text_unigram_em_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from news_ingestion_data_pipeline_spark.tables import spread
-
-    words = (
-        spread(t(spark, sf_dir, "documents"))
-        .select(
-            F.explode(tokens(normalize_text(F.col("text")))).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    from news_ingestion_data_pipeline_spark.plans.llm119 import (
+        corpus_word_counts,
     )
+
+    # pinned: the corpus tokenize+count pass is the ONLY corpus-scale
+    # work; everything below is vocabulary-sized and multiply consumed
+    # (unpinned, the pass re-ran once per consumer subtree — r11 profile)
+    words = corpus_word_counts(spark, sf_dir)
     base = words.select("w", "freq", F.length("w").alias("L"))
     grid = base.select(
         "w",
@@ -228,18 +227,22 @@ def text_unigram_em_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c_e9"),
     )
-    cell = pieces.join(F.broadcast(costs), "piece").select(
-        "w", (F.col("start") * _MAXP + F.col("k")).alias("idx"), "c_e9"
-    )
-    full_grid = grid.select(
+    # one grid pass: the FULL (start, k) grid carries its piece only where
+    # start + k <= L (NULL otherwise); a single left join against the
+    # broadcast cost table + coalesce yields cs arrays bit-identical to
+    # the former full_grid LEFT JOIN cell form (see llm119._viterbi_ca)
+    cell = grid.select(
         "w",
         "freq",
         "L",
         (F.col("start") * _MAXP + F.col("k")).alias("idx"),
-    )
+        F.when(
+            F.col("start") + F.col("k") <= F.col("L"),
+            F.expr("substr(w, start + 1, k)"),
+        ).alias("piece"),
+    ).join(F.broadcast(costs), "piece", "left")
     ca = (
-        full_grid.join(cell, ["w", "idx"], "left")
-        .groupBy("w")
+        cell.groupBy("w")
         .agg(
             F.max("freq").alias("freq"),
             F.max("L").alias("L"),
@@ -473,14 +476,20 @@ def eval_lc_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = j.select(
         "len_bucket", "m", "pn", F.row_number().over(wr).alias("r")
     )
-    a = ranked.filter(F.col("m") == 0).select(
-        "len_bucket", "r", F.col("pn").alias("pa")
-    )
-    b = ranked.filter(F.col("m") == 1).select(
-        "len_bucket", "r", F.col("pn").alias("pb")
-    )
+    # pair the two arms with ONE aggregate on (len_bucket, r) instead of
+    # an m=0/m=1 filter self-join: (len_bucket, m, r) is unique by
+    # row_number, so max-over-singleton reproduces each arm's pn and the
+    # both-present filter IS the former inner join's row set — the ranked
+    # window pipeline (g-frame join + md5s + window) now runs once, not
+    # once per join branch (r11 profile: two byte-identical 32-task map
+    # stages, 278K/254K exchanges).
     per = (
-        a.join(b, ["len_bucket", "r"])
+        ranked.groupBy("len_bucket", "r")
+        .agg(
+            F.max(F.when(F.col("m") == 0, F.col("pn"))).alias("pa"),
+            F.max(F.when(F.col("m") == 1, F.col("pn"))).alias("pb"),
+        )
+        .filter(F.col("pa").isNotNull() & F.col("pb").isNotNull())
         .select(
             "len_bucket",
             F.when(F.col("pa") > F.col("pb"), 2)
@@ -570,16 +579,16 @@ GROUP BY lw.lang
 )
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_ingestion_data_pipeline_spark.plans.llm119 import (
-        text_unigram_viterbi_segment,
+        viterbi_folded,
     )
     from news_ingestion_data_pipeline_spark.tables import spread
 
-    seg = text_unigram_viterbi_segment(spark, sf_dir).select(
-        F.col("word").alias("w"),
-        F.col("n_chars").alias("L"),
-        F.col("best_cost_e9").alias("cost_e9"),
-        F.col("n_pieces").alias("np"),
-    )
+    # ONE corpus pass: the pinned (lang, word) count is the only
+    # corpus-scale work; the unweighted word table the Viterbi DP needs
+    # is its per-word re-aggregate (sum of per-lang counts = the corpus
+    # count, exact integers), so the DP replays llm119's E-step verbatim
+    # without a second tokenize pass (previously three corpus map stages:
+    # two from the unpinned viterbi words + this count — r11 profile).
     lw = (
         spread(t(spark, sf_dir, "documents"))
         .select(
@@ -588,6 +597,18 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+    words = lw.groupBy("w").agg(F.sum("freq").alias("freq"))
+    folded = viterbi_folded(words)
+    last = F.element_at("dp", (F.col("L") + 1).cast("int"))
+    seg = folded.select(
+        "w",
+        "L",
+        F.expr(
+            "CAST(element_at(dp, CAST(L + 1 AS INT)) div 16 AS BIGINT)"
+        ).alias("cost_e9"),
+        (last % 16).cast("bigint").alias("np"),
     )
     return (
         lw.join(seg, "w")
@@ -1108,8 +1129,8 @@ def curation_chinchilla_allocation(
             .alias("avail_tokens")
         )
     )
-    grid = spark.createDataFrame(
-        [(n,) for n in _CHIN_GRID], "n_params bigint"
+    grid = local_df(
+        spark, [(n,) for n in _CHIN_GRID], "n_params bigint"
     )
     needed = F.col("n_params") * _CHIN_TPP
     epochs = needed.cast("double") / F.col("avail_tokens")
