@@ -34,6 +34,18 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """createDataFrame over ONE slice: the default path parallelizes a
+    driver-local list over defaultParallelism, costing 32 near-empty
+    task launches per call for DV/row-id maps that are file-count-sized
+    by construction (same fix as iceberg._local_df, r11 profile)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def list_commit_versions(root: str) -> list[int]:
     """Sorted commit versions present in ``_delta_log/`` (ignores
     checkpoints, CRCs and temp files)."""
@@ -382,7 +394,7 @@ def _resolve_df(
     for p in sorted(dv_adds):
         for idx in _dv_indexes(root, dv_adds[p]["deletionVector"]):
             rows.append((p, idx))
-    dels = spark.createDataFrame(rows, "file_path string, pos long")
+    dels = _local_df(spark, rows, "file_path string, pos long")
     df = df.join(
         dels,
         (df["__file"] == dels["file_path"]) & (df["__pos"] == dels["pos"]),
@@ -1181,7 +1193,8 @@ def read_delta_with_row_ids(
     files = [os.path.join(root, p) for p in sorted(adds)]
     tagged = _grouped_scan(spark, root, files, metadata, True)
     fmap = F.broadcast(
-        spark.createDataFrame(
+        _local_df(
+            spark,
             [(p, int(a["baseRowId"])) for p, a in sorted(adds.items())],
             "__lf string, __base long",
         )
@@ -1422,7 +1435,8 @@ def _dv_delete(spark: SparkSession, root: str, select_live) -> tuple[int, int]:
     files = [os.path.join(root, p) for p in sorted(adds)]
     tagged = _grouped_scan(spark, root, files, metadata, True)
     if existing:
-        old = spark.createDataFrame(
+        old = _local_df(
+            spark,
             [(p, i) for p, idxs in existing.items() for i in idxs],
             "file_path string, pos long",
         )
@@ -2895,8 +2909,8 @@ def read_delta_changes(
                 pairs.extend((a["path"], i) for i in sorted(new_idx - prev_idx))
             if not pairs:
                 continue  # DV rewrite that masked nothing new
-            dels = spark.createDataFrame(
-                pairs, "file_path string, pos long"
+            dels = _local_df(
+                spark, pairs, "file_path string, pos long"
             )
             _, _, metadata = _replay(root, v)
             tagged = _grouped_scan(

@@ -1698,7 +1698,7 @@ def _resolved_with_position(
             (os.path.relpath(p, root), int(s)) for p, s in data_entries
         ]
         seq_df = F.broadcast(
-            spark.createDataFrame(seq_rows, "__sf string, __seq long")
+            _local_df(spark, seq_rows, "__sf string, __seq long")
         )
         df = df.join(seq_df, df["__file"] == seq_df["__sf"], "left").drop(
             "__sf"
@@ -2725,7 +2725,7 @@ def read_iceberg_v3(
             for pos in poss
         ]
         dels = F.broadcast(
-            spark.createDataFrame(rows, "file_path string, pos long")
+            _local_df(spark, rows, "file_path string, pos long")
         )
         df = df.join(
             dels,
@@ -2794,7 +2794,7 @@ def append_dv_delete(
             for p in poss
         ]
         dels = F.broadcast(
-            spark.createDataFrame(rows, "file_path string, pos long")
+            _local_df(spark, rows, "file_path string, pos long")
         )
         live = live.join(
             dels,
@@ -3062,7 +3062,7 @@ def read_iceberg_v3_lineage(
         spark, root, sorted(_resolve(root, p) for p, _ in firsts)
     )
     fmap = F.broadcast(
-        spark.createDataFrame(firsts, "__lf string, __first long")
+        _local_df(spark, firsts, "__lf string, __first long")
     )
     return (
         df.join(fmap, df["__file"] == fmap["__lf"])
@@ -3322,7 +3322,7 @@ def read_iceberg_changelog(
         ]
         if not rows:
             return df if not keep else df.limit(0)
-        dels = spark.createDataFrame(rows, "file_path string, pos long")
+        dels = _local_df(spark, rows, "file_path string, pos long")
         how = "left_semi" if keep else "left_anti"
         return df.join(
             dels,

@@ -1042,6 +1042,21 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2) * F.greatest(F.col("sz_a"), F.col("sz_b"))
         <= F.lit(5) * F.least(F.col("sz_a"), F.col("sz_b"))
     )
+    # size prune BEFORE the arrays attach: the 2·max <= 5·min guard needs
+    # only the two int sizes, and every pair it kills would otherwise
+    # carry a full shingle array through both verify joins (r11 profile:
+    # the pair×array intermediate is the query's largest shuffle, 88 MB
+    # at sf0.1; the guard drops ~20% of candidate pairs on this corpus).
+    # Same rows by construction — the filter commutes with the inner
+    # joins because it references only id-keyed size columns.
+    za = sh.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sh.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cands = (
+        cands.join(za, "id_a").join(zb, "id_b").filter(size_ok)
+        .select("id_a", "id_b", "n_bands_matched", "sz_a", "sz_b")
+    )
+    sa = sa.drop("sz_a")
+    sb = sb.drop("sz_b")
     return (
         # merge (SMJ): sa/sb are checkpointed corpus-scale shingle
         # tables with no stats — unhinted the planner broadcasts them;
@@ -1051,7 +1066,6 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sa, "id_a")
         .hint("merge")
         .join(sb, "id_b")
-        .filter(size_ok)
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",

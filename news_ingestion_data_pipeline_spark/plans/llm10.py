@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 
 @register(
@@ -246,4 +247,4 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(remaining.pop(best[1]))
 
     rows = [(i + 1, r["vec_id"]) for i, r in enumerate(selected)]
-    return spark.createDataFrame(rows, "rank long, neighbor_id long")
+    return local_df(spark, rows, "rank long, neighbor_id long")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 _ROOT = scratch_root("llm108")
@@ -145,7 +146,8 @@ def agg_scenario_grid_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inner join on the broadcast-exchange thread and stall until
     # spark.sql.broadcastTimeout (measured: 320 s).  A literal local table
     # broadcasts instantly and is the honest shape for a constant grid.
-    grid = spark.createDataFrame(
+    grid = local_df(
+        spark,
         [(m, d) for m in (95, 100, 105, 110) for d in (0, 5, 10)],
         "price_mult_pct int, demand_drop_pct int",
     )

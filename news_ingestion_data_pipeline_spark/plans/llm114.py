@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 _ALPHA = "0.2"
 
@@ -267,8 +268,8 @@ def events_uplift_tlearner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("arm") == 0, F.col("a"))).alias("a_c"),
         F.max(F.when(F.col("arm") == 0, F.col("b"))).alias("b_c"),
     )
-    grid = wide.sparkSession.createDataFrame(
-        [(5,), (10,), (20,)], "x int"
+    grid = local_df(
+        wide.sparkSession, [(5,), (10,), (20,)], "x int"
     )
     return (
         wide.crossJoin(F.broadcast(grid))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 _DD_ALPHA = 0.01
 _DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
@@ -142,7 +143,7 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wc).alias("cum_c"),
         F.sum("c").over(wn).alias("n"),
     )
-    qs = spark.createDataFrame([(q,) for q in _DD_QS], "q double")
+    qs = local_df(spark, [(q,) for q in _DD_QS], "q double")
     # bcast-ok: 3-row quantile probe frame
     hits = (
         cum.crossJoin(F.broadcast(qs))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 # Benford expected shares log10(1 + 1/d), frozen as literals so both
 # engines compare against the identical doubles (no cross-engine log10)
@@ -57,8 +58,8 @@ ORDER BY e.digit
     tags=("agg", "quality", "stats"),
 )
 def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    expected = spark.createDataFrame(
-        [(d, _BENFORD[d]) for d in range(1, 10)], "digit int, p_exp double"
+    expected = local_df(
+        spark, [(d, _BENFORD[d]) for d in range(1, 10)], "digit int, p_exp double"
     )
     digits = (
         t(spark, sf_dir, "orders")

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.operators import deltalog as DL
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 _ROOT = scratch_root("llm173")
@@ -258,8 +259,8 @@ def storage_iceberg_metadata_tables(
         s2: IC.iceberg_metadata_table(spark, root, "files", s2).count(),
     }
     snaps_df = IC.iceberg_metadata_table(spark, root, "snapshots")
-    counts = spark.createDataFrame(
-        [(k, v) for k, v in live_counts.items()], "sid long, n_live long"
+    counts = local_df(
+        spark, [(k, v) for k, v in live_counts.items()], "sid long, n_live long"
     )
     snaps = (
         snaps_df.join(counts, snaps_df["snapshot_id"] == counts["sid"])
@@ -725,7 +726,8 @@ def pipeline_delta_optimize_zorder(
     n_post = (
         spark.read.parquet(*post_files).count() if post_files else 0
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             ("pre", pre_total, len(pre_files), n_pre),
             ("zorder", post_total, len(post_files), n_post),

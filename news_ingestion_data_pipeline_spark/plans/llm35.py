@@ -129,7 +129,9 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = core.select(F.col("vec_id").alias("u"), F.col("vec_id").alias("lbl"))
     # label sum decreases monotonically; unchanged sum == fixpoint
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # (probed AFTER each round's checkpoint — the pre-loop sum probe
+    # bought nothing: the first comparison can simply see None)
+    prev_sum = None
     for _ in range(_CC_ROUNDS):
         nb_min = (
             cadj.join(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t, ts_str
+from news_ingestion_data_pipeline_spark.tables import local_df
 from news_ingestion_data_pipeline_spark.scratch import scratch_root
 
 _ROOT = scratch_root("llm5")
@@ -223,7 +224,8 @@ def join_dpp_runtime_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_type")
         .parquet(path)
     )
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [
             ("view", "engagement"),
             ("click", "engagement"),

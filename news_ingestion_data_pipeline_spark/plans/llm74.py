@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 # O'Brien-Fleming two-sided 0.05 bounds for K = 4 equally-spaced looks,
 # frozen literals (z bounds ~ z_final * sqrt(K / k))
@@ -125,8 +126,8 @@ def events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff, 6).alias("diff"),
         F.round(diff / se, 6).alias("z"),
     )
-    bounds = z.sparkSession.createDataFrame(
-        [(k, b) for k, b in enumerate(_GS_BOUNDS)], "look INT, bound DOUBLE"
+    bounds = local_df(
+        z.sparkSession, [(k, b) for k, b in enumerate(_GS_BOUNDS)], "look INT, bound DOUBLE"
     )
     return (
         z.join(F.broadcast(bounds), "look")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 _BH_Q = 0.1  # target false-discovery rate
 _BH_M = 5    # number of tests (event types)
@@ -158,8 +159,8 @@ def agg_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.abs("z").desc(), F.col("event_type")))
         .alias("rnk"),
     )
-    thresh = z.sparkSession.createDataFrame(
-        [(i + 1, float(zc)) for i, zc in enumerate(_BH_Z)], "rnk INT, z_cut DOUBLE"
+    thresh = local_df(
+        z.sparkSession, [(i + 1, float(zc)) for i, zc in enumerate(_BH_Z)], "rnk INT, z_cut DOUBLE"
     )
     marked = ranked.join(F.broadcast(thresh), "rnk").withColumn(
         "raw_pass", F.col("az") >= F.col("z_cut")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import REGISTRY, register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 _NDCG_K = 5
 # discount 1/log2(rank+1), frozen literals per rank
@@ -90,8 +91,8 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank"
     )
     lab = emb.select("vec_id", "label")
-    disc = emb.sparkSession.createDataFrame(
-        [(r + 1, float(d)) for r, d in enumerate(_DISCOUNTS)], "rank INT, w DOUBLE"
+    disc = local_df(
+        emb.sparkSession, [(r + 1, float(d)) for r, d in enumerate(_DISCOUNTS)], "rank INT, w DOUBLE"
     )
     judged = (
         topk.join(

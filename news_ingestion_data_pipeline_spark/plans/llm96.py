@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.registry import register, t
+from news_ingestion_data_pipeline_spark.tables import local_df
 
 _ITERS = 3
 #: symbol separator inside the fold accumulator — never occurs in corpus
@@ -131,8 +132,8 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.select(F.explode(_syms_col()).alias("sym"))
         .agg(F.countDistinct("sym").cast("bigint").alias("vocab_size_after"))
     )
-    rules = spark.createDataFrame(
-        merges, "step int, merged_pair string, pair_count bigint"
+    rules = local_df(
+        spark, merges, "step int, merged_pair string, pair_count bigint"
     )
     return rules.crossJoin(F.broadcast(vocab))
 

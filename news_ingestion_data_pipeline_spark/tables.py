@@ -73,6 +73,21 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """createDataFrame over ONE slice for driver-local constant grids
+    (quantile probes, scenario grids, k-row literal tables): the default
+    path parallelizes the list over defaultParallelism, so every such
+    frame cost a 32-task near-empty stage before its broadcast (r11
+    profile: ~5 CPU-s of pure task-launch overhead per site). These
+    frames are k-row by construction; one slice is the right layout at
+    any scale."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
