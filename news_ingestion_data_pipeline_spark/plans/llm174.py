@@ -717,7 +717,13 @@ def bt_ratings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     SparkContext recomputes instead of dereferencing dead RDDs."""
     from news_ingestion_data_pipeline_spark.plans import artifact_cache
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # evict entries from dead applicationIds: a process that restarts its
+    # SparkContext (test suites do) would otherwise accumulate stale
+    # DataFrames pinning old localCheckpoint blocks (r10 ADVICE)
+    for k in [k for k in _BT_RATINGS_CACHE if k[0] != app_id]:
+        del _BT_RATINGS_CACHE[k]
+    key = (app_id, sf_dir)
     df = _BT_RATINGS_CACHE.get(key)
     artifact_cache.record("bt_ratings", df is not None)
     if df is None:

@@ -41,7 +41,10 @@ def main() -> None:
         f"new: {new_path} n={len(nq)} steal={new.get('cpu_steal_sec')}s "
         f"repeats={n_rep}"
     )
-    mode_matched = (o_rep == 1) == (n_rep == 1)
+    # min-of-3 vs min-of-5 carries the same warm/min bias the guard
+    # exists to flag — only IDENTICAL repeat counts are mode-matched
+    # (r10 ADVICE)
+    mode_matched = o_rep == n_rep
     if common and ot > 0:
         ratio = f"ratio {nt / ot:.3f}"
         if not mode_matched:

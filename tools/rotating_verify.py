@@ -23,8 +23,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["MV_STRICT"] = "1"  # must precede the mini_verify import
-
 import duckdb  # noqa: E402
 
 import mini_verify as MV  # noqa: E402
@@ -48,6 +46,11 @@ def driver_fixed_set(round_no: int) -> set[str]:
 
 
 def main() -> int:
+    # strictness passed to mini_verify explicitly at run time — setting
+    # MV_STRICT at import time silently flipped mini_verify to strict for
+    # any later import in the same process (r10 ADVICE: import-order-
+    # dependent pollution, surfaced via tests importing this module)
+    MV.STRICT = True
     round_no = int(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     size = int(sys.argv[3]) if len(sys.argv) > 3 else 50
