@@ -222,7 +222,9 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("bkt"),
-    )
+    ).localCheckpoint()  # pinned: the tokenize+md5 bigram explode is the
+    # corpus-scale pass and FOUR consumers read it (raw/target counts,
+    # totals, per-doc scores) — unpinned it re-ran once per consumer
     raw = bg.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_r"))
     tgt = (
         bg.filter(F.col("lang") == "en")
