@@ -177,14 +177,22 @@ def lsh_band_pairs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     return pairs
 
 
-def band_entry_table(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def band_entry_table(
+    sigs: DataFrame, num_hashes: int, bands: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(id, sig) → one (id, band, bucket) row per band — the LSH index
     table itself. At 100 TB this is the table you MATERIALIZE once and
     keep partitioned by (band, bucket): every later dedup run joins new
-    documents against it instead of re-signing the corpus."""
+    documents against it instead of re-signing the corpus.
+
+    ``carry`` names extra per-id columns of ``sigs`` to ride through the
+    explode (e.g. an ingest-batch flag): cheaper than joining them back
+    on id afterwards, which would re-run the signature pipeline's
+    row-defining aggregate just to recover the id set."""
     rows_per_band = num_hashes // bands
     return sigs.select(
         "id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -202,7 +210,9 @@ def band_entry_table(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id", *carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def lsh_band_pairs_incremental(
@@ -225,16 +235,19 @@ def lsh_band_pairs_incremental(
     (id_a, id_b, n_bands_matched, vs) with vs in ('index', 'delta')
     telling whether the new doc duplicates the corpus or its own batch.
     """
-    # pin the signatures first: they are consumed twice (band explode +
-    # the delta-flag join-back), and unpinned the whole shingle+signature
-    # pipeline ran once per consumer (r11 profile: two ~17 CPU-s map
-    # stages reading the same spread exchange)
-    sigs = sigs.localCheckpoint()
-    entries = band_entry_table(
-        sigs, num_hashes, bands
-    ).join(
-        sigs.select("id", F.col(delta_col).alias("_delta")), "id"
-    ).localCheckpoint()
+    # The slim post-explode band table is pinned; the signature frame
+    # itself is NOT (r11 pinned it and regressed: materializing the full
+    # num_hashes-array RDD cost more than the recompute it saved —
+    # min-of-3 1.59 -> 2.69 s). The delta flag RIDES the band explode
+    # instead of being joined back on id: the former join-back branch
+    # could not be column-pruned (the signature groupBy defines the id
+    # row set), so it re-ran the whole shingle pipeline (~40 CPU-s at
+    # sf0.1) just to produce (id, flag).
+    entries = (
+        band_entry_table(sigs.withColumnRenamed(delta_col, "_delta"),
+                         num_hashes, bands, carry=("_delta",))
+        .localCheckpoint()
+    )
 
     a = entries.alias("a")
     d = entries.filter(F.col("_delta")).alias("d")

@@ -111,23 +111,14 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ns") >= 2)
         .select("u", "v", F.expr("1000 div ns").cast("bigint").alias("w"))
     )
-    # both edge orientations from ONE wedge pass: the mirrored-union form
-    # re-derived the whole presence+pair pipeline once per branch (r11
-    # profile: two byte-identical 1.3 MB exchanges feeding the union)
-    und = (
-        wedges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u"), F.col("v"), F.col("w")),
-                    F.struct(
-                        F.col("v").alias("u"), F.col("u").alias("v"), "w"
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v", "e.w")
-        .localCheckpoint()
-    )  # probed once per relaxation round
+    # Mirrored union, not explode-of-struct-array: the r11 single-pass
+    # explode form regressed in both harnesses (min-of-3 1.85 -> 2.46 s) —
+    # it serializes the row doubling into one task set ahead of the
+    # checkpoint, while the union's two branches run concurrently and the
+    # duplicated head pipeline is only ~1.3 MB of exchange.
+    und = wedges.unionByName(
+        wedges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint()  # probed once per relaxation round
 
     dist = (
         und.select("u")

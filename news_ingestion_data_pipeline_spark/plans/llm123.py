@@ -112,45 +112,43 @@ def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("sqdist_at_pick"),
         )
     ]
-    # One checkpoint query per greedy round instead of two (pick, then
-    # relax) plus a broadcast build: the farthest point rides a global
-    # max-struct window — max(d), ties to min vec_id (-id), carrying the
-    # center vector and pick distance into every row — and the relax
-    # happens in the same select. Same comparisons, same least/sqdist
-    # arithmetic, identical picks; r11 profile of the two-query form was
-    # 31 jobs / 31 stages of ~0.1 s each. The 2,000-row global window
-    # executes inside the per-round localCheckpoint (bounded: the
-    # embeddings fixture), not in the final plan.
+    # Two queries per greedy round (orderBy-limit-1 pick, then relax
+    # against the broadcast pick). r11 fused them into one via a global
+    # max-struct window carrying the full center vector into every row —
+    # fewer jobs (31 -> 22) but SLOWER in both harnesses (min-of-3
+    # 1.78 -> 2.12 s, and 3.34 s by this round's baseline): the
+    # single-partition window serializes the round and the checkpoint
+    # re-materializes the widened rows, while limit-1 plans as a cheap
+    # TakeOrdered. Reverted to the r10 form.
     for k in range(1, _K):
-        m = F.max(
-            F.struct(
-                F.col("d"),
-                (-F.col("vec_id")).alias("nid"),
-                F.col("v").alias("cv"),
-            )
-        ).over(Window.partitionBy())
-        md = (
-            md.withColumn("m", m)
+        pick = (
+            md.orderBy(F.desc("d"), "vec_id")
+            .limit(1)
             .select(
-                "vec_id",
-                "v",
-                F.least(
-                    F.col("d"), sqdist(F.col("v"), F.col("m.cv"))
-                ).alias("d"),
-                (-F.col("m.nid")).alias("pick_id"),
-                F.col("m.d").alias("pick_d"),
+                F.col("vec_id").alias("pick_id"),
+                F.col("v").alias("cv"),
+                F.col("d").alias("pick_d"),
             )
             .localCheckpoint()
         )
         rows.append(
-            md.filter(F.col("vec_id") == F.col("pick_id"))
-            .select(
+            pick.select(
                 F.lit(k).alias("step"),
                 F.col("pick_id").cast("bigint").alias("center_id"),
                 F.round("pick_d", 6).alias("sqdist_at_pick"),
             )
         )
-        md = md.select("vec_id", "v", "d")
+        md = (
+            md.crossJoin(F.broadcast(pick.select("cv")))
+            .select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("d"), sqdist(F.col("v"), F.col("cv"))
+                ).alias("d"),
+            )
+            .localCheckpoint()
+        )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -79,16 +79,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     nodes = und.select("u").distinct().localCheckpoint()
     labels = nodes.select("u", F.col("u").alias("lbl"))
-    # No per-round lineage break: each round's label map is consumed
-    # exactly ONCE by the next round, so the unrolled 4-round plan grows
-    # linearly (bounded) and the whole iteration executes as one job —
-    # the per-round localCheckpoints each cost a full job submission +
-    # RDD materialization and bought nothing (only und/nodes, probed
-    # every round, need pinning). Measured 3.5 s -> ~2.5 s solo.
-    for _ in range(_LPA_ROUNDS):
+    # Per-round lineage break: although each round's label map is consumed
+    # exactly once by the next round, the fully unrolled 4-round plan is
+    # slower than the checkpointed form (r11 tried the unroll: min-of-3
+    # went 2.44 -> 3.78 s and the query ran FASTER on 8 cores than 32 —
+    # optimizer/AQE replanning over the deeply nested plan dominates, and
+    # more cores schedule more tiny stages). The per-round checkpoint keeps
+    # every round a small plan over ExistingRDDs.
+    for r in range(1, _LPA_ROUNDS + 1):
         nb = und.join(
             labels.withColumnRenamed("u", "nu"), F.col("v") == F.col("nu")
         ).select("u", "lbl")
+        # (An explicit repartition("u") here to share one exchange between
+        # the two aggregates was measured at 3.61 s vs 3.31 s without: it
+        # ships raw nb rows where the aggregate's own exchange ships
+        # map-side partial counts.)
         counts = nb.groupBy("u", "lbl").agg(F.count(F.lit(1)).alias("c"))
         # argmax with (count desc, label asc) total tie order, as a
         # max-struct aggregate (no window needed)
@@ -97,9 +102,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("c").alias("c"), (-F.col("lbl")).alias("neg"))
             ).alias("m")
         ).select("u", (-F.col("m.neg")).alias("new_lbl"))
-        labels = nodes.join(pick, "u", "left").select(
-            "u", F.coalesce("new_lbl", F.col("u")).alias("lbl")
-        )
+        # The oracle's LEFT JOIN against nodes is an identity here: und is
+        # symmetric and labels always covers every node, so every und row
+        # finds a neighbor label and pick's key domain IS nodes — the
+        # coalesce can never fire. Skipping the join saves one join +
+        # exchange per round (rows identical by construction).
+        labels = pick.select("u", F.col("new_lbl").alias("lbl"))
+        if r < _LPA_ROUNDS:
+            # Last round flows straight into the histogram aggregate (no
+            # consumer needs the final map twice), so its checkpoint is
+            # skipped. A 2-round super-round cadence was also measured:
+            # 4.58 s vs 3.49 s per-round in the same r12 quiet window.
+            labels = labels.localCheckpoint()
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
