@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid as _uuidlib
 import zlib
 
@@ -38,7 +39,9 @@ def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     """createDataFrame over ONE slice: the default path parallelizes a
     driver-local list over defaultParallelism, costing 32 near-empty
     task launches per call for DV/row-id maps that are file-count-sized
-    by construction (same fix as iceberg._local_df, r11 profile)."""
+    by construction (same fix as iceberg._local_df, r11 profile).
+    Classic-session only — see tables.local_df for the Spark Connect
+    caveat and fallback."""
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(
@@ -1557,6 +1560,18 @@ def _stats_observed(df: DataFrame):
         return v
 
     def resolve() -> str:
+        # Bounded wait instead of Observation.get's indefinite block: if a
+        # future code path calls resolve() before any action ran on the
+        # observed frame, fail loudly rather than hang the commit. The JVM
+        # side's getRowOrEmpty waits ~100 ms per probe.
+        deadline = time.monotonic() + 30.0
+        while obs._jo.getRowOrEmpty().isEmpty():
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    "_stats_observed.resolve() called but no action has "
+                    "run on the observed frame within 30 s — write the "
+                    "batch before resolving its stats"
+                )
         row = obs.get
         return json.dumps(
             {

@@ -1355,7 +1355,9 @@ def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     metadata rows that costs 32 near-empty tasks per call (r11 profile:
     five ~7.7 CPU-s stages in storage_iceberg_metadata_tables, all task
     overhead). Metadata relations are file-count-sized by construction,
-    so one slice is the right layout at any scale."""
+    so one slice is the right layout at any scale.
+    Classic-session only — see tables.local_df for the Spark Connect
+    caveat and fallback."""
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(

@@ -488,8 +488,15 @@ def eval_lc_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.when(F.col("m") == 0, F.col("pn"))).alias("pa"),
             F.max(F.when(F.col("m") == 1, F.col("pn"))).alias("pb"),
+            # presence flags, not pn-nullness, decide whether a pair
+            # exists: pn is non-null by construction today, but if that
+            # ever changed, filtering on pa/pb would silently DROP the
+            # pair where the former inner join kept it and scored the
+            # NULL comparison as a loss for arm a (otherwise(0) below).
+            F.max(F.col("m") == 0).alias("ha"),
+            F.max(F.col("m") == 1).alias("hb"),
         )
-        .filter(F.col("pa").isNotNull() & F.col("pb").isNotNull())
+        .filter(F.col("ha") & F.col("hb"))
         .select(
             "len_bucket",
             F.when(F.col("pa") > F.col("pb"), 2)

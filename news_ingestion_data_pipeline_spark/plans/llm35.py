@@ -7,7 +7,7 @@ graph_label_propagation precedent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from news_ingestion_data_pipeline_spark.plans.llm2 import _sqdist_sql
@@ -128,9 +128,10 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     labels = core.select(F.col("vec_id").alias("u"), F.col("vec_id").alias("lbl"))
-    # label sum decreases monotonically; unchanged sum == fixpoint
-    # (probed AFTER each round's checkpoint — the pre-loop sum probe
-    # bought nothing: the first comparison can simply see None)
+    # label sum decreases monotonically; unchanged sum == fixpoint. The
+    # probe RIDES the round's checkpoint job as an Observation (bigint
+    # sum — order-insensitive and exact), so each round is ONE job
+    # instead of checkpoint + a separate agg/collect probe.
     prev_sum = None
     for _ in range(_CC_ROUNDS):
         nb_min = (
@@ -147,6 +148,7 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         jump = labels.select(
             F.col("u").alias("ju"), F.col("lbl").alias("jlbl")
         )
+        obs = Observation()
         labels = (
             labels.join(nb_min, "u", "left")
             .join(jump, F.col("lbl") == F.col("ju"), "left")
@@ -158,9 +160,10 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("jlbl"), F.col("lbl")),
                 ).alias("lbl"),
             )
+            .observe(obs, F.sum("lbl").alias("s"))
             .localCheckpoint()
         )
-        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        s = obs.get["s"]
         if s == prev_sum:
             break
         prev_sum = s

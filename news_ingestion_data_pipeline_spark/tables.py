@@ -80,7 +80,12 @@ def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     frame cost a 32-task near-empty stage before its broadcast (r11
     profile: ~5 CPU-s of pure task-launch overhead per site). These
     frames are k-row by construction; one slice is the right layout at
-    any scale."""
+    any scale.
+
+    Classic-session only: sparkContext.parallelize skips the driver-side
+    row/type validation of the list-based createDataFrame (bad rows fail
+    at execution time) and does not exist under Spark Connect — there,
+    fall back to spark.createDataFrame(rows, schema).coalesce(1)."""
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(

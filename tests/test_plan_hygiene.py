@@ -631,11 +631,28 @@ RDD_JOIN_QUERIES = [
 ]
 
 
+_DF_CACHE: dict[str, object] = {}
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _df(spark, name: str):
+    """Build each query's frame once per suite run: building is not free
+    (iterative queries run their eager localCheckpoints at build time),
+    and several parametrized tests below visit the same names."""
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = REGISTRY[name].fn(spark, SF_SMOKE)
+    return _DF_CACHE[name]
+
+
 def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_SMOKE)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    if name not in _PLAN_CACHE:
+        df = _df(spark, name)
+        _PLAN_CACHE[name] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return _PLAN_CACHE[name]
 
 
 @pytest.mark.parametrize("name", PYTHON_FREE)
@@ -683,6 +700,48 @@ def test_no_broadcast_of_checkpointed_corpus_tables(spark, name):
                     "shingles" in detail or "sh_a" in detail or "sh_b" in detail
                 ), f"{name}: broadcast over stats-less RDD scan\n{ln2}\n{detail}"
                 break
+
+
+# ---------------------------------------------------------------------------
+# Pushdown-audit gate (round-11 finding, frozen per the r11 verdict):
+# constraint inference substitutes aliases with their FULL defining
+# expressions and pushes the inferred filter through deterministic
+# Projects and Repartitions — an expensive derived-column pipeline (md5
+# shingles, regex splits) then re-evaluates BELOW the exchange that
+# exists to parallelize it, typically inside a single-task scan stage.
+# tools/pushdown_audit.py sweeps all 587; here the gate covers exactly
+# the queries where the pathology CAN occur — those whose source spreads
+# or repartitions (detected statically), so the parametrization tracks
+# the registry without running 587 plan builds per suite.
+# ---------------------------------------------------------------------------
+
+
+def _source_repartitions(name: str) -> bool:
+    import inspect
+
+    try:
+        src = inspect.getsource(REGISTRY[name].fn)
+    except (OSError, TypeError):
+        return True  # can't prove it doesn't — audit it
+    return "spread(" in src or "repartition(" in src
+
+
+REPARTITIONING_QUERIES = sorted(
+    n for n in REGISTRY if _source_repartitions(n)
+)
+
+
+@pytest.mark.parametrize("name", REPARTITIONING_QUERIES)
+def test_no_heavy_filter_pushed_below_repartition(spark, name):
+    from tools.pushdown_audit import audit_plan
+
+    df = _df(spark, name)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    hits = audit_plan(plan)
+    assert not hits, (
+        f"{name}: inferred heavy-expression Filter below a Repartition "
+        f"(constraint-inference re-push):\n" + "\n".join(hits)
+    )
 
 
 # ---------------------------------------------------------------------------
