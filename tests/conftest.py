@@ -31,3 +31,23 @@ def spark():
 def golden_articles(spark):
     """The reference's shipped 97-row corpus (data/articles.db → parquet)."""
     return spark.read.parquet(os.path.join(FIXTURES, "articles.parquet")).cache()
+
+
+_QUERY_DF_CACHE: dict[tuple[str, str], object] = {}
+
+
+def build_query_df(spark, name: str, sf_dir: str = SF_SMOKE):
+    """Build a registry query's DataFrame once per suite run.
+
+    Building is NOT free — iterative queries execute their eager
+    localCheckpoints at build time — and three suite modules
+    (test_contract, test_plan_shapes, test_plan_hygiene) each sweep the
+    registry; unshared, the whole registry was built three times over
+    (~10 min of the suite's wall). Failures are not cached, so a flaky
+    construction re-raises in every test that touches it."""
+    key = (name, sf_dir)
+    if key not in _QUERY_DF_CACHE:
+        from news_ingestion_data_pipeline_spark.plans import REGISTRY
+
+        _QUERY_DF_CACHE[key] = REGISTRY[name].fn(spark, sf_dir)
+    return _QUERY_DF_CACHE[key]

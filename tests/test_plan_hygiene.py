@@ -638,9 +638,12 @@ _PLAN_CACHE: dict[str, str] = {}
 def _df(spark, name: str):
     """Build each query's frame once per suite run: building is not free
     (iterative queries run their eager localCheckpoints at build time),
-    and several parametrized tests below visit the same names."""
+    and several parametrized tests — here and in test_contract /
+    test_plan_shapes — visit the same names (shared cache in conftest)."""
     if name not in _DF_CACHE:
-        _DF_CACHE[name] = REGISTRY[name].fn(spark, SF_SMOKE)
+        from tests.conftest import build_query_df
+
+        _DF_CACHE[name] = build_query_df(spark, name, SF_SMOKE)
     return _DF_CACHE[name]
 
 

@@ -288,7 +288,9 @@ def test_registry_global_window_ban(spark, chunk):
     problems = []
     for name in names:
         try:
-            df = REGISTRY[name].fn(spark, SF)
+            from tests.conftest import build_query_df
+
+            df = build_query_df(spark, name, SF)
         except Exception as e:  # construction failures surface elsewhere
             problems.append(f"{name}: construction failed: {e!r:.200}")
             continue
