@@ -495,7 +495,18 @@ def gemm_eps_pairs(
             {"u": np.concatenate(out_u), "w": np.concatenate(out_w)}
         )
 
-    return tiles.groupBy("bi", "bj").applyInPandas(tile_pairs, "u long, w long")
+    # Explicit-count repartition on the tile keys: the Python GEMM's cost
+    # is invisible to AQE, which coalesces the B·(B+1)/2 groups down to a
+    # handful of tasks by SHUFFLE BYTES (profiled at sf0.1: 36 tiles ->
+    # 4 tasks, 7 CPU-s of numpy serialized onto 4 slots). A
+    # REPARTITION_BY_NUM shuffle is not AQE-coalescable and satisfies the
+    # groupBy's clustered distribution, so the tile stage keeps ~one
+    # group per task; the count scales with B (corpus size), not cores.
+    return (
+        tiles.repartition(B * (B + 1), "bi", "bj")
+        .groupBy("bi", "bj")
+        .applyInPandas(tile_pairs, "u long, w long")
+    )
 
 
 def gemm_cos_pairs(
@@ -592,6 +603,9 @@ def gemm_cos_pairs(
         # off-diagonal tiles exactly once — dedup is a per-tile local op
         return res.drop_duplicates(subset=["id_a", "id_b"])
 
-    return tiles.groupBy("bi", "bj").applyInPandas(
-        tile_pairs, "id_a long, id_b long, cos double"
+    # same AQE-coalesce guard as gemm_eps_pairs: keep ~one tile per task
+    return (
+        tiles.repartition(B * (B + 1), "bi", "bj")
+        .groupBy("bi", "bj")
+        .applyInPandas(tile_pairs, "id_a long, id_b long, cos double")
     )
