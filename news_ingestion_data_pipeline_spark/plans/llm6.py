@@ -241,16 +241,24 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        from news_ingestion_data_pipeline_spark.session import (
+            stream_state_partitions,
         )
-        q.awaitTermination()
-        q.stop()
+
+        # both phases resume the SAME checkpoint: the pinned width is
+        # recorded at phase 1 and must match at phase 2 (it does — the
+        # context manager pins the same value for every start)
+        with stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
 
     # phase 1: two files visible, drain, stop
     for p in parts[:2]:

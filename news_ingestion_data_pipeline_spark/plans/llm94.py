@@ -193,13 +193,20 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    stream = (
-        res.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # state-volume-sized state-store width (profiled r12: the session
+    # width gave 32 near-empty state tasks x ~11 CPU-s per micro-batch)
+    from news_ingestion_data_pipeline_spark.session import (
+        stream_state_partitions,
     )
-    stream.awaitTermination()
-    stream.stop()
+
+    with stream_state_partitions(spark):
+        stream = (
+            res.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        stream.awaitTermination()
+        stream.stop()
     return spark.table(name)

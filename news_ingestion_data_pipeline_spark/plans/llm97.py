@@ -129,15 +129,20 @@ def stream_update_mode_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
-    stream = (
-        res.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    from news_ingestion_data_pipeline_spark.session import (
+        stream_state_partitions,
     )
-    stream.awaitTermination()
-    stream.stop()
+
+    with stream_state_partitions(spark):
+        stream = (
+            res.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        stream.awaitTermination()
+        stream.stop()
     return spark.table(name)
 
 

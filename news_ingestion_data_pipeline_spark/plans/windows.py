@@ -197,20 +197,31 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drain_to_memory(res: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Run a streaming query to a memory sink (Trigger.AvailableNow),
     await completion, return the sink table. Aggregates drain in complete
-    mode; stream-stream joins (no aggregate) must drain in append mode."""
+    mode; stream-stream joins (no aggregate) must drain in append mode.
+
+    The drain pins the stream's shuffle width to the state-volume-sized
+    default (see session.stream_state_partitions): these memory-sink
+    states are fixture-scale, and the session width (cores) gave 32
+    near-empty state-store tasks per micro-batch, ~10 CPU-s of pure
+    open/commit fixed cost each batch (profiled r12)."""
+    from news_ingestion_data_pipeline_spark.session import (
+        stream_state_partitions,
+    )
+
     spark = res.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        res.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with stream_state_partitions(spark):
+        q = (
+            res.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
 
 
@@ -392,15 +403,20 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark_session.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        res.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    from news_ingestion_data_pipeline_spark.session import (
+        stream_state_partitions,
     )
-    q.awaitTermination()
-    q.stop()
+
+    with stream_state_partitions(spark_session):
+        q = (
+            res.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark_session.table(name).select(
         "event_type", "total", ts_str("max_ts").alias("max_ts")
     )
@@ -437,15 +453,20 @@ def stream_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark_session.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        res.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from news_ingestion_data_pipeline_spark.session import (
+        stream_state_partitions,
     )
-    q.awaitTermination()
-    q.stop()
+
+    with stream_state_partitions(spark_session):
+        q = (
+            res.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark_session.table(name).select(
         "user_id", "event_type", ts_str("minute_ts").alias("minute_ts")
     )

@@ -9,8 +9,40 @@ spark-submit conf so the same code runs on local[32] and on 1000 executors.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int | str | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming query (start → awaitTermination) and restore it after.
+
+    A stateful streaming query fixes its state-store partition count from
+    the session's shuffle partitions at the FIRST micro-batch. Profiled on
+    stream_watermark_late_drop at sf0.1: with the session width (32),
+    every micro-batch ran 32 state tasks burning 10-13 CPU-s on ~50 KB of
+    state — per-partition state-store open/commit fixed cost, not data.
+    State partitions should be sized to STATE VOLUME, not core count; the
+    local default (SPARK_GRAFT_STREAM_STATE_PARTITIONS, 8) suits the
+    fixture-scale states here, and a production job with large keyed
+    state raises the env var — the partition count is pinned into the
+    checkpoint, so pick it for the state you expect, not the cluster you
+    happen to start on. Results are partitioning-independent (hash
+    aggregation semantics are unchanged); only applied to memory-sink
+    queries where no file-count artifact can leak into results."""
+    n = str(
+        n
+        if n is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def get_spark(
