@@ -383,6 +383,11 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, bool]:
     # but each query gets at least one clean window across N passes.
     # The artifact records the mode (meta["repeats"]), so cross-round
     # ratio readers know min-of-N numbers are being compared.
+    # RECORDING RULE (r11 verdict item 3): a closing min-of-N artifact
+    # whose meta["cpu_steal_sec"] exceeds ~150 s is NOT recordable as a
+    # round's reference — both r11 closing attempts ran at 877-1,607
+    # steal-s (vs r10's 59.7) and poisoned every cross-round attribution.
+    # Wait for a quiet window (tools/quiet_run.sh) and re-run instead.
     for _ in range(_REPEATS - 1):
         sec = min(sec, timed())
         warm = drained_warm() or warm
